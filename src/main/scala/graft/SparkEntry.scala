@@ -1,13 +1,270 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is a SURVEY §2 operator exercised over the
+  * TESTDATA.md fixture tables; [[oracleSql]] holds the DuckDB-dialect
+  * equivalent with IDENTICAL output column names. Queries whose semantics
+  * DuckDB cannot express (LSH banding, hash-seeded signatures) are declared
+  * without an oracle and get the driver's rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The SURVEY §7.3 minimum slice: gap-sessionization rollup.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Queries.q28_sessions(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (Queries.q01_pricing_summary _),
+    "q02_event_state_pivot" -> (Queries.q02_event_state_pivot _),
+    "q03_distinct_having" -> (Queries.q03_distinct_having _),
+    "q04_listagg" -> (Queries.q04_listagg _),
+    "q05_median_percentile" -> (Queries.q05_median_percentile _),
+    "q06_bool_agg" -> (Queries.q06_bool_agg _),
+    "q07_pivot" -> (Queries.q07_pivot _),
+    "q08_unpivot" -> (Queries.q08_unpivot _),
+    "q09_dim_join" -> (Queries.q09_dim_join _),
+    "q10_semi_join" -> (Queries.q10_semi_join _),
+    "q11_anti_join" -> (Queries.q11_anti_join _),
+    "q12_full_outer_using" -> (Queries.q12_full_outer_using _),
+    "q13_range_join" -> (Queries.q13_range_join _),
+    "q14_asof_join" -> (Queries.q14_asof_join _),
+    "q15_day_over_day" -> (Queries.q15_day_over_day _),
+    "q16_dedup_latest" -> (Queries.q16_dedup_latest _),
+    "q17_window_suite" -> (Queries.q17_window_suite _),
+    "q18_lag_lead" -> (Queries.q18_lag_lead _),
+    "q19_first_last_ignore_nulls" -> (Queries.q19_first_last_ignore_nulls _),
+    "q20_topk_per_group" -> (Queries.q20_topk_per_group _),
+    "q21_window_percentile" -> (Queries.q21_window_percentile _),
+    "q22_set_ops" -> (Queries.q22_set_ops _),
+    "q23_string_funcs" -> (Queries.q23_string_funcs _),
+    "q24_date_funcs" -> (Queries.q24_date_funcs _),
+    "q25_math_case" -> (Queries.q25_math_case _),
+    "q26_json" -> (Queries.q26_json _),
+    "q27_dim_dates" -> (Queries.q27_dim_dates _),
+    "q28_sessions" -> (Queries.q28_sessions _)
+  )
+
+  /** DuckDB equivalents, same column names (driver sorts columns by name and
+    * hashes values — names and value-level semantics must both match).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  AVG(l_quantity) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_event_state_pivot" ->
+      """SELECT user_id,
+        |  MAX(CASE WHEN event_type = 'signup' THEN ts END) AS last_signup_at,
+        |  MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase_at,
+        |  CAST(MAX(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS max_purchase_value
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q03_distinct_having" ->
+      """SELECT user_id, COUNT(DISTINCT event_type) AS n_types, COUNT(*) AS n_events
+        |FROM events GROUP BY user_id HAVING COUNT(*) > 10""".stripMargin,
+    "q04_listagg" ->
+      """SELECT user_id, STRING_AGG(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q05_median_percentile" ->
+      """SELECT l_returnflag,
+        |  QUANTILE_CONT(l_quantity, 0.5) AS median_qty,
+        |  QUANTILE_CONT(l_extendedprice, 0.9) AS p90_price,
+        |  MIN(l_extendedprice) AS min_price,
+        |  MAX(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q06_bool_agg" ->
+      """SELECT o_custkey,
+        |  BOOL_OR(o_orderstatus = 'F') AS any_f,
+        |  BOOL_AND(o_totalprice > 1000) AS all_over_1k,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+    "q07_pivot" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS DOUBLE) AS qty_a,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS DOUBLE) AS qty_n,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS DOUBLE) AS qty_r
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    "q08_unpivot" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(l_quantity) AS DOUBLE) AS qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'qty' AS metric, qty AS metric_value FROM agg
+        |UNION ALL
+        |SELECT l_returnflag, 'price' AS metric, price FROM agg""".stripMargin,
+    "q09_dim_join" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |LEFT JOIN customer ON o_custkey = c_custkey
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q10_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 50000)""".stripMargin,
+    "q11_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q12_full_outer_using" ->
+      """WITH f AS (SELECT o_custkey AS custkey, COUNT(*) AS n_f FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+        |     o AS (SELECT o_custkey AS custkey, COUNT(*) AS n_o FROM orders WHERE o_orderstatus = 'O' GROUP BY 1)
+        |SELECT COALESCE(f.custkey, o.custkey) AS custkey, n_f, n_o
+        |FROM f FULL OUTER JOIN o ON f.custkey = o.custkey""".stripMargin,
+    "q13_range_join" ->
+      """WITH bounds AS (SELECT CAST(MIN(o_orderdate) AS DATE) lo, CAST(MAX(o_orderdate) AS DATE) hi FROM orders),
+        |spine AS (SELECT CAST(UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 DAY)) AS DATE) AS datum FROM bounds),
+        |o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS start_d, CAST(o_orderdate AS DATE) + 6 AS end_d FROM orders)
+        |SELECT datum, COUNT(o_orderkey) AS open_orders
+        |FROM spine LEFT JOIN o ON datum BETWEEN start_d AND end_d
+        |GROUP BY datum""".stripMargin,
+    "q14_asof_join" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.p_id, p.p_user, p.p_ts, c.c_id, c.c_ts,
+        |        ROW_NUMBER() OVER (PARTITION BY p.p_id ORDER BY c.c_ts DESC, c.c_id DESC) AS rn
+        |      FROM p LEFT JOIN c ON p.p_user = c.c_user AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR)
+        |SELECT p_id, p_user, c_id, DATE_DIFF('second', c_ts, p_ts) AS lag_seconds
+        |FROM j WHERE rn = 1""".stripMargin,
+    "q15_day_over_day" ->
+      """WITH daily AS (
+        |  SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT month, revenue,
+        |  LAG(revenue, 1) OVER (ORDER BY month) AS prev_revenue,
+        |  ROUND(revenue - COALESCE(LAG(revenue, 1) OVER (ORDER BY month), 0.0), 2) AS mom_delta
+        |FROM daily""".stripMargin,
+    "q16_dedup_latest" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events
+        |) WHERE rn = 1""".stripMargin,
+    "q17_window_suite" ->
+      """SELECT o_orderkey, o_custkey,
+        |  RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+        |  COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders,
+        |  ROUND(PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS price_pctile
+        |FROM orders WHERE o_custkey < 100""".stripMargin,
+    "q18_lag_lead" ->
+      """SELECT event_id, user_id, event_type,
+        |  LAG(event_type, 1) OVER w AS prev_type,
+        |  LEAD(event_type, 1) OVER w AS next_type,
+        |  EPOCH_US(ts) - EPOCH_US(LAG(ts, 1) OVER w) AS micros_since_prev
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "q19_first_last_ignore_nulls" ->
+      """SELECT event_id, user_id,
+        |  FIRST_VALUE(purchase_value IGNORE NULLS) OVER w AS first_purchase_value,
+        |  LAST_VALUE(purchase_value IGNORE NULLS) OVER w AS last_purchase_value
+        |FROM (SELECT *, CASE WHEN event_type = 'purchase' THEN value END AS purchase_value FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "q20_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders
+        |) WHERE rk <= 3""".stripMargin,
+    "q21_window_percentile" ->
+      """WITH med AS (SELECT l_returnflag, QUANTILE_CONT(l_quantity, 0.5) AS median_qty FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, COUNT(*) AS n_above_median, ROUND(MAX(m.median_qty), 6) AS median_qty_out
+        |FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+        |WHERE l.l_quantity > m.median_qty
+        |GROUP BY l.l_returnflag""".stripMargin,
+    "q22_set_ops" ->
+      """SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 0
+        |EXCEPT
+        |SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 1000""".stripMargin,
+    "q23_string_funcs" ->
+      """SELECT p_partkey,
+        |  SPLIT_PART(p_type, ' ', 1) AS type_head,
+        |  UPPER(SUBSTR(p_brand, 1, 1)) || LOWER(SUBSTR(p_brand, 2)) AS brand_initcap,
+        |  LOWER(p_name) AS name_lower,
+        |  LEFT(p_name, 5) AS name_left5,
+        |  RIGHT(p_name, 3) AS name_right3,
+        |  LENGTH(p_name) AS name_len,
+        |  STRPOS(p_type, 'a') AS first_a,
+        |  REPLACE(p_brand, '#', '-') AS brand_dashed,
+        |  LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+        |  MD5(p_brand || '||' || p_type) AS surrogate_key,
+        |  TRANSLATE(p_name, 'aeiou', 'AEIOU') AS name_vowels_up,
+        |  REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS name_novowels,
+        |  LEN(REGEXP_EXTRACT_ALL(p_name, 'o')) AS o_count
+        |FROM part WHERE p_partkey < 500""".stripMargin,
+    "q24_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS order_month,
+        |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+        |  DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+        |  DATE_DIFF('month', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS months_to_2002,
+        |  LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
+        |  DATE_PART('dow', o_orderdate) AS dow,
+        |  DATE_PART('doy', o_orderdate) AS doy,
+        |  STRFTIME(o_orderdate, '%Y-%m') AS ym,
+        |  MONTHNAME(o_orderdate) AS month_name,
+        |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_quarter
+        |FROM orders WHERE o_orderkey < 1000""".stripMargin,
+    "q25_math_case" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_r1,
+        |  CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+        |  CAST(FLOOR(l_quantity / 7) AS BIGINT) AS qty_div7,
+        |  ABS(l_discount - 0.05) AS disc_dev,
+        |  ROUND(POW(0.97, l_quantity), 8) AS depreciation,
+        |  l_partkey % 7 AS part_mod7,
+        |  CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2)), 2) AS DOUBLE) AS tax_amount,
+        |  CASE WHEN l_quantity >= 40 THEN 'bulk' WHEN l_quantity >= 10 THEN 'standard' ELSE 'small' END AS size_tier,
+        |  CASE l_returnflag WHEN 'A' THEN 'accepted' WHEN 'R' THEN 'returned' ELSE 'none' END AS flag_decoded,
+        |  GREATEST(l_quantity, CAST(l_linenumber AS DOUBLE)) AS greatest_qn,
+        |  COALESCE(NULLIF(l_returnflag, 'N'), 'empty') AS nvl_flag
+        |FROM lineitem WHERE l_orderkey < 300""".stripMargin,
+    "q26_json" ->
+      """SELECT event_id,
+        |  CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k_value,
+        |  JSON_VALID(props) AS valid_json,
+        |  CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) % 10 AS k_bucket
+        |FROM events""".stripMargin,
+    "q27_dim_dates" ->
+      """WITH bounds AS (SELECT CAST(MIN(o_orderdate) AS DATE) lo, CAST(MAX(o_orderdate) AS DATE) hi FROM orders),
+        |spine AS (SELECT CAST(UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 DAY)) AS DATE) AS datum FROM bounds)
+        |SELECT datum,
+        |  YEAR(datum) AS year, QUARTER(datum) AS quarter, MONTH(datum) AS month,
+        |  WEEKOFYEAR(datum) AS week_of_year, DAY(datum) AS day_of_month,
+        |  DATE_PART('dow', datum) AS day_of_week,
+        |  MONTHNAME(datum) AS month_name, DAYNAME(datum) AS day_name,
+        |  CAST(DATE_TRUNC('week', datum) AS DATE) AS week_start,
+        |  CAST(DATE_TRUNC('month', datum) AS DATE) AS month_start,
+        |  LAST_DAY(datum) AS month_end,
+        |  DATE_PART('dow', datum) IN (0, 6) AS is_weekend
+        |FROM spine""".stripMargin,
+    "q28_sessions" ->
+      """WITH flagged AS (
+        |  SELECT *, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                   OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+        |            THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sess AS (
+        |  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flagged),
+        |entry AS (
+        |  SELECT *, FIRST_VALUE(event_type) OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id) AS entry_et
+        |  FROM sess)
+        |SELECT user_id, session_id,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value,
+        |  MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS had_error,
+        |  MIN(entry_et) AS entry_event_type,
+        |  CAST((EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts))) // 1000000 AS BIGINT) AS duration_seconds
+        |FROM entry GROUP BY user_id, session_id""".stripMargin
+  )
 }

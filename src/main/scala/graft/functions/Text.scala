@@ -1,0 +1,188 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines
+  * (beyond-reference surface per BASELINE.json north star).
+  *
+  * Everything here is composed from built-in codegen'd functions — no UDFs —
+  * so the operators run inside whole-stage codegen and scale linearly with
+  * no per-row JVM object churn beyond the string ops themselves.
+  */
+object Text {
+
+  /** Whitespace tokenization — the baseline token counter. */
+  def whitespaceTokens(text: Column): Column =
+    split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(whitespaceTokens(text)))
+
+  /** BPE-ish subword token estimate: word-pieces + digits + punctuation as
+    * separate tokens (a deterministic regex approximation of a GPT-style
+    * tokenizer's fertility; useful for budget estimates at corpus scale).
+    */
+  def subwordTokenEstimate(text: Column): Column = {
+    val pieces = regexp_count(text, lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"))
+    pieces
+  }
+
+  /** Normalized text for dedup: lowercase, collapse whitespace, strip
+    * punctuation.
+    */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Word n-gram shingles of a normalized text. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val tokens = split(normalizeForDedup(text), " ")
+    val count = size(tokens) - (n - 1)
+    // sequence(0, count-1) would be a *descending* range when count <= 0
+    when(count > 0,
+      transform(sequence(lit(0), count - 1), i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Character n-gram shingles. */
+  def charShingles(text: Column, n: Int): Column = {
+    val s = normalizeForDedup(text)
+    val count = length(s) - (n - 1)
+    when(count > 0,
+      transform(sequence(lit(0), count - 1), i => s.substr(lit(1) + i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Stable 64-bit hash of a column (xxhash64 — codegen'd, seed fixed). */
+  def hash64(c: Column): Column = xxhash64(c)
+
+  /** MinHash signature: for each of `numHashes` permutations
+    * h_i(x) = (a_i * xxhash64(x) + b_i), the minimum over the shingle set.
+    * Deterministic (fixed LCG-derived coefficients), fully codegen'd:
+    * one array expression per row, no shuffle.
+    */
+  def minHashSignature(shingles: Column, numHashes: Int): Column = {
+    val coeffs = minhashCoefficients(numHashes)
+    val hashed = transform(shingles, s => xxhash64(s))
+    array(coeffs.map { case (a, b) =>
+      array_min(transform(hashed, h => pmod(h * lit(a) + lit(b), lit(MinhashPrime))))
+    }: _*)
+  }
+
+  val MinhashPrime: Long = 2305843009213693951L // 2^61 - 1
+
+  private[graft] def minhashCoefficients(n: Int): Seq[(Long, Long)] = {
+    // deterministic LCG; odd multipliers, fixed seed
+    var state = 0x9E3779B97F4A7C15L
+    def next(): Long = { state = state * 6364136223846793005L + 1442695040888963407L; state }
+    (0 until n).map { _ =>
+      val a = (next() & Long.MaxValue) | 1L
+      val b = next() & Long.MaxValue
+      (a % MinhashPrime, b % MinhashPrime)
+    }
+  }
+
+  /** SimHash over word shingles: 64-bit fingerprint where bit j is the sign
+    * of the sum over shingles of (+1 / -1) depending on bit j of the
+    * shingle hash. Near-duplicate texts differ in few bits.
+    * Implemented with aggregate() over the shingle array — codegen'd.
+    */
+  def simHash(shingles: Column): Column = {
+    val hashed = transform(shingles, s => xxhash64(s))
+    val bitSums = (0 until 64).map { j =>
+      aggregate(
+        hashed,
+        lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))
+      )
+    }
+    bitSums.zipWithIndex.map { case (s, j) =>
+      when(s > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hammingDistance64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Jaccard similarity of two string arrays (shingle sets). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** Rolling polynomial hash over the full normalized text — a cheap
+    * order-sensitive document fingerprint (exact-dup detection that is
+    * robust to trailing whitespace/punct noise).
+    */
+  def documentFingerprint(text: Column): Column =
+    xxhash64(normalizeForDedup(text))
+
+  // ---------------------------------------------------------------- quality
+
+  private val Stopwords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "at", "by", "it", "this", "that", "be")
+
+  /** Heuristic quality signals: length, punctuation ratio, stopword ratio,
+    * alpha ratio, mean word length (C4/Gopher-style filters).
+    */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(regexp_count(text, lit("[\\p{Punct}]")).cast("double") / length(text))
+
+  def alphaRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(regexp_count(text, lit("[A-Za-z]")).cast("double") / length(text))
+
+  def stopwordRatio(text: Column): Column = {
+    val tokens = split(normalizeForDedup(text), " ")
+    val stops = filter(tokens, t => t.isin(Stopwords: _*))
+    when(size(tokens) === 0, lit(0.0))
+      .otherwise(size(stops).cast("double") / size(tokens))
+  }
+
+  def meanWordLength(text: Column): Column = {
+    val tokens = split(normalizeForDedup(text), " ")
+    when(size(tokens) === 0, lit(0.0))
+      .otherwise(
+        aggregate(tokens, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(tokens))
+  }
+
+  /** Composite 0..1 quality score (deterministic, documented weights). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val punctPenalty = greatest(lit(1.0) - punctRatio(text) * 5.0, lit(0.0))
+    round(lenScore * 0.4 + stopScore * 0.3 + punctPenalty * 0.3, 6)
+  }
+
+  // ---------------------------------------------------------------- language id
+
+  /** Tiny n-gram/function-word language classifier for {en, de, fr, es, it}:
+    * scores each language by counts of its most characteristic words and
+    * characters; returns the argmax, 'und' when nothing matches.
+    * This is a heuristic (fastText-class models aren't available offline) —
+    * the Spark-side shape (scan → score → argmax, no shuffle) is the part
+    * that matters at scale.
+    */
+  def languageId(text: Column): Column = {
+    val t = concat(lit(" "), lower(text), lit(" "))
+    def score(words: Seq[String], chars: Seq[String] = Nil): Column = {
+      val w = words.map(wd => regexp_count(t, lit(s" $wd "))).reduce(_ + _)
+      val c = if (chars.isEmpty) lit(0) else chars.map(ch => regexp_count(t, lit(ch))).reduce(_ + _)
+      w * 2 + c
+    }
+    val scores = Seq(
+      "en" -> score(Seq("the", "and", "of", "to", "is", "that", "with")),
+      "de" -> score(Seq("der", "die", "das", "und", "ist", "nicht", "mit"), Seq("ä", "ö", "ü", "ß")),
+      "fr" -> score(Seq("le", "la", "les", "et", "est", "pas", "pour"), Seq("é", "è", "ê", "à")),
+      "es" -> score(Seq("el", "los", "las", "es", "que", "por", "como"), Seq("ñ", "¿", "¡")),
+      "it" -> score(Seq("il", "di", "che", "per", "con", "una", "sono"), Seq("à", "ò", "ù"))
+    )
+    val best = scores.map { case (lang, s) => struct(s.as("s"), lit(lang).as("lang")) }
+    val top = greatest(best: _*)
+    when(top.getField("s") <= 0, lit("und")).otherwise(top.getField("lang"))
+  }
+}

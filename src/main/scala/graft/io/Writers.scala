@@ -1,0 +1,79 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental-maintenance writers — the reference's "engine verbs"
+  * (SURVEY §2.13). Each reproduces a Redshift DML pattern with an
+  * idempotent, partition-atomic Parquet equivalent.
+  */
+object Writers {
+
+  /** Full refresh: DROP TABLE + CREATE TABLE AS
+    * (`1_ods_core/00_subscription.sql:1-5`). Plain overwrite.
+    */
+  def fullRefresh(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** Incremental window reload: DELETE WHERE date-range + INSERT
+    * (`30_segment_events/01_track_events_incremental.sql:206-212`).
+    * With `partitionOverwriteMode=dynamic`, overwrite replaces exactly the
+    * partitions present in `df` and leaves the rest — idempotent on rerun
+    * (SURVEY §7.5-6).
+    */
+  def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Daily snapshot append — the historical layer
+    * (`5_master_historical/addon_35up_order_historical.sql:1-26`): stamp
+    * every row with the snapshot date and overwrite that single date
+    * partition (delete-yesterday + insert-yesterday made atomic).
+    */
+  def snapshotAppend(
+      df: DataFrame,
+      path: String,
+      snapshotDate: java.time.LocalDate,
+      dateCol: String = "snapshot_date"): Unit =
+    overwritePartitions(
+      df.withColumn(dateCol, lit(java.sql.Date.valueOf(snapshotDate))),
+      path,
+      Seq(dateCol))
+
+  /** MERGE-by-key into an existing Parquet table
+    * (`bi-airflow-prod/dags/us_debt_collections/sql/last_payment_event.sql:23`):
+    * updates win over existing rows; result fully rewritten (for a
+    * transactional table format this would be a native MERGE).
+    */
+  def mergeByKey(
+      spark: SparkSession,
+      updates: DataFrame,
+      path: String,
+      keys: Seq[String]): Unit = {
+    val existing =
+      try spark.read.parquet(path)
+      catch { case _: Exception => spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], updates.schema) }
+    val merged = existing.join(updates.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(updates)
+    // write-new-then-swap so a failed write never corrupts the target
+    // (reference "no ghost reads": business_logic/segment/parquet_rewriter.py:36-54)
+    val tmp = path + "__tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    fs.delete(target, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
+  }
+
+  /** Export with bounded file sizes (UNLOAD MAXFILESIZE analogue,
+    * `4_dwh_risk/sku_market_valuation.sql:146-148`).
+    */
+  def export(df: DataFrame, path: String, maxRecordsPerFile: Int, singleFile: Boolean = false): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite").option("maxRecordsPerFile", maxRecordsPerFile.toLong).parquet(path)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata (beyond-reference surface per BASELINE.json).
+  *
+  * The actual media decode is STUBBED (no image/audio libraries in this
+  * container — see [[StubDecoder]]); everything Spark-side is real:
+  * schemas, partitioning, batch iteration shape, and the deterministic fake
+  * feature extraction used by tests.
+  *
+  * At 100 TB: binary payloads stay in their Parquet row groups until the
+  * mapPartitions stage; metadata-only predicates prune files first
+  * (filter on `media_type`/`width` never touches `content`).
+  */
+object Multimodal {
+
+  /** Schema of a media table: opaque payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false), // image|audio|video
+    StructField("content", BinaryType, nullable = true),     // opaque payload
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("format", StringType, nullable = true)
+  ))
+
+  /** STUB decode: a real deployment would call an image/audio codec here
+    * (e.g. via a Pandas-UDF-equivalent `mapPartitions` over Arrow batches).
+    * The deterministic fake hashes the payload into a fixed-length feature
+    * vector so downstream plumbing (schema, joins, ANN) is fully testable.
+    */
+  object StubDecoder {
+    def features(content: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      if (content == null) return out
+      var h = 1125899906842597L
+      var i = 0
+      while (i < content.length) { h = h * 31 + content(i); i += 1 }
+      var j = 0
+      while (j < dim) {
+        h = h * 6364136223846793005L + 1442695040888963407L
+        out(j) = ((h >>> 16).toInt % 1000) / 1000.0f
+        j += 1
+      }
+      out
+    }
+  }
+
+  /** Feature extraction over the binary column: mapPartitions so a codec
+    * would be initialized once per partition, not per row (the shape a
+    * Pandas UDF / Arrow batch iteration has in PySpark).
+    */
+  def extractFeatures(media: DataFrame, dim: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(
+      media.schema.fields :+ StructField("features", ArrayType(FloatType), nullable = false))
+    val contentIdx = media.schema.fieldIndex("content")
+    val rdd = media.rdd.mapPartitions { rows =>
+      // per-partition "codec init" happens here in a real decoder
+      rows.map { r =>
+        val content = if (r.isNullAt(contentIdx)) null else r.getAs[Array[Byte]](contentIdx)
+        Row.fromSeq(r.toSeq :+ StubDecoder.features(content, dim).toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Metadata-only projection — demonstrates that predicates on metadata
+    * never deserialize the binary payload (column pruning).
+    */
+  def metadataOnly(media: DataFrame): DataFrame =
+    media.select("media_id", "media_type", "width", "height", "duration_ms", "format")
+
+  /** Deterministic synthetic media table for tests. */
+  def synthetic(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val payload = Array.tabulate[Byte](64 + (i % 32))(j => ((i * 31 + j) % 127).toByte)
+      Row(i.toLong, Seq("image", "audio", "video")(i % 3), payload,
+        if (i % 3 == 0) Integer.valueOf(640) else null,
+        if (i % 3 == 0) Integer.valueOf(480) else null,
+        if (i % 3 != 0) java.lang.Long.valueOf(1000L * (i % 60)) else null,
+        Seq("png", "wav", "mp4")(i % 3))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), mediaSchema)
+  }
+}

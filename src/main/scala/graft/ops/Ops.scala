@@ -1,0 +1,250 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Composite relational operators (SURVEY §2 patterns, M2).
+  *
+  * Each operator is a DataFrame → DataFrame combinator built from
+  * declarative primitives so Catalyst retains full optimization freedom
+  * (pushdown through the window, column pruning, AQE join planning).
+  *
+  * Scale notes: all window-based operators shuffle once on their partition
+  * keys; the join-based operators leave join-strategy choice to
+  * Catalyst/AQE (small side auto-broadcasts).
+  */
+object Ops {
+
+  /** Keep the latest row per key — the canonical event-log dedup
+    * (`row_number() over (partition by k order by ts desc) = 1`;
+    * reference: `1_ods_core/00_subscription.sql:62,74,99` and 397 files).
+    *
+    * `orderBy` must be a total order within key (include a unique
+    * tiebreaker) for deterministic results.
+    */
+  def dedupLatest(df: DataFrame, keys: Seq[Column], orderBy: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(orderBy: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Event-log → entity-state pivot: `MAX(CASE WHEN type = t THEN v END)`
+    * per key — the single most load-bearing reference pattern (SURVEY
+    * §2.4 A3; `00_subscription.sql:86-92`). One hash aggregate, map-side
+    * partials — scales linearly.
+    *
+    * @param stateCols (outputName, conditional column) pairs, aggregated MAX.
+    */
+  def pivotEvents(
+      df: DataFrame,
+      keys: Seq[Column],
+      stateCols: Seq[(String, Column)]): DataFrame = {
+    val aggs = stateCols.map { case (name, c) => max(c).as(name) }
+    df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Top-k rows per group by rank
+    * (`4_dwh_catman/widget_3_most_popular.sql:47,88`). `orderBy` should
+    * break ties (include a unique column) for determinism.
+    */
+  def topKPerGroup(df: DataFrame, keys: Seq[Column], orderBy: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(orderBy: _*)
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__rank")
+  }
+
+  /** As-of join: for each left row, the single right row with the greatest
+    * `rightTs <= leftTs` (optionally within `tolerance`), per key.
+    *
+    * Rewrites the reference's correlated `ORDER BY … LIMIT 1` subquery
+    * (`1_ods_core/00_allocation.sql:251-258` — Catalyst rejects correlated
+    * LIMIT) as join + window, SURVEY §4-1.
+    *
+    * Plan shape: one shuffle on the key for the join, one for the window.
+    * At 100 TB the tolerance predicate bounds the join fan-out; without it
+    * a hot key can explode — always pass a tolerance for skewed keys.
+    *
+    * @param tiebreak extra right-side ordering for equal timestamps
+    *                 (e.g. a unique id, descending) — required for
+    *                 deterministic output.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: Column,
+      rightKey: Column,
+      leftTs: Column,
+      rightTs: Column,
+      tolerance: Option[Column] = None,
+      tiebreak: Seq[Column] = Nil,
+      joinType: String = "left"): DataFrame = {
+    val leftWithId = left.withColumn("__lid", monotonically_increasing_id())
+    val baseCond = leftKey === rightKey && rightTs <= leftTs
+    val cond = tolerance.fold(baseCond)(t => baseCond && rightTs >= leftTs - t)
+    val joined = leftWithId.join(right, cond, "left")
+    val w = Window
+      .partitionBy(col("__lid"))
+      .orderBy((rightTs.desc +: tiebreak): _*)
+    // an unmatched left row yields exactly one all-null right row, which
+    // gets rn=1 (desc ordering puts nulls last only among matched rows —
+    // a group is either all-matched or a single null row, never mixed)
+    val picked = joined
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__lid")
+    joinType match {
+      case "left"  => picked
+      case "inner" => picked.filter(rightTs.isNotNull)
+      case other   => throw new IllegalArgumentException(s"asofJoin type: $other")
+    }
+  }
+
+  /** Range (interval) join: left rows matched to right rows where
+    * `point BETWEEN lo AND hi` (campaign validity / date-spine joins,
+    * SURVEY §2.3 J6; `4_dwh_catman/contentful_campaigns.sql:114,144`).
+    *
+    * When `right` is small (a spine or campaign table) Catalyst broadcasts
+    * it and the theta-join is a broadcast nested loop — the correct plan.
+    * For two large sides, pre-bucket both on a coarsened range key first.
+    */
+  def rangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      point: Column,
+      lo: Column,
+      hi: Column,
+      extraCond: Option[Column] = None,
+      joinType: String = "inner"): DataFrame = {
+    val cond0 = point >= lo && point <= hi
+    left.join(right, extraCond.fold(cond0)(cond0 && _), joinType)
+  }
+
+  /** Date spine: one row per day in [start, end] (inclusive) — replaces the
+    * reference's recursive-CTE numbers table
+    * (`bi-airflow-prod/dags/dim_dates/sql/dim_dates.sql:3-13`).
+    * Generated distributively via sequence+explode, no driver loop.
+    */
+  def dateSpine(df: DataFrame, start: Column, end: Column, colName: String = "datum"): DataFrame =
+    df.select(explode(sequence(start.cast("date"), end.cast("date"))).as(colName))
+
+  /** The dim_dates calendar-attribute derivation (`dim_dates.sql:17-44`). */
+  def calendarAttributes(spine: DataFrame, datum: String = "datum"): DataFrame = {
+    val d = col(datum)
+    spine.select(
+      d,
+      year(d).as("year"),
+      quarter(d).as("quarter"),
+      month(d).as("month"),
+      weekofyear(d).as("week_of_year"),
+      dayofmonth(d).as("day_of_month"),
+      (dayofweek(d) - 1).as("day_of_week"), // Redshift DOW: 0=Sunday
+      date_format(d, "MMMM").as("month_name"),
+      date_format(d, "EEEE").as("day_name"),
+      date_trunc("week", d).cast("date").as("week_start"),
+      date_trunc("month", d).cast("date").as("month_start"),
+      last_day(d).as("month_end"),
+      (dayofweek(d).isin(1, 7)).as("is_weekend")
+    )
+  }
+
+  /** Windowed PERCENTILE_CONT rewrite (SURVEY §2.5 W8,
+    * `4_dwh_core/v_weekly_cs_reporting.sql:86-102`): Spark has no
+    * percentile_cont window form → groupBy + join back. The group aggregate
+    * is partial-aggregable; the join back is on the group key (broadcast
+    * when the key cardinality is small).
+    */
+  def withGroupPercentile(
+      df: DataFrame,
+      keys: Seq[String],
+      value: Column,
+      p: Double,
+      outName: String): DataFrame = {
+    val agg = df
+      .groupBy(keys.map(col): _*)
+      .agg(percentile_approx(value, lit(p), lit(100000)).as(outName))
+    df.join(agg, keys, "left")
+  }
+
+  /** Exact interpolated variant (matches SQL PERCENTILE_CONT semantics).
+    * Exact percentile buffers the group's values — use only when group
+    * cardinality is bounded; at 100 TB prefer [[withGroupPercentile]].
+    */
+  def withGroupPercentileExact(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      p: Double,
+      outName: String): DataFrame = {
+    val agg = df
+      .groupBy(keys.map(col): _*)
+      .agg(expr(s"percentile($valueCol, $p)").as(outName))
+    df.join(agg, keys, "left")
+  }
+
+  /** FULL OUTER JOIN ... USING(k1..kn) semantics: coalesce the key columns
+    * into single output columns (SURVEY §2.3 J3;
+    * `4_dwh_core/daily_kpi_report_main_tables.sql:209`).
+    */
+  def fullOuterUsing(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame = {
+    val l = left.alias("l")
+    val r = right.alias("r")
+    val cond = keys.map(k => col(s"l.$k") <=> col(s"r.$k")).reduce(_ && _)
+    val keyCols = keys.map(k => coalesce(col(s"l.$k"), col(s"r.$k")).as(k))
+    val lRest = left.columns.filterNot(keys.contains).map(c => col(s"l.$c"))
+    val rRest = right.columns.filterNot(keys.contains).map(c => col(s"r.$c"))
+    l.join(r, cond, "full_outer").select((keyCols ++ lRest ++ rRest): _*)
+  }
+
+  /** Gap-based sessionization: assign a session index per user where a new
+    * session starts after `gap` of inactivity. Exceeds the reference (its
+    * session ids are precomputed client-side, SURVEY §2.14) but is the
+    * natural Spark form. Two window passes over one shuffle by user.
+    */
+  def sessionize(
+      df: DataFrame,
+      userCol: Column,
+      tsCol: Column,
+      gapSeconds: Long,
+      outCol: String = "session_id",
+      tiebreak: Seq[Column] = Nil): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy((tsCol +: tiebreak): _*)
+    val prevTs = lag(tsCol, 1).over(byUser)
+    val isNew = when(
+      prevTs.isNull || unix_micros(tsCol) - unix_micros(prevTs) > gapSeconds * 1000000L,
+      lit(1)).otherwise(lit(0))
+    df.withColumn("__new_session", isNew)
+      .withColumn(
+        outCol,
+        sum(col("__new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__new_session")
+  }
+
+  /** Continue a monotonically increasing per-key index across incremental
+    * loads: new rows get `prevMax(key) + dense_rank within increment`
+    * (`31_…/06_11_page_views_app_incremental.sql:79-82`).
+    *
+    * @param prevMax table of (key, maxIndex) high-water marks.
+    */
+  def highWaterContinue(
+      increment: DataFrame,
+      prevMax: DataFrame,
+      key: String,
+      orderBy: Seq[Column],
+      idxCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(orderBy: _*)
+    increment
+      .join(prevMax, Seq(key), "left")
+      .withColumn(idxCol, coalesce(col(s"max_$idxCol"), lit(0L)) + dense_rank().over(w))
+      .drop(s"max_$idxCol")
+  }
+
+  /** Change capture between the current result and the last exported
+    * snapshot (reverse-ETL MINUS pattern, SURVEY §2.7 U3;
+    * `91_External/Braze/SQL/custom_attributes_export.sql:80`).
+    */
+  def changedRows(current: DataFrame, lastExport: DataFrame): DataFrame =
+    current.except(lastExport)
+}

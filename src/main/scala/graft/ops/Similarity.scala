@@ -1,0 +1,121 @@
+package graft.ops
+
+import graft.functions.Vectors
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), beyond-reference surface per BASELINE.json.
+  *
+  * Three tiers:
+  *   - [[bruteForceTopK]]: exact cosine top-k, O(Q×N) pairs — the oracle
+  *     baseline and the right choice when the query set is small enough to
+  *     broadcast.
+  *   - [[lshTopK]]: random-hyperplane LSH buckets bound the candidate join;
+  *     recall traded via number of bucket bits / probes.
+  *   - [[ivfTopK]]: IVF-style coarse quantizer (k-means-ish centroids picked
+  *     deterministically), search restricted to nProbe nearest cells —
+  *     the 100 TB path: the fan-out is |Q| × nProbe × cellSize.
+  */
+object Similarity {
+
+  /** Exact cosine top-k: for every query vector, the k nearest corpus
+    * vectors. The corpus side is crossJoin-broadcast when queries are few;
+    * the ranking is one window per query id.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = q
+      .crossJoin(c)
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine", Vectors.cosineSimilarity(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("corpus_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN: vectors sharing a hyperplane-signature bucket are
+    * candidates; top-k within candidates. Recall < 1 by design; increase
+    * `numBits` for precision / decrease for recall.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numBits: Int,
+      dim: Int): DataFrame = {
+    val sig = (df: DataFrame, id: String, v: String) =>
+      df.select(
+        col(idCol).as(id),
+        col(vecCol).as(v),
+        Vectors.hyperplaneLshSignature(col(vecCol), numBits, dim).as(s"${id}_sig"))
+    val c = sig(corpus, "corpus_id", "cvec")
+    val q = sig(queries, "query_id", "qvec")
+    val scored = q
+      .join(c, col("query_id_sig") === col("corpus_id_sig") && col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine", Vectors.cosineSimilarity(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("corpus_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
+  /** IVF-style ANN: assign every vector to its nearest of `nCells` centroid
+    * cells (centroids = deterministic sample of the corpus), then search a
+    * query only against its own cell's members (nProbe=1 here; raise by
+    * unioning additional cells).
+    *
+    * At scale: centroids broadcast (tiny), assignment is a map-side
+    * transform, and the candidate join shuffles on cell id — fan-out is
+    * corpusSize/nCells per query instead of corpusSize.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int): DataFrame = {
+    // deterministic centroid pick: lowest ids (a real impl would k-means;
+    // the join topology — the part that matters at scale — is identical)
+    val centroids = corpus
+      .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
+      .orderBy(col("cell_id"))
+      .limit(nCells)
+
+    def assign(df: DataFrame, id: String, v: String): DataFrame = {
+      val scored = df
+        .select(col(idCol).as(id), col(vecCol).as(v))
+        .crossJoin(broadcast(centroids))
+        .withColumn("sim", Vectors.cosineSimilarity(col(v), col("centroid")))
+      val w = Window.partitionBy(col(id)).orderBy(col("sim").desc, col("cell_id"))
+      scored
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col(id), col(v), col("cell_id").as(s"${id}_cell"))
+    }
+
+    val c = assign(corpus, "corpus_id", "cvec")
+    val q = assign(queries, "query_id", "qvec")
+    val scored = q
+      .join(c, col("query_id_cell") === col("corpus_id_cell") && col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine", Vectors.cosineSimilarity(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("corpus_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+}

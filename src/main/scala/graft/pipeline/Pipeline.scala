@@ -1,0 +1,54 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.mutable
+
+/** Ordered-stage pipeline runner — the engine-side equivalent of the
+  * reference's Airflow fullload DAG (SURVEY §3.1;
+  * `bi-airflow-prod/dags/pipeline/fullload/dag_fullload_pipeline.py:43-80`,
+  * `pipeline_config.json:1-50`).
+  *
+  * A stage consumes previously-registered temp views and either registers
+  * its result as a view (a temp table in the reference) or materializes it.
+  * `continueOnError` mirrors the reference's `trigger_rule='all_done'`.
+  */
+object Pipeline {
+
+  final case class Stage(
+      name: String,
+      build: SparkSession => DataFrame,
+      materializePath: Option[String] = None,
+      cache: Boolean = false)
+
+  final case class StageReport(name: String, ok: Boolean, seconds: Double, error: Option[String])
+
+  def run(
+      spark: SparkSession,
+      stages: Seq[Stage],
+      continueOnError: Boolean = true): Seq[StageReport] = {
+    val reports = mutable.ListBuffer.empty[StageReport]
+    stages.foreach { st =>
+      val t0 = System.nanoTime()
+      try {
+        var df = st.build(spark)
+        if (st.cache) df = df.cache()
+        st.materializePath match {
+          case Some(path) =>
+            df.write.mode("overwrite").parquet(path)
+            // downstream stages read the materialized form (a real
+            // evaluation barrier, like the reference's temp tables)
+            spark.read.parquet(path).createOrReplaceTempView(st.name)
+          case None =>
+            df.createOrReplaceTempView(st.name)
+        }
+        reports += StageReport(st.name, ok = true, (System.nanoTime() - t0) / 1e9, None)
+      } catch {
+        case e: Exception =>
+          reports += StageReport(st.name, ok = false, (System.nanoTime() - t0) / 1e9,
+            Some(e.getMessage))
+          if (!continueOnError) return reports.toSeq
+      }
+    }
+    reports.toSeq
+  }
+}
