@@ -1,0 +1,174 @@
+package graft
+
+import graft.functions.{Redshift => R, Text, Vectors}
+import graft.multimodal.Multimodal
+import graft.ops.{Dedup, Ops, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators (dedup / text analysis / similarity /
+  * multimodal) plus the remaining SURVEY §2 relational constructs, as
+  * fixture-backed queries. Oracle SQL lives in [[SparkEntry.oracleSql]];
+  * queries whose hashing DuckDB cannot replicate (MinHash/SimHash/IVF
+  * signatures, the stub media decoder) are declared rows-only.
+  */
+object QueriesLLM {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.read(spark, dir, name)
+
+  // =================================================================
+  // Deduplication (documents table)
+  // =================================================================
+
+  /** Exact dedup on normalized-text fingerprint: duplicate the corpus with
+    * shifted ids, dedup, expect the original min-id rows back. Exercises
+    * the one-shuffle fingerprint groupBy at twice the corpus size.
+    */
+  def q29_exact_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 10000))
+    Dedup.exactDedup(doubled, "doc_id", "text")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
+  /** Exact n-gram (bigram) Jaccard near-dup pairs — the oracle-checkable
+    * baseline the LSH variants approximate (all-pairs on the bounded
+    * documents table).
+    */
+  def q30_ngram_jaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(spark, dir, "documents"), "doc_id", "text",
+      shingleSize = 2, threshold = 0.2)
+
+  /** MinHash+LSH near-dup pairs (rows-only: DuckDB cannot replicate
+    * xxhash64 signatures). Verified against q30's exact pairs in ScalaTest.
+    */
+  def q31_minhash_pairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDupPairs(t(spark, dir, "documents"), "doc_id", "text",
+      shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.2)
+
+  /** SimHash near-dup pairs (rows-only). */
+  def q32_simhash_pairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashDupPairs(t(spark, dir, "documents"), "doc_id", "text",
+      shingleSize = 2, maxHamming = 6)
+
+  // =================================================================
+  // Text analysis (documents table)
+  // =================================================================
+
+  /** Token counting + quality-scoring suite (C4/Gopher-style filters). */
+  def q33_text_quality(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).as("token_count"),
+        Text.subwordTokenEstimate(col("text")).as("subword_tokens"),
+        round(Text.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(Text.alphaRatio(col("text")), 6).as("alpha_ratio"),
+        round(Text.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        round(Text.meanWordLength(col("text")), 6).as("mean_word_len"),
+        Text.qualityScore(col("text")).as("quality_score"))
+
+  /** Language-ID confusion matrix: heuristic prediction vs labeled lang. */
+  def q34_langid(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("lang"), Text.languageId(col("text")).as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Document fingerprinting: order-sensitive rolling fingerprint per doc,
+    * grouped by source (rows-only: xxhash64). */
+  def q35_fingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("source"), Text.documentFingerprint(col("text")).as("fp"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("fp")).as("n_distinct_fp"), count(lit(1)).as("n_docs"))
+
+  // =================================================================
+  // Similarity search (embeddings table)
+  // =================================================================
+
+  /** Brute-force cosine top-5 for the first 100 vectors as queries —
+    * the exact ANN baseline. Vectors cast to double so both engines
+    * accumulate identically.
+    */
+  def q36_ann_brute(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    Similarity.bruteForceTopK(
+      emb, emb.filter(col("vec_id") < 100), "vec_id", "embedding", k = 5)
+  }
+
+  /** IVF-bucketed ANN over the same queries (rows-only: candidate topology
+    * is the point; recall vs q36 asserted in ScalaTest).
+    */
+  def q37_ann_ivf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    Similarity.ivfTopK(
+      emb, emb.filter(col("vec_id") < 100), "vec_id", "embedding", k = 5, nCells = 8)
+  }
+
+  // =================================================================
+  // Multimodal (synthetic media table; stub decoder)
+  // =================================================================
+
+  /** Binary-column plumbing: metadata pruning + per-partition feature
+    * extraction over opaque payloads (rows-only: stub decoder hash).
+    */
+  def q38_multimodal(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthetic(spark, 300)
+    Multimodal.extractFeatures(media, dim = 16)
+      .select(
+        col("media_id"), col("media_type"), col("format"),
+        round(Vectors.norm(col("features")), 4).as("feature_norm"))
+  }
+
+  // =================================================================
+  // Remaining SURVEY §2 relational constructs
+  // =================================================================
+
+  /** §2.9 CONVERT_TIMEZONE: CET wall-clock daily rollup of UTC events
+    * (`1_ods_core/02_inventory_reservations_pending.sql:21`).
+    */
+  def q39_timezone(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(R.convertTimezone("CET", col("ts")).as("ts_cet"))
+      .groupBy(col("ts_cet").cast("date").as("cet_day"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** §2.11 explode/split — the recursive-CTE comma-list → rows idiom
+    * (`4_dwh_embedded_finance/addon_35up_tracking.sql:3-41`).
+    */
+  def q40_split_explode(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .filter(col("p_partkey") < 200)
+      .select(col("p_partkey"), posexplode(split(col("p_type"), " ")))
+      .withColumnsRenamed(Map("pos" -> "word_idx", "col" -> "word"))
+
+  /** §2.7 U2 UNION dedup (`3_master/subscription.sql:52`). */
+  def q41_union_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    o.filter(col("o_totalprice") > 100000).select(col("o_custkey"), col("o_orderpriority"))
+      .union(o.filter(col("o_orderstatus") === "F").select(col("o_custkey"), col("o_orderpriority")))
+      .distinct()
+  }
+
+  /** §2.3 J4 CROSS JOIN scaffold fan-out (`00_asset_payments_new_infra.sql:39`). */
+  def q42_cross_join(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "region")
+      .crossJoin(t(spark, dir, "nation"))
+      .select(col("r_name"), col("n_name"))
+
+  /** §2.8 TO_NUMBER EU-locale money parse round-trip
+    * (`1_ods_grover_card/01_grover_card_transactions.sql:30`).
+    */
+  def q43_to_number(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderkey") < 500)
+      .select(
+        col("o_orderkey"),
+        concat(regexp_replace(format_string("%.2f", col("o_totalprice")), "\\.", ","), lit(" €"))
+          .as("eu_money"))
+      .withColumn("parsed", R.toNumberEu(col("eu_money")))
+}

@@ -46,8 +46,66 @@ object SparkEntry {
     "q25_math_case" -> (Queries.q25_math_case _),
     "q26_json" -> (Queries.q26_json _),
     "q27_dim_dates" -> (Queries.q27_dim_dates _),
-    "q28_sessions" -> (Queries.q28_sessions _)
+    "q28_sessions" -> (Queries.q28_sessions _),
+    "q29_exact_dedup" -> (QueriesLLM.q29_exact_dedup _),
+    "q30_ngram_jaccard" -> (QueriesLLM.q30_ngram_jaccard _),
+    "q31_minhash_pairs" -> (QueriesLLM.q31_minhash_pairs _),
+    "q32_simhash_pairs" -> (QueriesLLM.q32_simhash_pairs _),
+    "q33_text_quality" -> (QueriesLLM.q33_text_quality _),
+    "q34_langid" -> (QueriesLLM.q34_langid _),
+    "q35_fingerprint" -> (QueriesLLM.q35_fingerprint _),
+    "q36_ann_brute" -> (QueriesLLM.q36_ann_brute _),
+    "q37_ann_ivf" -> (QueriesLLM.q37_ann_ivf _),
+    "q38_multimodal" -> (QueriesLLM.q38_multimodal _),
+    "q39_timezone" -> (QueriesLLM.q39_timezone _),
+    "q40_split_explode" -> (QueriesLLM.q40_split_explode _),
+    "q41_union_dedup" -> (QueriesLLM.q41_union_dedup _),
+    "q42_cross_join" -> (QueriesLLM.q42_cross_join _),
+    "q43_to_number" -> (QueriesLLM.q43_to_number _)
   )
+
+  /** Shared DuckDB fragment: Text.normalizeForDedup equivalent. */
+  private def normSql(c: String): String =
+    s"TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER($c), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+  /** DuckDB replica of [[graft.functions.Text.languageId]] scoring. */
+  private def langScoreSql(words: Seq[String], chars: Seq[String]): String = {
+    val w = words.map(wd => s"LEN(REGEXP_EXTRACT_ALL(t, ' $wd '))").mkString(" + ")
+    val c =
+      if (chars.isEmpty) "0"
+      else chars.map(ch => s"LEN(REGEXP_EXTRACT_ALL(t, '$ch'))").mkString(" + ")
+    s"($w) * 2 + ($c)"
+  }
+
+  private def langIdOracle: String = {
+    val profiles = graft.functions.Text.LangProfiles
+    val scoreCols = profiles
+      .map { case (lang, ws, cs) => s"${langScoreSql(ws, cs)} AS s_$lang" }
+      .mkString(",\n    ")
+    // argmax with ties broken toward the alphabetically-last language —
+    // mirrors Spark's greatest(struct(score, lang))
+    val langsDesc = profiles.map(_._1).sortBy(identity).reverse
+    val allScores = profiles.map(p => s"s_${p._1}").mkString(", ")
+    val cascade = langsDesc.init.zipWithIndex
+      .map { case (lang, i) =>
+        val rest = langsDesc.drop(i + 1).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+        s"WHEN $rest THEN '$lang'"
+      }
+      .mkString("\n      ")
+    s"""WITH base AS (SELECT lang, ' ' || LOWER(text) || ' ' AS t FROM documents),
+       |scored AS (SELECT lang,
+       |    $scoreCols
+       |  FROM base),
+       |pred AS (SELECT lang,
+       |    CASE WHEN GREATEST($allScores) <= 0 THEN 'und'
+       |      $cascade
+       |      ELSE '${langsDesc.last}' END AS lang_pred
+       |  FROM scored)
+       |SELECT lang, lang_pred, COUNT(*) AS n FROM pred GROUP BY lang, lang_pred""".stripMargin
+  }
+
+  private def stopwordListSql: String =
+    graft.functions.Text.Stopwords.map(s => s"'$s'").mkString(", ")
 
   /** DuckDB equivalents, same column names (driver sorts columns by name and
     * hashes values — names and value-level semantics must both match).
@@ -265,6 +323,78 @@ object SparkEntry {
         |  MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS had_error,
         |  MIN(entry_et) AS entry_event_type,
         |  CAST((EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts))) // 1000000 AS BIGINT) AS duration_seconds
-        |FROM entry GROUP BY user_id, session_id""".stripMargin
+        |FROM entry GROUP BY user_id, session_id""".stripMargin,
+    "q29_exact_dedup" ->
+      s"""WITH doubled AS (
+         |  SELECT doc_id, text, lang, source, n_chars FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000 AS doc_id, text, lang, source, n_chars FROM documents),
+         |fp AS (SELECT *, ${normSql("text")} AS norm FROM doubled),
+         |kept AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id) AS rn FROM fp)
+         |SELECT doc_id, lang, source, n_chars FROM kept WHERE rn = 1""".stripMargin,
+    "q30_ngram_jaccard" ->
+      s"""WITH norm AS (SELECT doc_id, STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM documents),
+         |sh AS (SELECT doc_id,
+         |    LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(toks) - 1, 0)),
+         |      i -> ARRAY_TO_STRING(LIST_SLICE(toks, i, i + 1), ' '))) AS sh
+         |  FROM norm),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CASE WHEN LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) = 0 THEN 0.0
+         |         ELSE LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) END AS j
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE LEN(a.sh) > 0 AND LEN(b.sh) > 0)
+         |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM pairs WHERE j >= 0.2""".stripMargin,
+    "q33_text_quality" ->
+      s"""WITH raw AS (SELECT doc_id, text, STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM documents),
+         |c AS (SELECT doc_id, text, toks,
+         |    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END AS token_count,
+         |    LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]')) AS subword_tokens,
+         |    CASE WHEN LENGTH(text) = 0 THEN 0.0 ELSE LEN(REGEXP_EXTRACT_ALL(text, '[[:punct:]]')) * 1.0 / LENGTH(text) END AS punct_ratio,
+         |    CASE WHEN LENGTH(text) = 0 THEN 0.0 ELSE LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]')) * 1.0 / LENGTH(text) END AS alpha_ratio
+         |  FROM raw),
+         |d AS (SELECT *,
+         |    CASE WHEN LEN(toks) = 0 THEN 0.0 ELSE LEN(LIST_FILTER(toks, x -> x IN ($stopwordListSql))) * 1.0 / LEN(toks) END AS stopword_ratio,
+         |    CASE WHEN LEN(toks) = 0 THEN 0.0 ELSE LIST_SUM(LIST_TRANSFORM(toks, tk -> LENGTH(tk))) * 1.0 / LEN(toks) END AS mean_word_len
+         |  FROM c)
+         |SELECT doc_id, token_count, subword_tokens,
+         |  ROUND(punct_ratio, 6) AS punct_ratio,
+         |  ROUND(alpha_ratio, 6) AS alpha_ratio,
+         |  ROUND(stopword_ratio, 6) AS stopword_ratio,
+         |  ROUND(mean_word_len, 6) AS mean_word_len,
+         |  ROUND(LEAST(LENGTH(text) / 500.0, 1.0) * 0.4 + LEAST(stopword_ratio * 4.0, 1.0) * 0.3 + GREATEST(1.0 - punct_ratio * 5.0, 0.0) * 0.3, 6) AS quality_score
+         |FROM d""".stripMargin,
+    "q34_langid" -> langIdOracle,
+    "q36_ann_brute" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 100),
+        |pairs AS (SELECT query_id, e.vec_id AS corpus_id,
+        |    CASE WHEN (SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(e.v, e.v))) = 0 THEN 0.0
+        |         ELSE LIST_DOT_PRODUCT(qv, e.v) / (SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(e.v, e.v))) END AS cosine
+        |  FROM q CROSS JOIN emb e WHERE query_id != e.vec_id),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rnk FROM pairs)
+        |SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine, rnk AS "rank" FROM ranked WHERE rnk <= 5""".stripMargin,
+    "q39_timezone" ->
+      """SELECT CAST(TIMEZONE('CET', TIMEZONE('UTC', ts)) AS DATE) AS cet_day, COUNT(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
+    "q40_split_explode" ->
+      """SELECT p_partkey, s.word_idx, s.word FROM (
+        |  SELECT p_partkey,
+        |    UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)),
+        |      i -> STRUCT_PACK(word_idx := i - 1, word := toks[i]))) AS s
+        |  FROM (SELECT p_partkey, STRING_SPLIT(p_type, ' ') AS toks FROM part WHERE p_partkey < 200))""".stripMargin,
+    "q41_union_dedup" ->
+      """SELECT DISTINCT o_custkey, o_orderpriority FROM (
+        |  SELECT o_custkey, o_orderpriority FROM orders WHERE o_totalprice > 100000
+        |  UNION ALL
+        |  SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F')""".stripMargin,
+    "q42_cross_join" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation",
+    "q43_to_number" ->
+      """WITH m AS (SELECT o_orderkey,
+        |    REPLACE(PRINTF('%.2f', o_totalprice), '.', ',') || ' €' AS eu_money
+        |  FROM orders WHERE o_orderkey < 500)
+        |SELECT o_orderkey, eu_money,
+        |  CAST(REPLACE(REPLACE(REGEXP_REPLACE(eu_money, '[^0-9,.-]', '', 'g'), '.', ''), ',', '.') AS DOUBLE) AS parsed
+        |FROM m""".stripMargin
   )
 }

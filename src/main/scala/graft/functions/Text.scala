@@ -63,22 +63,25 @@ object Text {
     */
   def minHashSignature(shingles: Column, numHashes: Int): Column = {
     val coeffs = minhashCoefficients(numHashes)
-    val hashed = transform(shingles, s => xxhash64(s))
+    // 31-bit hash space: (h % p) * a + b stays under 2^63, so the modular
+    // arithmetic never overflows a long (Spark 4 runs ANSI mode — overflow
+    // throws rather than wrapping)
+    val hashed = transform(shingles, s => pmod(xxhash64(s), lit(MinhashPrime)))
     array(coeffs.map { case (a, b) =>
       array_min(transform(hashed, h => pmod(h * lit(a) + lit(b), lit(MinhashPrime))))
     }: _*)
   }
 
-  val MinhashPrime: Long = 2305843009213693951L // 2^61 - 1
+  val MinhashPrime: Long = 2147483647L // 2^31 - 1 (Mersenne)
 
   private[graft] def minhashCoefficients(n: Int): Seq[(Long, Long)] = {
-    // deterministic LCG; odd multipliers, fixed seed
+    // deterministic LCG; multipliers in [1, p-1], offsets in [0, p-1]
     var state = 0x9E3779B97F4A7C15L
     def next(): Long = { state = state * 6364136223846793005L + 1442695040888963407L; state }
     (0 until n).map { _ =>
-      val a = (next() & Long.MaxValue) | 1L
+      val a = (next() & Long.MaxValue) % (MinhashPrime - 1) + 1
       val b = next() & Long.MaxValue
-      (a % MinhashPrime, b % MinhashPrime)
+      (a, b % MinhashPrime)
     }
   }
 
@@ -121,7 +124,7 @@ object Text {
 
   // ---------------------------------------------------------------- quality
 
-  private val Stopwords = Seq(
+  private[graft] val Stopwords = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
     "for", "on", "with", "as", "at", "by", "it", "this", "that", "be")
 
@@ -167,21 +170,30 @@ object Text {
     * the Spark-side shape (scan → score → argmax, no shuffle) is the part
     * that matters at scale.
     */
+  /** (lang, characteristic function words, characteristic characters) —
+    * shared with the DuckDB oracle generator in SparkEntry so both sides
+    * score identically.
+    */
+  private[graft] val LangProfiles: Seq[(String, Seq[String], Seq[String])] = Seq(
+    ("en", Seq("the", "and", "of", "to", "is", "that", "with"), Nil),
+    ("de", Seq("der", "die", "das", "und", "ist", "nicht", "mit"), Seq("ä", "ö", "ü", "ß")),
+    ("fr", Seq("le", "la", "les", "et", "est", "pas", "pour"), Seq("é", "è", "ê", "à")),
+    ("es", Seq("el", "los", "las", "es", "que", "por", "como"), Seq("ñ", "¿", "¡")),
+    ("it", Seq("il", "di", "che", "per", "con", "una", "sono"), Seq("à", "ò", "ù"))
+  )
+
   def languageId(text: Column): Column = {
     val t = concat(lit(" "), lower(text), lit(" "))
-    def score(words: Seq[String], chars: Seq[String] = Nil): Column = {
+    def score(words: Seq[String], chars: Seq[String]): Column = {
       val w = words.map(wd => regexp_count(t, lit(s" $wd "))).reduce(_ + _)
       val c = if (chars.isEmpty) lit(0) else chars.map(ch => regexp_count(t, lit(ch))).reduce(_ + _)
       w * 2 + c
     }
-    val scores = Seq(
-      "en" -> score(Seq("the", "and", "of", "to", "is", "that", "with")),
-      "de" -> score(Seq("der", "die", "das", "und", "ist", "nicht", "mit"), Seq("ä", "ö", "ü", "ß")),
-      "fr" -> score(Seq("le", "la", "les", "et", "est", "pas", "pour"), Seq("é", "è", "ê", "à")),
-      "es" -> score(Seq("el", "los", "las", "es", "que", "por", "como"), Seq("ñ", "¿", "¡")),
-      "it" -> score(Seq("il", "di", "che", "per", "con", "una", "sono"), Seq("à", "ò", "ù"))
-    )
-    val best = scores.map { case (lang, s) => struct(s.as("s"), lit(lang).as("lang")) }
+    val best = LangProfiles.map { case (lang, words, chars) =>
+      struct(score(words, chars).as("s"), lit(lang).as("lang"))
+    }
+    // greatest over (score, lang) structs: max score, ties broken toward the
+    // alphabetically-last language — replicated in the oracle's CASE chain
     val top = greatest(best: _*)
     when(top.getField("s") <= 0, lit("und")).otherwise(top.getField("lang"))
   }
