@@ -1,0 +1,61 @@
+package graft
+
+import graft.functions.Vectors
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def eval(c: org.apache.spark.sql.Column): Double =
+    spark.range(1).select(c.as("v")).collect()(0).getDouble(0)
+
+  test("vector primitives: dot, norm, cosine, l2") {
+    val a = array(lit(1.0), lit(2.0), lit(2.0))
+    val b = array(lit(2.0), lit(0.0), lit(0.0))
+    assert(eval(Vectors.dot(a, b)) === 2.0)
+    assert(eval(Vectors.norm(a)) === 3.0)
+    assert(math.abs(eval(Vectors.cosineSimilarity(a, b)) - 2.0 / 6.0) < 1e-12)
+    assert(math.abs(eval(Vectors.l2Distance(a, b)) - 3.0) < 1e-12)
+    assert(eval(Vectors.cosineSimilarity(a, array(lit(0.0), lit(0.0), lit(0.0)))) === 0.0)
+  }
+
+  test("bruteForceTopK returns exact nearest neighbors in rank order") {
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.9, 0.1)), (2L, Seq(0.0, 1.0)), (3L, Seq(0.7, 0.7))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), "vec_id",
+      "embedding", k = 2)
+      .orderBy("rank").collect().map(r => r.getLong(1)).toSeq
+    assert(out === Seq(1L, 3L)) // cos(0,1)≈0.994 > cos(0,3)≈0.707 > cos(0,2)=0
+  }
+
+  test("ivfTopK restricts search to cells but keeps self-consistent ranks") {
+    val n = 50
+    val vecs = (0 until n).map { i =>
+      val angle = i * math.Pi / n
+      (i.toLong, Seq(math.cos(angle), math.sin(angle)))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 5), "vec_id", "embedding",
+      k = 3, nCells = 4)
+    val byQuery = out.collect().groupBy(_.getLong(0))
+    // nProbe=1 IVF trades recall: a query alone in its cell returns nothing;
+    // all answered queries must come from the query set with bounded k
+    assert(byQuery.nonEmpty && byQuery.keySet.subsetOf(Set(0L, 1L, 2L, 3L, 4L)))
+    byQuery.values.foreach { rows => assert(rows.length <= 3) }
+    // rank within each query is 1..k without gaps
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq === (1 to rows.length).toSeq)
+    }
+  }
+
+  test("lshTopK candidates agree with brute force on identical vectors") {
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)), (1L, Seq(1.0, 0.0, 0.0, 0.0)), (2L, Seq(-1.0, 0.0, 0.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 0), "vec_id", "embedding",
+      k = 2, numBits = 8, dim = 4)
+      .collect().map(_.getLong(1)).toSeq
+    assert(out === Seq(1L)) // identical vector shares every bucket; opposite vector never does
+  }
+}

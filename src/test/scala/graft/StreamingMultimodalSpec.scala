@@ -1,0 +1,59 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.streaming.Ingest
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class StreamingMultimodalSpec extends SparkSpec {
+
+  test("jsonLinesToPartitionedParquet ingests, dedups, partitions (AvailableNow e2e)") {
+    val base = Files.createTempDirectory("graft-stream").toString
+    val src = s"$base/src"; val tgt = s"$base/tgt"; val chk = s"$base/chk"
+    new java.io.File(src).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$src/batch1.json"),
+      """{"id":"a","ts":"2024-01-01T10:00:00.000Z","v":1}
+        |{"id":"b","ts":"2024-01-01T11:30:00.000Z","v":2}
+        |{"id":"a","ts":"2024-01-01T10:00:00.000Z","v":1}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("ts", TimestampType),
+      StructField("v", IntegerType)))
+    val q = Ingest.jsonLinesToPartitionedParquet(
+      spark, src, schema, tgt, chk, idCol = "id", tsCol = "ts")
+    q.awaitTermination(60000)
+    val out = spark.read.parquet(tgt)
+    assert(out.count() === 2) // duplicate "a" dropped
+    assert(out.select("hour").distinct().collect().map(_.getInt(0)).sorted.toSeq === Seq(10, 11))
+  }
+
+  test("windowedCounts groups into tumbling event-time windows") {
+    import sqlImplicits._
+    val events = Seq(
+      ("2024-01-01 10:05:00", "x", 1.0), ("2024-01-01 10:55:00", "x", 2.0),
+      ("2024-01-01 11:05:00", "x", 4.0))
+      .toDF("ts", "k", "value").withColumn("ts", col("ts").cast("timestamp"))
+    val out = Ingest.windowedCounts(events, "ts", "1 hour", "2 hours", Seq("k"))
+      .select(col("window.start").cast("string").as("s"), col("n"), col("total_value"))
+      .orderBy("s").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out === Seq(("2024-01-01 10:00:00", 2L, 3.0), ("2024-01-01 11:00:00", 1L, 4.0)))
+  }
+
+  test("multimodal feature extraction is deterministic and schema-stable") {
+    val media = Multimodal.synthetic(spark, 30)
+    val f1 = Multimodal.extractFeatures(media, dim = 8)
+    assert(f1.schema.fieldNames.last === "features")
+    val norms1 = f1.select(col("media_id"), col("features"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val norms2 = Multimodal.extractFeatures(media, dim = 8)
+      .select(col("media_id"), col("features"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(norms1 === norms2)
+    assert(norms1.values.forall(_.length === 8))
+    // metadata-only projection never touches the binary column
+    val meta = Multimodal.metadataOnly(media)
+    assert(!meta.schema.fieldNames.contains("content"))
+    assert(meta.count() === 30)
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.checks.Checks
+import graft.io.Writers
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+class WritersChecksSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-test").toString
+
+  test("overwritePartitions replaces only the partitions present (idempotent rerun)") {
+    val path = tmp() + "/t"
+    val day1 = Seq((1, "2024-01-01"), (2, "2024-01-02")).toDF("id", "d")
+    Writers.overwritePartitions(day1, path, Seq("d"))
+    // reload only day 2 with new data — day 1 must survive
+    val day2 = Seq((99, "2024-01-02")).toDF("id", "d")
+    Writers.overwritePartitions(day2, path, Seq("d"))
+    Writers.overwritePartitions(day2, path, Seq("d")) // rerun: idempotent
+    // partition column comes back type-inferred (date) — stringify to compare
+    val out = spark.read.parquet(path).collect()
+      .map(r => (r.getInt(0), r.get(1).toString)).sorted.toSeq
+    assert(out === Seq((1, "2024-01-01"), (99, "2024-01-02")))
+  }
+
+  test("snapshotAppend stamps and isolates snapshot dates") {
+    val path = tmp() + "/snap"
+    val master = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    Writers.snapshotAppend(master, path, java.time.LocalDate.parse("2024-01-01"))
+    Writers.snapshotAppend(master.withColumn("v", lit("changed")), path,
+      java.time.LocalDate.parse("2024-01-02"))
+    val df = spark.read.parquet(path)
+    assert(df.count() === 4)
+    assert(df.filter(col("snapshot_date") === "2024-01-02")
+      .select("v").distinct().collect().map(_.getString(0)).toSeq === Seq("changed"))
+    // uniqueness invariant per (id, snapshot_date) — the reference's
+    // master_duplicates monitor
+    assert(Checks.unique(df, Seq("id", "snapshot_date")).passed)
+  }
+
+  test("mergeByKey upserts without duplicating") {
+    val path = tmp() + "/m"
+    Seq((1, "old"), (2, "keep")).toDF("k", "v").write.parquet(path)
+    Writers.mergeByKey(spark, Seq((1, "new"), (3, "ins")).toDF("k", "v"), path, Seq("k"))
+    val out = spark.read.parquet(path).collect().map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+    assert(out === Seq((1, "new"), (2, "keep"), (3, "ins")))
+  }
+
+  test("checks: rowCount, unique, notNull, continuity, invariant, freshness") {
+    val df = Seq((1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-01-03"))
+      .toDF("id", "d").withColumn("d", col("d").cast("date"))
+    assert(Checks.rowCount(df, 1).passed)
+    assert(!Checks.rowCount(df, 10).passed)
+    assert(Checks.unique(df, Seq("id")).passed)
+    assert(!Checks.unique(df.union(df), Seq("id")).passed)
+    assert(Checks.notNull(df, Seq("id", "d")).passed)
+    assert(Checks.dateContinuity(df, "d").passed)
+    assert(!Checks.dateContinuity(df.filter(col("id") =!= 2), "d").passed)
+    assert(Checks.invariant(df, "positive ids", col("id") > 0).passed)
+    assert(!Checks.invariant(df, "ids over 1", col("id") > 1).passed)
+    val ts = Seq("2024-01-01 00:00:00").toDF("t").withColumn("t", col("t").cast("timestamp"))
+    assert(Checks.freshness(ts, "t", maxAgeHours = 48,
+      java.time.Instant.parse("2024-01-02T00:00:00Z")).passed)
+    assert(!Checks.freshness(ts, "t", maxAgeHours = 1,
+      java.time.Instant.parse("2024-01-09T00:00:00Z")).passed)
+  }
+
+  test("pipeline runner chains temp views and honors continueOnError") {
+    import graft.pipeline.Pipeline
+    val path = tmp() + "/stage"
+    val reports = Pipeline.run(spark, Seq(
+      Pipeline.Stage("src_nums", s => s.range(10).toDF("n")),
+      Pipeline.Stage("doubled", s => s.sql("SELECT n * 2 AS n2 FROM src_nums"),
+        materializePath = Some(path)),
+      Pipeline.Stage("boom", s => s.sql("SELECT * FROM does_not_exist")),
+      Pipeline.Stage("after_boom", s => s.sql("SELECT COUNT(*) AS c FROM doubled"))
+    ))
+    assert(reports.map(_.ok) === Seq(true, true, false, true))
+    assert(spark.sql("SELECT SUM(n2) FROM doubled").collect()(0).getLong(0) === 90L)
+  }
+}
