@@ -39,6 +39,7 @@ object Engine {
       // and let Tables.read convert footer-declared nanos columns (at µs
       // engine precision) — see [[Tables.read]].
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

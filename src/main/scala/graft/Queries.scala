@@ -172,7 +172,9 @@ object Queries {
       t(spark, dir, "orders").agg(
         min(col("o_orderdate")).as("lo"), max(col("o_orderdate")).as("hi")),
       col("lo"), col("hi"))
-    Ops.rangeJoin(spine, o, col("datum"), col("start_d"), col("end_d"), joinType = "left")
+    // explode-based: 7 rows per order, hash join on the day — scales where
+    // the theta-join (broadcast nested loop) would not
+    Ops.rangeJoinExplode(spine, o, col("datum"), col("start_d"), col("end_d"), joinType = "left")
       .groupBy(col("datum"))
       .agg(count(col("o_orderkey")).as("open_orders"))
   }
@@ -191,7 +193,7 @@ object Queries {
       col("p_user"), col("c_user"),
       col("p_ts"), col("c_ts"),
       tolerance = Some(expr("INTERVAL 1 HOUR")),
-      tiebreak = Seq(col("c_id").desc))
+      tiebreak = Seq(col("c_id")))
       .select(col("p_id"), col("p_user"), col("c_id"),
         R.dateDiff("second", col("c_ts"), col("p_ts")).as("lag_seconds"))
   }

@@ -33,24 +33,34 @@ object QueriesLLM {
   }
 
   /** Exact n-gram (bigram) Jaccard near-dup pairs — the oracle-checkable
-    * baseline the LSH variants approximate (all-pairs on the bounded
-    * documents table).
+    * baseline the LSH variants approximate. All-pairs is O(n²) by
+    * definition, so the exact baseline is bounded to 1000 docs; the full
+    * corpus goes through MinHash (q31), which is the scale path.
     */
   def q30_ngram_jaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(t(spark, dir, "documents"), "doc_id", "text",
+    Dedup.ngramJaccardPairs(
+      t(spark, dir, "documents").filter(col("doc_id") < 1000), "doc_id", "text",
       shingleSize = 2, threshold = 0.2)
 
   /** MinHash+LSH near-dup pairs (rows-only: DuckDB cannot replicate
     * xxhash64 signatures). Verified against q30's exact pairs in ScalaTest.
     */
   def q31_minhash_pairs(spark: SparkSession, dir: String): DataFrame =
+    // 16 bands × 4 rows at j >= 0.8 — the standard near-dup LSH regime:
+    // ~99.98% recall at the threshold while band-collision probability at
+    // background similarity (j ≈ 0.1) is ~0.16%, so candidates stay
+    // near-linear. Low-threshold similarity mining belongs to the exact
+    // baseline (q30) — LSH cannot prune when most mass sits near the
+    // threshold. Planted-duplicate recovery is asserted in TextDedupSpec.
     Dedup.minhashDupPairs(t(spark, dir, "documents"), "doc_id", "text",
-      shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.2)
+      shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.8)
 
   /** SimHash near-dup pairs (rows-only). */
   def q32_simhash_pairs(spark: SparkSession, dir: String): DataFrame =
+    // trigram shingles give the fingerprint enough entropy on a small
+    // shared vocabulary; maxHamming=3 matches the 4×16-bit chunk guarantee
     Dedup.simhashDupPairs(t(spark, dir, "documents"), "doc_id", "text",
-      shingleSize = 2, maxHamming = 6)
+      shingleSize = 3, maxHamming = 3)
 
   // =================================================================
   // Text analysis (documents table)
@@ -59,6 +69,7 @@ object QueriesLLM {
   /** Token counting + quality-scoring suite (C4/Gopher-style filters). */
   def q33_text_quality(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(
         col("doc_id"),
         Text.tokenCount(col("text")).as("token_count"),
@@ -72,6 +83,7 @@ object QueriesLLM {
   /** Language-ID confusion matrix: heuristic prediction vs labeled lang. */
   def q34_langid(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("lang"), Text.languageId(col("text")).as("lang_pred"))
       .groupBy(col("lang"), col("lang_pred"))
       .agg(count(lit(1)).as("n"))

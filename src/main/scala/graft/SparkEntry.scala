@@ -333,7 +333,7 @@ object SparkEntry {
          |kept AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id) AS rn FROM fp)
          |SELECT doc_id, lang, source, n_chars FROM kept WHERE rn = 1""".stripMargin,
     "q30_ngram_jaccard" ->
-      s"""WITH norm AS (SELECT doc_id, STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM documents),
+      s"""WITH norm AS (SELECT doc_id, STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM documents WHERE doc_id < 1000),
          |sh AS (SELECT doc_id,
          |    LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(toks) - 1, 0)),
          |      i -> ARRAY_TO_STRING(LIST_SLICE(toks, i, i + 1), ' '))) AS sh

@@ -34,15 +34,13 @@ object Text {
   def normalizeForDedup(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
-  /** Word n-gram shingles of a normalized text. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val tokens = split(normalizeForDedup(text), " ")
-    val count = size(tokens) - (n - 1)
-    // sequence(0, count-1) would be a *descending* range when count <= 0
-    when(count > 0,
-      transform(sequence(lit(0), count - 1), i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Word n-gram shingles of a normalized text — native
+    * [[graft.expressions.WordShingles]] expression (single compiled
+    * normalize+tokenize+window pass; the HOF formulation costs ~|tokens|
+    * interpreted lambda evaluations per row).
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    call_function("graft_word_shingles", text, lit(n))
 
   /** Character n-gram shingles. */
   def charShingles(text: Column, n: Int): Column = {
@@ -57,20 +55,15 @@ object Text {
   def hash64(c: Column): Column = xxhash64(c)
 
   /** MinHash signature: for each of `numHashes` permutations
-    * h_i(x) = (a_i * xxhash64(x) + b_i), the minimum over the shingle set.
-    * Deterministic (fixed LCG-derived coefficients), fully codegen'd:
-    * one array expression per row, no shuffle.
+    * h_i(x) = (a_i * (xxhash64(x) mod p) + b_i) mod p, the minimum over the
+    * shingle set. Deterministic (fixed LCG-derived coefficients). Evaluated
+    * by the native [[graft.expressions.MinHashSignature]] expression — one
+    * compiled per-row loop instead of numHashes × |shingles| interpreted
+    * lambda evaluations (requires
+    * `spark.sql.extensions=graft.expressions.GraftExtensions`).
     */
-  def minHashSignature(shingles: Column, numHashes: Int): Column = {
-    val coeffs = minhashCoefficients(numHashes)
-    // 31-bit hash space: (h % p) * a + b stays under 2^63, so the modular
-    // arithmetic never overflows a long (Spark 4 runs ANSI mode — overflow
-    // throws rather than wrapping)
-    val hashed = transform(shingles, s => pmod(xxhash64(s), lit(MinhashPrime)))
-    array(coeffs.map { case (a, b) =>
-      array_min(transform(hashed, h => pmod(h * lit(a) + lit(b), lit(MinhashPrime))))
-    }: _*)
-  }
+  def minHashSignature(shingles: Column, numHashes: Int): Column =
+    call_function("graft_minhash_signature", shingles, lit(numHashes))
 
   val MinhashPrime: Long = 2147483647L // 2^31 - 1 (Mersenne)
 
@@ -87,33 +80,23 @@ object Text {
 
   /** SimHash over word shingles: 64-bit fingerprint where bit j is the sign
     * of the sum over shingles of (+1 / -1) depending on bit j of the
-    * shingle hash. Near-duplicate texts differ in few bits.
-    * Implemented with aggregate() over the shingle array — codegen'd.
+    * shingle hash. Near-duplicate texts differ in few bits. Evaluated by
+    * the native [[graft.expressions.SimHash64]] expression (single
+    * compiled pass over the shingle array).
     */
-  def simHash(shingles: Column): Column = {
-    val hashed = transform(shingles, s => xxhash64(s))
-    val bitSums = (0 until 64).map { j =>
-      aggregate(
-        hashed,
-        lit(0L),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))
-      )
-    }
-    bitSums.zipWithIndex.map { case (s, j) =>
-      when(s > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def simHash(shingles: Column): Column =
+    call_function("graft_simhash64", shingles)
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hammingDistance64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** Jaccard similarity of two string arrays (shingle sets). */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    val uni = size(array_union(a, b)).cast("double")
-    when(uni === 0, lit(0.0)).otherwise(inter / uni)
-  }
+  /** Jaccard similarity of two string arrays (shingle sets). Native
+    * expression: one set build + one probe pass per pair (the composed
+    * array_intersect/array_union form builds three sets per pair).
+    */
+  def jaccard(a: Column, b: Column): Column =
+    call_function("graft_jaccard", a, b)
 
   /** Rolling polynomial hash over the full normalized text — a cheap
     * order-sensitive document fingerprint (exact-dup detection that is

@@ -64,24 +64,34 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
 
+    // signature computation is CPU-dense interpreted HOF work — spread a
+    // small (single-partition) input across cores before computing.
+    // localCheckpoint is a REQUIRED barrier: without it CollapseProject
+    // inlines the 64-hash signature into the per-band explode lambda and
+    // recomputes it once per band (a silent `bands`× slowdown). Persisting
+    // the signature matrix is also the standard LSH practice at scale.
     val withSig = docs
       .select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .withColumn("shingles", array_distinct(Text.wordShingles(col("text"), shingleSize)))
       .filter(size(col("shingles")) > 0)
       .withColumn("sig", Text.minHashSignature(col("shingles"), numHashes))
+      .localCheckpoint()
 
-    // band → bucket key = hash of that band's signature slice
+    // band → bucket key = hash of that band's signature slice. The banded
+    // rows carry ONLY (id, band, bucket): shingle arrays in the candidate
+    // join would force sort-based dedup and fat shuffles — ids dedup as a
+    // hash aggregate, then the (checkpointed) shingles join back for verify.
     val banded = withSig
       .select(
         col("id"),
-        col("shingles"),
         explode(
           expr(
             s"transform(sequence(0, ${bands - 1}), " +
               s"b -> named_struct('band', b, 'bucket', xxhash64(cast(b as string), " +
               s"cast(slice(sig, b * $rowsPerBand + 1, $rowsPerBand) as string))))")
         ).as("bb"))
-      .select(col("id"), col("shingles"), col("bb.band"), col("bb.bucket"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
 
     val l = banded.alias("l")
     val r = banded.alias("r")
@@ -90,14 +100,13 @@ object Dedup {
         r,
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.id") < col("r.id"))
-      .select(
-        col("l.id").as("id_a"),
-        col("r.id").as("id_b"),
-        col("l.shingles").as("sh_a"),
-        col("r.shingles").as("sh_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
 
+    val sh = withSig.select(col("id"), col("shingles"))
     candidates
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .withColumn("jaccard", Text.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -130,12 +139,16 @@ object Dedup {
       textCol: String,
       shingleSize: Int = 2,
       maxHamming: Int = 3): DataFrame = {
+    // localCheckpoint: same CollapseProject barrier as minhash — the 64
+    // bit-sum aggregates would otherwise be recomputed per 16-bit chunk
     val withFp = docs
       .select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .withColumn("sh", Text.wordShingles(col("text"), shingleSize))
       .filter(size(col("sh")) > 0)
       .withColumn("fp", Text.simHash(col("sh")))
       .select("id", "fp")
+      .localCheckpoint()
 
     val chunked = withFp.select(
       col("id"),
@@ -169,14 +182,24 @@ object Dedup {
       textCol: String,
       shingleSize: Int = 3,
       threshold: Double = 0.5): DataFrame = {
+    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
     val withSh = docs
       .select(
         col(idCol).as("id"),
         array_distinct(Text.wordShingles(col(textCol), shingleSize)).as("sh"))
       .filter(size(col("sh")) > 0)
+      // the id<id theta-join runs as a nested loop whose parallelism is the
+      // stream side's partition count — a single parquet partition would
+      // serialize the whole O(n²) pass onto one core
+      .repartition(parallelism)
     val l = withSh.alias("l")
     val r = withSh.alias("r")
-    l.join(r, col("l.id") < col("r.id"))
+    // size-band prefilter: jaccard >= t implies t·|B| <= |A| and t·|A| <= |B|
+    // — prunes pairs before the expensive intersect
+    val sizeBand =
+      size(col("l.sh")) >= size(col("r.sh")) * threshold &&
+        size(col("r.sh")) >= size(col("l.sh")) * threshold
+    l.join(r, col("l.id") < col("r.id") && sizeBand)
       .select(
         col("l.id").as("id_a"),
         col("r.id").as("id_b"),

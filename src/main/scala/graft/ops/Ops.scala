@@ -61,15 +61,21 @@ object Ops {
     *
     * Rewrites the reference's correlated `ORDER BY … LIMIT 1` subquery
     * (`1_ods_core/00_allocation.sql:251-258` — Catalyst rejects correlated
-    * LIMIT) as join + window, SURVEY §4-1.
+    * LIMIT) as a union + forward-fill merge: tag both inputs, union them,
+    * sort within key by (ts, side, tiebreak) and carry the last right row
+    * forward with `last(ignoreNulls)`.
     *
-    * Plan shape: one shuffle on the key for the join, one for the window.
-    * At 100 TB the tolerance predicate bounds the join fan-out; without it
-    * a hot key can explode — always pass a tolerance for skewed keys.
+    * Plan shape at scale: ONE shuffle on the key (the window sort), no
+    * join at all — the classic merge-asof. This avoids both failure modes
+    * of the naive join+window form: the O(left×right-per-key) intermediate
+    * blow-up on hot keys, and the second shuffle on a per-row id. Skewed
+    * keys sort within one partition; AQE cannot split a window partition,
+    * so extremely hot keys (null ids) should be filtered or salted by the
+    * caller first.
     *
-    * @param tiebreak extra right-side ordering for equal timestamps
-    *                 (e.g. a unique id, descending) — required for
-    *                 deterministic output.
+    * @param tiebreak right-side columns breaking equal-timestamp ties,
+    *                 ascending-last-wins (e.g. `col("id")` picks the max id;
+    *                 pass a unique column for deterministic output).
     */
   def asofJoin(
       left: DataFrame,
@@ -81,25 +87,45 @@ object Ops {
       tolerance: Option[Column] = None,
       tiebreak: Seq[Column] = Nil,
       joinType: String = "left"): DataFrame = {
-    val leftWithId = left.withColumn("__lid", monotonically_increasing_id())
-    val baseCond = leftKey === rightKey && rightTs <= leftTs
-    val cond = tolerance.fold(baseCond)(t => baseCond && rightTs >= leftTs - t)
-    val joined = leftWithId.join(right, cond, "left")
+    val lCols = left.columns
+    val rCols = right.columns
+    val lStruct = struct(lCols.map(left(_)): _*)
+    // the right payload carries its own event time for the tolerance check
+    val rStruct = struct((rightTs.as("__asof_ts") +: rCols.map(right(_))): _*)
+    val lType = org.apache.spark.sql.types.StructType(left.schema.fields)
+    val rType = org.apache.spark.sql.types.StructType(
+      right.select((rightTs.as("__asof_ts") +: rCols.map(right(_))): _*).schema.fields)
+    val lTagged = left.select(
+      leftKey.as("__k"), leftTs.as("__ts"), lit(1).as("__side"),
+      lStruct.as("__l"), lit(null).cast(rType).as("__r"))
+    val rTagged = right.select(
+      rightKey.as("__k"), rightTs.as("__ts"), lit(0).as("__side"),
+      lit(null).cast(lType).as("__l"), rStruct.as("__r"))
+    // right rows sort before left rows at equal ts (inclusive <=); among
+    // equal right timestamps the tiebreak's last row wins the carry
+    val tbInRight = tiebreak.map(c => col("__r").getField(c.toString).asc)
     val w = Window
-      .partitionBy(col("__lid"))
-      .orderBy((rightTs.desc +: tiebreak): _*)
-    // an unmatched left row yields exactly one all-null right row, which
-    // gets rn=1 (desc ordering puts nulls last only among matched rows —
-    // a group is either all-matched or a single null row, never mixed)
-    val picked = joined
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__lid")
-    joinType match {
-      case "left"  => picked
-      case "inner" => picked.filter(rightTs.isNotNull)
+      .partitionBy(col("__k"))
+      .orderBy((Seq(col("__ts").asc, col("__side").asc) ++ tbInRight): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val merged = rTagged.unionByName(lTagged)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    // tolerance: null out the carried match when it is too old
+    val bounded = tolerance match {
+      case Some(t) =>
+        merged.withColumn("__match",
+          when(col("__match").getField("__asof_ts") >= col("__ts") - t, col("__match")))
+      case None => merged
+    }
+    val filtered = joinType match {
+      case "left"  => bounded
+      case "inner" => bounded.filter(col("__match").isNotNull)
       case other   => throw new IllegalArgumentException(s"asofJoin type: $other")
     }
+    filtered.select(
+      (lCols.map(c => col("__l").getField(c).as(c)) ++
+        rCols.map(c => col("__match").getField(c).as(c))): _*)
   }
 
   /** Range (interval) join: left rows matched to right rows where
@@ -120,6 +146,24 @@ object Ops {
       joinType: String = "inner"): DataFrame = {
     val cond0 = point >= lo && point <= hi
     left.join(right, extraCond.fold(cond0)(cond0 && _), joinType)
+  }
+
+  /** Day-granularity range join via interval explosion: each right row
+    * `[lo, hi]` is exploded to one row per covered day, then equi-joined on
+    * the day. Turns the broadcast-nested-loop theta-join into a plain hash
+    * join — the scale path when intervals are short (days-per-interval ×
+    * rows ≪ all-pairs). Use [[rangeJoin]] for long/unbounded intervals with
+    * a small side.
+    */
+  def rangeJoinExplode(
+      left: DataFrame,
+      right: DataFrame,
+      point: Column,
+      lo: Column,
+      hi: Column,
+      joinType: String = "inner"): DataFrame = {
+    val exploded = right.withColumn("__day", explode(sequence(lo.cast("date"), hi.cast("date"))))
+    left.join(exploded, point.cast("date") === col("__day"), joinType).drop("__day")
   }
 
   /** Date spine: one row per day in [start, end] (inclusive) — replaces the

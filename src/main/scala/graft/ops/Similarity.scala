@@ -30,7 +30,10 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
+    // cosine scoring is per-pair interpreted HOF work; the nested-loop
+    // parallelism equals the stream (corpus) side's partition count
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val scored = q
       .crossJoin(c)
@@ -98,6 +101,7 @@ object Similarity {
     def assign(df: DataFrame, id: String, v: String): DataFrame = {
       val scored = df
         .select(col(idCol).as(id), col(vecCol).as(v))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
         .crossJoin(broadcast(centroids))
         .withColumn("sim", Vectors.cosineSimilarity(col(v), col("centroid")))
       val w = Window.partitionBy(col(id)).orderBy(col("sim").desc, col("cell_id"))

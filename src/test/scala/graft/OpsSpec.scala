@@ -25,7 +25,7 @@ class OpsSpec extends SparkSpec {
       (12L, 100L, "2024-01-01 10:00:01"))
       .toDF("rid", "k2", "rts").withColumn("rts", col("rts").cast("timestamp"))
     val out = Ops.asofJoin(left, right, col("k"), col("k2"), col("lts"), col("rts"),
-      tolerance = Some(expr("INTERVAL 1 HOUR")), tiebreak = Seq(col("rid").desc))
+      tolerance = Some(expr("INTERVAL 1 HOUR")), tiebreak = Seq(col("rid")))
       .select("lid", "rid").collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
       .sorted.toSeq
     // lid=1: rid=11 (latest <= 10:00, within 1h; 12 is in the future)
