@@ -1,0 +1,106 @@
+package graft
+
+import graft.functions.Text
+import org.apache.spark.sql.functions._
+
+/** The native Catalyst expressions (graft.expressions) replace composed
+  * HOF/regex formulations that the DuckDB oracles replicate — so the
+  * natives must match those formulations exactly. This spec pins parity
+  * on generated inputs including unicode, punctuation runs, whitespace
+  * variants, and empties.
+  */
+class NativeExpressionParitySpec extends SparkSpec {
+  import sqlImplicits._
+
+  private val rnd = new scala.util.Random(7)
+  private val alphabets = Seq(
+    "abcdefghij ", // plain words
+    "aA bB,.;!?#$ 09", // case + punctuation + digits
+    "äöüß é ñ 中文 ", // unicode
+    " \t\n  a  b ", // whitespace runs
+    "the quick brown fox and some more words here ")
+  private val samples: Seq[String] =
+    Seq("", " ", "a", "one two", "x,y.z") ++
+      (1 to 60).map { _ =>
+        val alpha = alphabets(rnd.nextInt(alphabets.length))
+        (1 to (1 + rnd.nextInt(80))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      }
+
+  private def hofShingles(text: org.apache.spark.sql.Column, n: Int) = {
+    val tokens = split(Text.normalizeForDedup(text), " ")
+    val count = size(tokens) - (n - 1)
+    when(count > 0 && length(trim(text)) > 0,
+      transform(sequence(lit(0), count - 1), i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  test("native word shingles == regex-normalized HOF shingles") {
+    for (n <- Seq(1, 2, 3)) {
+      val df = samples.toDF("text")
+        .select(
+          col("text"),
+          Text.wordShingles(col("text"), n).as("native"),
+          hofShingles(col("text"), n).as("hof"))
+        .collect()
+      df.foreach { r =>
+        val native = r.getSeq[String](1).toList
+        // the HOF form yields [""] shingles for empty normalized text at
+        // n=1 (split("") == [""]); the native form yields none — filter
+        val hof = r.getSeq[String](2).toList.filter(_.nonEmpty)
+        assert(native === hof, s"text=${r.getString(0)} n=$n")
+      }
+    }
+  }
+
+  test("native jaccard == array_intersect/array_union jaccard") {
+    val pairs = (1 to 40).map { _ =>
+      def arr() = (0 until rnd.nextInt(12)).map(_ => s"s${rnd.nextInt(8)}")
+      (arr(), arr())
+    }
+    val df = pairs.toDF("a", "b")
+      .select(
+        Text.jaccard(col("a"), col("b")).as("native"),
+        (size(array_intersect(col("a"), col("b"))).cast("double") /
+          size(array_union(col("a"), col("b")))).as("hof_raw"),
+        size(array_union(col("a"), col("b"))).as("u"))
+      .collect()
+    df.foreach { r =>
+      val hof = if (r.getInt(2) == 0) 0.0 else r.getDouble(1)
+      assert(math.abs(r.getDouble(0) - hof) < 1e-12)
+    }
+  }
+
+  test("native minhash == modular formula over xxhash64") {
+    val coeffs = Text.minhashCoefficients(8)
+    val p = Text.MinhashPrime
+    val df = samples.filter(_.trim.nonEmpty).take(20).toDF("text")
+      .select(
+        Text.minHashSignature(array_distinct(Text.wordShingles(col("text"), 2)), 8).as("native"),
+        array_distinct(Text.wordShingles(col("text"), 2)).as("sh"))
+      .collect()
+    df.foreach { r =>
+      val sh = r.getSeq[String](1)
+      if (sh.nonEmpty) {
+        val expected = coeffs.map { case (a, b) =>
+          sh.map { s =>
+            val h = Math.floorMod(
+              org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+                org.apache.spark.unsafe.types.UTF8String.fromString(s), 42L), p)
+            Math.floorMod(a * h + b, p)
+          }.min
+        }
+        assert(r.getSeq[Long](0).toList === expected.toList)
+      }
+    }
+  }
+
+  test("native simhash: hamming(0) on self, registered in SQL") {
+    val fp = spark.sql(
+      "SELECT graft_simhash64(graft_word_shingles('alpha beta gamma delta', 2))").collect()
+    assert(fp.length === 1 && !fp(0).isNullAt(0))
+    // SQL-string access proves the FunctionRegistry wiring
+    val j = spark.sql(
+      "SELECT graft_jaccard(array('a','b'), array('b','c'))").collect()(0).getDouble(0)
+    assert(math.abs(j - 1.0 / 3.0) < 1e-12)
+  }
+}
