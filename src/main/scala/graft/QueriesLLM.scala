@@ -172,6 +172,25 @@ object QueriesLLM {
       .crossJoin(t(spark, dir, "nation"))
       .select(col("r_name"), col("n_name"))
 
+  /** §2.14/§2.15 stateful entity fold: the event-log → running entity
+    * state pattern as a `mapGroupsWithState` fold (`streaming.Stateful`) —
+    * identical code path batch and streaming. Output rounded through
+    * decimal-compatible semantics for the oracle.
+    */
+  def q44_entity_state(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.Stateful
+    import Stateful._
+    val events = t(spark, dir, "events")
+      .select(
+        col("user_id").as("entityId"),
+        col("event_type").as("eventType"),
+        col("ts"),
+        col("value"))
+      .as[EntityEvent]
+    Stateful.entityState(events).toDF()
+      .withColumn("totalValue", round(col("totalValue"), 2))
+  }
+
   /** §2.8 TO_NUMBER EU-locale money parse round-trip
     * (`1_ods_grover_card/01_grover_card_transactions.sql:30`).
     */

@@ -61,7 +61,8 @@ object SparkEntry {
     "q40_split_explode" -> (QueriesLLM.q40_split_explode _),
     "q41_union_dedup" -> (QueriesLLM.q41_union_dedup _),
     "q42_cross_join" -> (QueriesLLM.q42_cross_join _),
-    "q43_to_number" -> (QueriesLLM.q43_to_number _)
+    "q43_to_number" -> (QueriesLLM.q43_to_number _),
+    "q44_entity_state" -> (QueriesLLM.q44_entity_state _)
   )
 
   /** Shared DuckDB fragment: Text.normalizeForDedup equivalent. */
@@ -395,6 +396,17 @@ object SparkEntry {
         |  FROM orders WHERE o_orderkey < 500)
         |SELECT o_orderkey, eu_money,
         |  CAST(REPLACE(REPLACE(REGEXP_REPLACE(eu_money, '[^0-9,.-]', '', 'g'), '.', ''), ',', '.') AS DOUBLE) AS parsed
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+    "q44_entity_state" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_type, ts, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_type DESC) AS rn
+        |  FROM events)
+        |SELECT user_id AS entityId,
+        |  COUNT(*) AS nEvents,
+        |  MIN(CASE WHEN rn = 1 THEN event_type END) AS lastEventType,
+        |  MAX(ts) AS lastTs,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS totalValue
+        |FROM ranked GROUP BY user_id""".stripMargin
   )
 }

@@ -285,6 +285,31 @@ object Ops {
       .drop(s"max_$idxCol")
   }
 
+  /** Skew-salted equi-join: replicate the (small-ish) right side
+    * `saltFactor`× and scatter left rows across the replicas, so a hot key
+    * spreads over `saltFactor` reducers instead of one. Complements AQE
+    * skew-join splitting (which cannot split a single in-flight build
+    * side) — the reference's analogue is manual DISTKEY tuning on hot
+    * tables (`7_snowplow/2_sessions/01_sessions.sql:3-4`).
+    *
+    * Left salt is derived from a hash of all left columns (deterministic,
+    * no rand()) — reruns produce identical plans and results.
+    */
+  def skewSaltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      saltFactor: Int,
+      joinType: String = "inner"): DataFrame = {
+    val leftHash = abs(xxhash64(left.columns.map(col): _*))
+    val salted = left.withColumn("__salt", (leftHash % saltFactor).cast("int"))
+    val replicated = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted
+      .join(replicated, keys :+ "__salt", joinType)
+      .drop("__salt")
+  }
+
   /** Change capture between the current result and the last exported
     * snapshot (reverse-ETL MINUS pattern, SURVEY §2.7 U3;
     * `91_External/Braze/SQL/custom_attributes_export.sql:80`).
