@@ -263,5 +263,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         WordShingles(children.head, n)
       }))
+    RedshiftSqlFunctions.register(ext)
   }
 }

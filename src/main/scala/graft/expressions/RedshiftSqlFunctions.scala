@@ -1,0 +1,81 @@
+package graft.expressions
+
+import graft.functions.{Redshift => R}
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL-text entry points for the Redshift-dialect shims (SURVEY §4.3's
+  * optional FunctionRegistry layer): lets reference-shaped SQL run through
+  * `spark.sql` / the pipeline runner without rewriting to the Column API.
+  *
+  * Functions Spark already provides under the same name+semantics (NVL,
+  * DECODE, SPLIT_PART, CONVERT_TIMEZONE, JSON_ARRAY_LENGTH, …) are not
+  * re-registered. DATEDIFF/DATEADD get the Redshift 3-argument forms —
+  * 2-argument calls fall through to Spark's own semantics.
+  */
+object RedshiftSqlFunctions {
+
+  private def col(e: Expression): Column = ColumnBridge.toColumn(e)
+  private def ex(c: Column): Expression = ColumnBridge.toExpression(c)
+
+  private def litString(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case other =>
+      throw new IllegalArgumentException(s"$what must be a string literal, got $other")
+  }
+
+  def register(ext: SparkSessionExtensions): Unit = {
+    def inject(name: String)(builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(RedshiftSqlFunctions.getClass.getName, name),
+        builder))
+
+    inject("json_extract_path_text") { children =>
+      require(children.size >= 2, "json_extract_path_text(json, key, ...)")
+      val path = children.tail.map(litString(_, "path element"))
+      ex(R.jsonExtractPathText(col(children.head), path: _*))
+    }
+    inject("json_extract_array_element_text") { children =>
+      require(children.size == 2, "json_extract_array_element_text(json, index)")
+      val i = children(1) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(s"index must be a literal, got $other")
+      }
+      ex(R.jsonExtractArrayElementText(col(children.head), i))
+    }
+    inject("is_valid_json") { children =>
+      ex(R.isValidJson(col(children.head)))
+    }
+    // Redshift argument order & boundary-crossing semantics. Spark's
+    // parser claims the bare `datediff`/`dateadd` names as special syntax
+    // (unquoted units, TIMESTAMPDIFF complete-unit semantics), so the
+    // dialect forms are registered under `_rs` suffixes.
+    inject("datediff_rs") { children =>
+      require(children.size == 3, "datediff_rs(unit, start, end)")
+      ex(R.dateDiff(litString(children.head, "datediff unit"),
+        col(children(1)), col(children(2))))
+    }
+    inject("dateadd_rs") { children =>
+      require(children.size == 3, "dateadd_rs(unit, n, ts)")
+      ex(R.dateAdd(litString(children.head, "dateadd unit"),
+        col(children(1)), col(children(2))))
+    }
+    inject("to_char_rs") { children =>
+      require(children.size == 2, "to_char_rs(ts, fmt)")
+      ex(R.toChar(col(children.head), litString(children(1), "to_char format")))
+    }
+    inject("date_part_rs") { children =>
+      require(children.size == 2, "date_part_rs(unit, ts)")
+      ex(R.datePart(litString(children.head, "date_part unit"), col(children(1))))
+    }
+    inject("getdate") { children =>
+      require(children.isEmpty, "getdate()")
+      org.apache.spark.sql.catalyst.expressions.CurrentTimestamp()
+    }
+  }
+}
