@@ -330,7 +330,10 @@ object Queries {
         R.md5Key(col("p_brand"), col("p_type")).as("surrogate_key"),
         translate(col("p_name"), "aeiou", "AEIOU").as("name_vowels_up"),
         regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowels"),
-        regexp_count(col("p_name"), lit("o")).as("o_count"))
+        regexp_count(col("p_name"), lit("o")).as("o_count"),
+        col("p_name").like("%spring%").as("like_spring"),
+        col("p_name").ilike("%SPRING%").as("ilike_spring"),
+        regexp_extract(col("p_name"), "[aeiou]+", 0).as("first_vowels"))
 
   /** Date-function shim suite with Redshift semantics (§2.9;
     * boundary-crossing DATEDIFF `3_master/subscription.sql:75-94`,
@@ -349,7 +352,9 @@ object Queries {
         R.datePart("doy", col("o_orderdate")).as("doy"),
         R.toChar(col("o_orderdate"), "YYYY-MM").as("ym"),
         R.toChar(col("o_orderdate"), "Month").as("month_name"),
-        add_months(col("o_orderdate"), 3).cast("date").as("plus_quarter"))
+        add_months(col("o_orderdate"), 3).cast("date").as("plus_quarter"),
+        to_date(date_format(col("o_orderdate"), "yyyy-MM-dd"), "yyyy-MM-dd").as("roundtrip_date"),
+        R.datePart("epoch", col("o_orderdate")).as("epoch_s"))
 
   /** Math + CASE suite (§2.10; depreciation curves
     * `9_SPV/Pricing/2_pricing_spv_used_asset_price_master.sql:45`). */

@@ -191,6 +191,21 @@ object QueriesLLM {
       .withColumn("totalValue", round(col("totalValue"), 2))
   }
 
+  /** §2.10 deterministic A/B test-group assignment — the reference uses
+    * `round(random()*10000)%2` (`subscription_payment_recoveries.sql:211`),
+    * which is irreproducible; the engine form hashes the entity key
+    * (md5 → bucket), giving stable assignment across reruns and engines.
+    */
+  def q45_ab_assignment(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .select(
+        col("c_custkey"),
+        pmod(
+          conv(substring(md5(col("c_custkey").cast("string")), 1, 8), 16, 10).cast("long"),
+          lit(2)).as("test_group"))
+      .groupBy(col("test_group"))
+      .agg(count(lit(1)).as("n_customers"))
+
   /** §2.8 TO_NUMBER EU-locale money parse round-trip
     * (`1_ods_grover_card/01_grover_card_transactions.sql:30`).
     */

@@ -62,7 +62,8 @@ object SparkEntry {
     "q41_union_dedup" -> (QueriesLLM.q41_union_dedup _),
     "q42_cross_join" -> (QueriesLLM.q42_cross_join _),
     "q43_to_number" -> (QueriesLLM.q43_to_number _),
-    "q44_entity_state" -> (QueriesLLM.q44_entity_state _)
+    "q44_entity_state" -> (QueriesLLM.q44_entity_state _),
+    "q45_ab_assignment" -> (QueriesLLM.q45_ab_assignment _)
   )
 
   /** Shared DuckDB fragment: Text.normalizeForDedup equivalent. */
@@ -257,7 +258,10 @@ object SparkEntry {
         |  MD5(p_brand || '||' || p_type) AS surrogate_key,
         |  TRANSLATE(p_name, 'aeiou', 'AEIOU') AS name_vowels_up,
         |  REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS name_novowels,
-        |  LEN(REGEXP_EXTRACT_ALL(p_name, 'o')) AS o_count
+        |  LEN(REGEXP_EXTRACT_ALL(p_name, 'o')) AS o_count,
+        |  p_name LIKE '%spring%' AS like_spring,
+        |  p_name ILIKE '%SPRING%' AS ilike_spring,
+        |  REGEXP_EXTRACT(p_name, '[aeiou]+') AS first_vowels
         |FROM part WHERE p_partkey < 500""".stripMargin,
     "q24_date_funcs" ->
       """SELECT o_orderkey,
@@ -270,7 +274,9 @@ object SparkEntry {
         |  DATE_PART('doy', o_orderdate) AS doy,
         |  STRFTIME(o_orderdate, '%Y-%m') AS ym,
         |  MONTHNAME(o_orderdate) AS month_name,
-        |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_quarter
+        |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_quarter,
+        |  CAST(STRFTIME(o_orderdate, '%Y-%m-%d') AS DATE) AS roundtrip_date,
+        |  CAST(FLOOR(DATE_PART('epoch', o_orderdate)) AS BIGINT) AS epoch_s
         |FROM orders WHERE o_orderkey < 1000""".stripMargin,
     "q25_math_case" ->
       """SELECT l_orderkey, l_linenumber,
@@ -407,6 +413,10 @@ object SparkEntry {
         |  MIN(CASE WHEN rn = 1 THEN event_type END) AS lastEventType,
         |  MAX(ts) AS lastTs,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS totalValue
-        |FROM ranked GROUP BY user_id""".stripMargin
+        |FROM ranked GROUP BY user_id""".stripMargin,
+    "q45_ab_assignment" ->
+      """SELECT CAST('0x' || SUBSTR(MD5(CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT) % 2 AS test_group,
+        |  COUNT(*) AS n_customers
+        |FROM customer GROUP BY 1""".stripMargin
   )
 }

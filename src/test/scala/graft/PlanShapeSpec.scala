@@ -1,0 +1,58 @@
+package graft
+
+/** Physical-plan regression guards (the 100 TB review loop, pinned): a
+  * future refactor that silently loses filter pushdown, broadcasts a big
+  * side, or reintroduces a join explosion fails here, not at scale.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: filter pushed to the parquet scan; columns pruned") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    // projection never reads unused columns (e.g. l_comment-like widths)
+    assert(p.contains("ReadSchema") && !p.contains("l_partkey"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q09: every dimension join is a broadcast hash join") {
+    val p = plan("q09_dim_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q13: range join runs as a hash join, not a nested loop") {
+    val p = plan("q13_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q14: merge as-of join shuffles exactly once (no join explosion)") {
+    val p = plan("q14_asof_join")
+    assert(!p.contains("Join"), p) // union+window form — no join operator at all
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q16: dedup-latest is one shuffle + one window") {
+    val p = plan("q16_dedup_latest")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
+  test("q02: event pivot is partial+final hash aggregation") {
+    val p = plan("q02_event_state_pivot")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("q31: LSH candidate pairs dedup as hash aggregate (no array sort-agg)") {
+    val p = plan("q31_minhash_pairs")
+    assert(!p.contains("SortAggregate"), p)
+  }
+}
