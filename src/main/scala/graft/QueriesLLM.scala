@@ -206,6 +206,19 @@ object QueriesLLM {
       .groupBy(col("test_group"))
       .agg(count(lit(1)).as("n_customers"))
 
+  /** 9_SPV staged outlier removal: IQR fences per group, then the
+    * post-removal aggregate (`00_step_outlier_removal_1.sql:159-185`).
+    */
+  def q46_outlier_removal(spark: SparkSession, dir: String): DataFrame =
+    Ops.removeOutliersIqr(
+        t(spark, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice", k = 1.5)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("kept_value"),
+        round(min(col("l_extendedprice")), 2).as("min_kept"),
+        round(max(col("l_extendedprice")), 2).as("max_kept"))
+
   /** §2.8 TO_NUMBER EU-locale money parse round-trip
     * (`1_ods_grover_card/01_grover_card_transactions.sql:30`).
     */

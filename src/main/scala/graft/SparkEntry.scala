@@ -63,7 +63,8 @@ object SparkEntry {
     "q42_cross_join" -> (QueriesLLM.q42_cross_join _),
     "q43_to_number" -> (QueriesLLM.q43_to_number _),
     "q44_entity_state" -> (QueriesLLM.q44_entity_state _),
-    "q45_ab_assignment" -> (QueriesLLM.q45_ab_assignment _)
+    "q45_ab_assignment" -> (QueriesLLM.q45_ab_assignment _),
+    "q46_outlier_removal" -> (QueriesLLM.q46_outlier_removal _)
   )
 
   /** Shared DuckDB fragment: Text.normalizeForDedup equivalent. */
@@ -417,6 +418,23 @@ object SparkEntry {
     "q45_ab_assignment" ->
       """SELECT CAST('0x' || SUBSTR(MD5(CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT) % 2 AS test_group,
         |  COUNT(*) AS n_customers
-        |FROM customer GROUP BY 1""".stripMargin
+        |FROM customer GROUP BY 1""".stripMargin,
+    "q46_outlier_removal" ->
+      """WITH fences AS (
+        |  SELECT l_returnflag,
+        |    QUANTILE_CONT(l_extendedprice, 0.25) AS p25,
+        |    QUANTILE_CONT(l_extendedprice, 0.75) AS p75
+        |  FROM lineitem GROUP BY l_returnflag),
+        |kept AS (
+        |  SELECT l.l_returnflag, l.l_extendedprice
+        |  FROM lineitem l JOIN fences f ON l.l_returnflag = f.l_returnflag
+        |  WHERE l.l_extendedprice >= f.p25 - (f.p75 - f.p25) * 1.5
+        |    AND l.l_extendedprice <= f.p75 + (f.p75 - f.p25) * 1.5)
+        |SELECT l_returnflag,
+        |  COUNT(*) AS n_kept,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS kept_value,
+        |  ROUND(MIN(l_extendedprice), 2) AS min_kept,
+        |  ROUND(MAX(l_extendedprice), 2) AS max_kept
+        |FROM kept GROUP BY l_returnflag""".stripMargin
   )
 }

@@ -228,6 +228,29 @@ object Ops {
     df.join(agg, keys, "left")
   }
 
+  /** Per-group IQR outlier fence — the reference's staged pricing
+    * outlier-removal pattern (`9_SPV/Pricing_V2/00_step_outlier_removal_1
+    * .sql:159-185`, median/percentile stages over temp tables): keep rows
+    * within [p25 - k·IQR, p75 + k·IQR] of their group. One group aggregate
+    * + a broadcast-friendly join back on the group key.
+    */
+  def removeOutliersIqr(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      k: Double = 1.5): DataFrame = {
+    val fences = df
+      .groupBy(keys.map(col): _*)
+      .agg(
+        expr(s"percentile($valueCol, 0.25)").as("__p25"),
+        expr(s"percentile($valueCol, 0.75)").as("__p75"))
+      .withColumn("__lo", col("__p25") - (col("__p75") - col("__p25")) * k)
+      .withColumn("__hi", col("__p75") + (col("__p75") - col("__p25")) * k)
+    df.join(fences, keys, "left")
+      .filter(col(valueCol) >= col("__lo") && col(valueCol) <= col("__hi"))
+      .drop("__p25", "__p75", "__lo", "__hi")
+  }
+
   /** FULL OUTER JOIN ... USING(k1..kn) semantics: coalesce the key columns
     * into single output columns (SURVEY §2.3 J3;
     * `4_dwh_core/daily_kpi_report_main_tables.sql:209`).

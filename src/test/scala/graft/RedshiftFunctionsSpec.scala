@@ -25,6 +25,9 @@ class RedshiftFunctionsSpec extends SparkSpec {
     assert(dd("second", "2024-01-01 00:00:00.9", "2024-01-01 00:00:01.1") === 1L)
     assert(dd("quarter", "2024-03-31", "2024-04-01") === 1L)
     assert(dd("day", "2024-01-02", "2024-01-01") === -1L) // negative direction
+    // week boundary = Monday: Sun 2024-08-11 → Mon 2024-08-12 crosses one
+    assert(dd("week", "2024-08-11", "2024-08-12") === 1L)
+    assert(dd("week", "2024-08-12", "2024-08-18") === 0L) // Mon→Sun same week
   }
 
   test("dateAdd with Redshift argument order and unit aliases") {
@@ -51,6 +54,10 @@ class RedshiftFunctionsSpec extends SparkSpec {
     assert(eval(R.toChar(d, "Day")) === "Monday")
     assert(eval(R.toChar(d, "Dy")) === "Mon")
     assert(eval(R.toChar(d, "d")) === "2") // Redshift 'd': 1=Sunday..7
+    assert(eval(R.toChar(d, "HH12:MI SS")) === "02:07 09")
+    assert(eval(R.toChar(d, "YYYY/MM")) === "2024/08")
+    // month-end clamping parity with Redshift ADD_MONTHS
+    assert(eval(add_months(lit("2024-02-29").cast("date"), 12)).toString === "2025-02-28")
   }
 
   test("splitPart is 1-based and empty-string out of range") {
