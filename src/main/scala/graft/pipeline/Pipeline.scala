@@ -22,6 +22,34 @@ object Pipeline {
 
   final case class StageReport(name: String, ok: Boolean, seconds: Double, error: Option[String])
 
+  /** Run a directory of SQL scripts in sorted filename order — the
+    * reference's `RunQueryFromRepoOperator` over numbered script dirs
+    * (`Datawarehouse-ETL/1_ods_core/00_*.sql` …;
+    * `dag_fullload_pipeline.py:69-80`). Each script's result is registered
+    * as a temp view named by the file stem, so later scripts query earlier
+    * ones exactly like the reference's temp-table chaining. A `-- target:`
+    * header line materializes the result to that path first.
+    */
+  def runSqlDir(
+      spark: SparkSession,
+      dir: String,
+      continueOnError: Boolean = true): Seq[StageReport] = {
+    val scripts = new java.io.File(dir)
+      .listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".sql"))
+      .sortBy(_.getName)
+      .toSeq
+    val stages = scripts.map { f =>
+      val sql = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val name = f.getName.stripSuffix(".sql").replaceAll("^\\d+_", "")
+      val target = sql.linesIterator
+        .find(_.trim.startsWith("-- target:"))
+        .map(_.trim.stripPrefix("-- target:").trim)
+      Stage(name, s => s.sql(sql), materializePath = target)
+    }
+    run(spark, stages, continueOnError)
+  }
+
   def run(
       spark: SparkSession,
       stages: Seq[Stage],

@@ -66,4 +66,24 @@ class PipelineE2ESpec extends SparkSpec {
       .agg(sum(col("purchase_total"))).collect()(0).getDecimal(0)
     assert(martRevenue.compareTo(masterRevenue) === 0)
   }
+
+  test("runSqlDir executes numbered scripts in order with view chaining") {
+    val dir = Files.createTempDirectory("graft-sqldir")
+    Tables.events(spark, "/root/testdata/sf0.001").createOrReplaceTempView("stg_events")
+    val mart = dir.resolve("out_mart")
+    Files.writeString(dir.resolve("00_ods.sql"),
+      """SELECT user_id, event_type, ts, CAST(value AS DECIMAL(18,2)) AS value
+        |FROM stg_events WHERE is_valid_json(props)""".stripMargin)
+    Files.writeString(dir.resolve("10_master.sql"),
+      """SELECT user_id, COUNT(*) AS n, SUM(value) AS total
+        |FROM ods GROUP BY user_id""".stripMargin)
+    Files.writeString(dir.resolve("20_mart.sql"),
+      s"""-- target: $mart
+         |SELECT COUNT(*) AS n_users, SUM(total) AS grand_total FROM master""".stripMargin)
+    val reports = Pipeline.runSqlDir(spark, dir.toString)
+    assert(reports.map(r => (r.name, r.ok)) ===
+      Seq(("ods", true), ("master", true), ("mart", true)))
+    val out = spark.read.parquet(mart.toString).collect()(0)
+    assert(out.getLong(0) === 15L)
+  }
 }
