@@ -121,6 +121,22 @@ object QueriesLLM {
       emb, emb.filter(col("vec_id") < 100), "vec_id", "embedding", k = 5, nCells = 8)
   }
 
+  /** Embedding-cosine near-dup pairs — the fifth dedup strategy (exact
+    * baseline, bounded; oracle via list_dot_product).
+    */
+  def q47_embed_dup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingDupPairs(
+      t(spark, dir, "embeddings").filter(col("vec_id") < 500),
+      "vec_id", "embedding", threshold = 0.85)
+
+  /** LSH-bucketed embedding near-dup over the full corpus (rows-only —
+    * the scale path; recall vs q47 asserted in SimilaritySpec).
+    */
+  def q48_embed_dup_lsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingDupPairsLsh(
+      t(spark, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.85, numBits = 8, dim = 64)
+
   // =================================================================
   // Multimodal (synthetic media table; stub decoder)
   // =================================================================

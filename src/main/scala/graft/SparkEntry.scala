@@ -64,7 +64,9 @@ object SparkEntry {
     "q43_to_number" -> (QueriesLLM.q43_to_number _),
     "q44_entity_state" -> (QueriesLLM.q44_entity_state _),
     "q45_ab_assignment" -> (QueriesLLM.q45_ab_assignment _),
-    "q46_outlier_removal" -> (QueriesLLM.q46_outlier_removal _)
+    "q46_outlier_removal" -> (QueriesLLM.q46_outlier_removal _),
+    "q47_embed_dup" -> (QueriesLLM.q47_embed_dup _),
+    "q48_embed_dup_lsh" -> (QueriesLLM.q48_embed_dup_lsh _)
   )
 
   /** Shared DuckDB fragment: Text.normalizeForDedup equivalent. */
@@ -435,6 +437,13 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS kept_value,
         |  ROUND(MIN(l_extendedprice), 2) AS min_kept,
         |  ROUND(MAX(l_extendedprice), 2) AS max_kept
-        |FROM kept GROUP BY l_returnflag""".stripMargin
+        |FROM kept GROUP BY l_returnflag""".stripMargin,
+    "q47_embed_dup" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 500),
+        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CASE WHEN (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))) = 0 THEN 0.0
+        |         ELSE LIST_DOT_PRODUCT(a.v, b.v) / (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))) END AS cosine
+        |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM pairs WHERE cosine >= 0.85""".stripMargin
   )
 }

@@ -172,6 +172,68 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Embedding-cosine near-duplicate pairs: documents whose embedding
+    * vectors have cosine similarity >= threshold. Exact all-pairs form —
+    * the oracle baseline; bound the input or use
+    * [[embeddingDupPairsLsh]] at scale.
+    */
+  def embeddingDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val v = docs
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val l = v.alias("l")
+    val r = v.alias("r")
+    l.join(r, col("l.id") < col("r.id"))
+      .withColumn("cosine",
+        graft.functions.Vectors.cosineSimilarity(col("l.v"), col("r.v")))
+      .filter(col("cosine") >= threshold)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** LSH-bucketed variant: only vectors sharing a random-hyperplane
+    * signature bucket become candidate pairs — near-linear at scale, with
+    * recall traded via `numBits` (fewer bits → bigger buckets → higher
+    * recall and cost).
+    */
+  def embeddingDupPairsLsh(
+      docs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numBits: Int,
+      dim: Int): DataFrame = {
+    val v = docs
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("sig", graft.functions.Vectors.hyperplaneLshSignature(col("v"), numBits, dim))
+    val l = v.alias("l")
+    val r = v.alias("r")
+    l.join(r, col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))
+      .withColumn("cosine",
+        graft.functions.Vectors.cosineSimilarity(col("l.v"), col("r.v")))
+      .filter(col("cosine") >= threshold)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Drop every vector that is an embedding-near-duplicate of a lower-id
+    * vector (keep-min-representative, matching the other dedup ops).
+    */
+  def embeddingDedup(
+      docs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val toDrop = embeddingDupPairs(docs, idCol, vecCol, threshold)
+      .select(col("id_b").as("__drop_id")).distinct()
+    docs.join(toDrop, col(idCol) === col("__drop_id"), "left_anti")
+  }
+
   /** Brute n-gram Jaccard similarity over all pairs above a threshold —
     * the exact oracle-checkable baseline the LSH variants approximate.
     * All-pairs: only for bounded inputs (ships with a guard).

@@ -49,6 +49,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embedding dedup finds a planted near-duplicate vector and drops it") {
+    import graft.ops.Dedup
+    val base = Seq(1.0, 2.0, 3.0, 4.0)
+    val near = Seq(1.01, 2.0, 3.0, 4.0) // cosine ≈ 0.99998
+    val far = Seq(-4.0, 3.0, -2.0, 1.0)
+    val vecs = Seq((1L, base), (2L, near), (3L, far)).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingDupPairs(vecs, "vec_id", "embedding", threshold = 0.99)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs === Seq((1L, 2L)))
+    val kept = Dedup.embeddingDedup(vecs, "vec_id", "embedding", threshold = 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 3L))
+    // identical vectors always share every LSH bucket → pair survives LSH
+    val lsh = Dedup.embeddingDupPairsLsh(vecs, "vec_id", "embedding",
+      threshold = 0.99, numBits = 8, dim = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(lsh.forall(pairs.contains)) // LSH pairs ⊆ exact pairs
+  }
+
   test("lshTopK candidates agree with brute force on identical vectors") {
     val vecs = Seq(
       (0L, Seq(1.0, 0.0, 0.0, 0.0)), (1L, Seq(1.0, 0.0, 0.0, 0.0)), (2L, Seq(-1.0, 0.0, 0.0, 0.0))
