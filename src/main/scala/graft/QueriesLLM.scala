@@ -207,6 +207,25 @@ object QueriesLLM {
       .withColumn("totalValue", round(col("totalValue"), 2))
   }
 
+  /** §2.4 A9 ROLLUP (unused by the reference but exposed): subtotal
+    * hierarchy over (status, priority) with decimal-exact revenue.
+    */
+  def q49_rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+
+  /** §2.7 U4 INTERSECT: customers present in both high-value and
+    * F-status order populations.
+    */
+  def q50_intersect(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    o.filter(col("o_totalprice") > 100000).select(col("o_custkey"))
+      .intersect(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+  }
+
   /** §2.10 deterministic A/B test-group assignment — the reference uses
     * `round(random()*10000)%2` (`subscription_payment_recoveries.sql:211`),
     * which is irreproducible; the engine form hashes the entity key

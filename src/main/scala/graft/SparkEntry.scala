@@ -66,7 +66,9 @@ object SparkEntry {
     "q45_ab_assignment" -> (QueriesLLM.q45_ab_assignment _),
     "q46_outlier_removal" -> (QueriesLLM.q46_outlier_removal _),
     "q47_embed_dup" -> (QueriesLLM.q47_embed_dup _),
-    "q48_embed_dup_lsh" -> (QueriesLLM.q48_embed_dup_lsh _)
+    "q48_embed_dup_lsh" -> (QueriesLLM.q48_embed_dup_lsh _),
+    "q49_rollup" -> (QueriesLLM.q49_rollup _),
+    "q50_intersect" -> (QueriesLLM.q50_intersect _)
   )
 
   /** Shared DuckDB fragment: Text.normalizeForDedup equivalent. */
@@ -444,6 +446,14 @@ object SparkEntry {
         |    CASE WHEN (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))) = 0 THEN 0.0
         |         ELSE LIST_DOT_PRODUCT(a.v, b.v) / (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))) END AS cosine
         |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id)
-        |SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM pairs WHERE cosine >= 0.85""".stripMargin
+        |SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM pairs WHERE cosine >= 0.85""".stripMargin,
+    "q49_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q50_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin
   )
 }
