@@ -69,6 +69,27 @@ object Writers {
     fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
   }
 
+  /** Bucketed + sorted catalog table — the DISTKEY/SORTKEY analogue
+    * (`7_snowplow/2_sessions/01_sessions.sql:3-4`; 73/69 reference files
+    * tune these by hand). Two tables bucketed on the same key with the
+    * same bucket count join WITHOUT a shuffle — the co-located join the
+    * reference buys with DISTSTYLE KEY. Proven plan-level in
+    * BucketingSpec.
+    */
+  def bucketedTable(
+      df: DataFrame,
+      tableName: String,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    var w = df.write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.saveAsTable(tableName)
+  }
+
   /** Export with bounded file sizes (UNLOAD MAXFILESIZE analogue,
     * `4_dwh_risk/sku_market_valuation.sql:146-148`).
     */
