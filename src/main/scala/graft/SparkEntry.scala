@@ -447,6 +447,26 @@ object SparkEntry {
         |         ELSE LIST_DOT_PRODUCT(a.v, b.v) / (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))) END AS cosine
         |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM pairs WHERE cosine >= 0.85""".stripMargin,
+    "q37_ann_ivf" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |centroids AS (SELECT vec_id AS cell_id, v AS centroid FROM emb ORDER BY vec_id LIMIT 8),
+        |assigned AS (
+        |  SELECT vec_id, v, cell_id FROM (
+        |    SELECT e.vec_id, e.v, c.cell_id,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |        CASE WHEN (SQRT(LIST_DOT_PRODUCT(e.v, e.v)) * SQRT(LIST_DOT_PRODUCT(c.centroid, c.centroid))) = 0 THEN 0.0
+        |             ELSE LIST_DOT_PRODUCT(e.v, c.centroid) / (SQRT(LIST_DOT_PRODUCT(e.v, e.v)) * SQRT(LIST_DOT_PRODUCT(c.centroid, c.centroid))) END DESC,
+        |        c.cell_id) AS rn
+        |    FROM emb e CROSS JOIN centroids c)
+        |  WHERE rn = 1),
+        |pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    CASE WHEN (SQRT(LIST_DOT_PRODUCT(q.v, q.v)) * SQRT(LIST_DOT_PRODUCT(c.v, c.v))) = 0 THEN 0.0
+        |         ELSE LIST_DOT_PRODUCT(q.v, c.v) / (SQRT(LIST_DOT_PRODUCT(q.v, q.v)) * SQRT(LIST_DOT_PRODUCT(c.v, c.v))) END AS cosine
+        |  FROM assigned q JOIN assigned c ON q.cell_id = c.cell_id AND q.vec_id != c.vec_id
+        |  WHERE q.vec_id < 100),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rnk FROM pairs)
+        |SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine, rnk AS "rank" FROM ranked WHERE rnk <= 5""".stripMargin,
     "q49_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

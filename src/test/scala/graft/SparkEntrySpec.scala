@@ -17,7 +17,7 @@ class SparkEntrySpec extends SparkSpec {
     val rowsOnly = q -- o
     assert(rowsOnly === Set(
       "q31_minhash_pairs", "q32_simhash_pairs", "q35_fingerprint",
-      "q37_ann_ivf", "q38_multimodal", "q48_embed_dup_lsh"),
+      "q38_multimodal", "q48_embed_dup_lsh"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 
