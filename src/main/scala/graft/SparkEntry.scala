@@ -447,6 +447,11 @@ object SparkEntry {
         |         ELSE LIST_DOT_PRODUCT(a.v, b.v) / (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))) END AS cosine
         |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM pairs WHERE cosine >= 0.85""".stripMargin,
+    "q35_fingerprint" ->
+      s"""SELECT source,
+         |  COUNT(DISTINCT ${normSql("text")}) AS n_distinct_fp,
+         |  COUNT(*) AS n_docs
+         |FROM documents GROUP BY source""".stripMargin,
     "q37_ann_ivf" ->
       """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |centroids AS (SELECT vec_id AS cell_id, v AS centroid FROM emb ORDER BY vec_id LIMIT 8),
