@@ -76,6 +76,58 @@ object Multimodal {
   def metadataOnly(media: DataFrame): DataFrame =
     media.select("media_id", "media_type", "width", "height", "duration_ms", "format")
 
+  /** Resize images to bounded dimensions. The pixel transform is STUBBED
+    * (no codec in this container — a real deployment decodes, scales, and
+    * re-encodes inside the same mapPartitions batch); the Spark-side
+    * contract is real: metadata updated, payload replaced, non-images
+    * passed through untouched.
+    */
+  def resizeImages(media: DataFrame, maxDim: Int): DataFrame = {
+    val spark = media.sparkSession
+    val idx = media.schema.fieldNames.zipWithIndex.toMap
+    val rdd = media.rdd.mapPartitions { rows =>
+      // per-partition codec init would happen here
+      rows.map { r =>
+        if (r.getString(idx("media_type")) != "image" || r.isNullAt(idx("width"))) r
+        else {
+          val w = r.getInt(idx("width")); val h = r.getInt(idx("height"))
+          val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+          val nw = math.max(1, (w * scale).toInt); val nh = math.max(1, (h * scale).toInt)
+          val content = if (r.isNullAt(idx("content"))) null
+            else StubDecoder.features(r.getAs[Array[Byte]](idx("content")), 16)
+              .map(f => (f * 127).toByte) // stub "re-encode"
+          Row.fromSeq(r.toSeq
+            .updated(idx("width"), nw)
+            .updated(idx("height"), nh)
+            .updated(idx("content"), content))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, media.schema)
+  }
+
+  /** Sample every `everyNth` frame of each video into one row per frame
+    * (frame extraction STUBBED as a deterministic slice of the payload;
+    * the explode shape — one input row fanning out to frame rows with
+    * ordinal indices, partition-preserving — is the real contract).
+    */
+  def sampleFrames(media: DataFrame, everyNth: Int, frameMs: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val frameIdx = explode(
+      sequence(
+        lit(0L),
+        greatest((coalesce(col("duration_ms"), lit(0L)) / frameMs).cast("long") - 1, lit(0L)),
+        lit(everyNth.toLong)))
+    media
+      .filter(col("media_type") === "video")
+      .withColumn("frame_idx", frameIdx)
+      .withColumn("frame_ts_ms", col("frame_idx") * frameMs)
+      // stub frame bytes: a deterministic payload slice keyed by frame_idx
+      .withColumn("frame",
+        expr("substring(content, cast(frame_idx % 32 + 1 as int), 16)"))
+      .select("media_id", "frame_idx", "frame_ts_ms", "frame", "format")
+  }
+
   /** Deterministic synthetic media table for tests. */
   def synthetic(spark: SparkSession, n: Int): DataFrame = {
     val rows = (0 until n).map { i =>

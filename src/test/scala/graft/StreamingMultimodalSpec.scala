@@ -56,4 +56,31 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(!meta.schema.fieldNames.contains("content"))
     assert(meta.count() === 30)
   }
+
+  test("resizeImages bounds dimensions and leaves non-images untouched") {
+    val media = Multimodal.synthetic(spark, 30)
+    val out = Multimodal.resizeImages(media, maxDim = 100)
+    val images = out.filter(col("media_type") === "image").collect()
+    assert(images.nonEmpty)
+    images.foreach { r =>
+      assert(r.getInt(3) <= 100 && r.getInt(4) <= 100) // width, height bounded
+      assert(r.getInt(3) === 100) // 640x480 → 100x75
+      assert(r.getInt(4) === 75)
+    }
+    val audio = out.filter(col("media_type") === "audio").count()
+    assert(audio === media.filter(col("media_type") === "audio").count())
+  }
+
+  test("sampleFrames fans each video out to ordinal frame rows") {
+    val media = Multimodal.synthetic(spark, 30)
+    val frames = Multimodal.sampleFrames(media, everyNth = 5)
+    assert(frames.columns.toSeq ===
+      Seq("media_id", "frame_idx", "frame_ts_ms", "frame", "format"))
+    val byVideo = frames.groupBy("media_id").count().collect()
+    assert(byVideo.nonEmpty)
+    // frame indices step by 5 from 0
+    val idxs = frames.filter(col("media_id") === byVideo.map(_.getLong(0)).max)
+      .select("frame_idx").collect().map(_.getLong(0)).sorted.toSeq
+    assert(idxs === idxs.indices.map(_ * 5L))
+  }
 }
