@@ -77,4 +77,61 @@ object Checks {
   }
 
   def runAll(checks: Seq[() => CheckResult]): Seq[CheckResult] = checks.map(_.apply())
+
+  /** Interpret the reference's Soda-style YAML check files
+    * (`bi-airflow-prod/business_logic/data_quality/checks/master/subscription.yaml:1-5`):
+    *
+    * {{{
+    * checks for master_subscription:
+    *   - freshness(created_date) < 1d
+    *   - row_count > 0
+    *   - unique(subscription_id)
+    *   - not_null(customer_id, status)
+    *   - continuity(fact_date)
+    * }}}
+    *
+    * @param resolve table name → DataFrame (catalog lookup or fixture map)
+    * @param now     pinned evaluation instant (deterministic reruns —
+    *                SURVEY §7.5-2)
+    */
+  def fromYaml(
+      yaml: String,
+      resolve: String => DataFrame,
+      now: java.time.Instant): Seq[CheckResult] = {
+    import scala.jdk.CollectionConverters._
+    val root = new org.yaml.snakeyaml.Yaml()
+      .load[java.util.Map[String, java.util.List[String]]](yaml)
+    root.asScala.toSeq.flatMap { case (header, checkList) =>
+      val table = header.trim.stripPrefix("checks for").trim
+      val df = resolve(table)
+      checkList.asScala.toSeq.map(c => interpret(df, table, c.trim, now))
+    }
+  }
+
+  private val FreshnessRe = """freshness\((\w+)\)\s*<\s*(\d+)([dh])""".r
+  private val RowCountGtRe = """row_count\s*>\s*(\d+)""".r
+  private val RowCountBetweenRe = """row_count\s+between\s+(\d+)\s+and\s+(\d+)""".r
+  private val UniqueRe = """unique\(([\w,\s]+)\)""".r
+  private val NotNullRe = """not_null\(([\w,\s]+)\)""".r
+  private val ContinuityRe = """continuity\((\w+)\)""".r
+
+  private def interpret(
+      df: DataFrame,
+      table: String,
+      check: String,
+      now: java.time.Instant): CheckResult = {
+    def qualify(r: CheckResult) = r.copy(name = s"$table: ${r.name}")
+    check match {
+      case FreshnessRe(c, n, unit) =>
+        val hours = if (unit == "d") n.toLong * 24 else n.toLong
+        qualify(freshness(df, c, hours, now))
+      case RowCountGtRe(n) => qualify(rowCount(df, n.toLong + 1))
+      case RowCountBetweenRe(lo, hi) => qualify(rowCount(df, lo.toLong, hi.toLong))
+      case UniqueRe(cols) => qualify(unique(df, cols.split(",").map(_.trim).toSeq))
+      case NotNullRe(cols) => qualify(notNull(df, cols.split(",").map(_.trim).toSeq))
+      case ContinuityRe(c) => qualify(dateContinuity(df, c))
+      case other =>
+        CheckResult(s"$table: $other", passed = false, "unrecognized check syntax")
+    }
+  }
 }

@@ -66,6 +66,31 @@ class WritersChecksSpec extends SparkSpec {
       java.time.Instant.parse("2024-01-09T00:00:00Z")).passed)
   }
 
+  test("Soda-style YAML checks interpret and evaluate against tables") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val yaml =
+      """checks for events:
+        |  - freshness(ts) < 30d
+        |  - row_count > 10
+        |  - unique(event_id)
+        |  - not_null(user_id, event_type)
+        |  - bogus_check(x)
+        |""".stripMargin
+    val results = Checks.fromYaml(yaml, _ => events,
+      java.time.Instant.parse("2024-02-05T00:00:00Z"))
+    assert(results.length === 5)
+    val byName = results.map(r => r.name -> r.passed).toMap
+    assert(byName("events: freshness(ts)") === true) // data ends 2024-01-30
+    assert(byName("events: row_count") === true)
+    assert(byName("events: unique(event_id)") === true)
+    assert(byName("events: not_null(user_id,event_type)") === true)
+    assert(byName("events: bogus_check(x)") === false) // unknown syntax fails loud
+    // stale `now` flips freshness
+    val stale = Checks.fromYaml("checks for events:\n  - freshness(ts) < 1d\n",
+      _ => events, java.time.Instant.parse("2025-01-01T00:00:00Z"))
+    assert(!stale.head.passed)
+  }
+
   test("pipeline runner chains temp views and honors continueOnError") {
     import graft.pipeline.Pipeline
     val path = tmp() + "/stage"
