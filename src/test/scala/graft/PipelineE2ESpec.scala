@@ -67,6 +67,18 @@ class PipelineE2ESpec extends SparkSpec {
     assert(martRevenue.compareTo(masterRevenue) === 0)
   }
 
+  test("catalog layering: qualified schema.table names resolve across layers") {
+    import graft.pipeline.Catalog
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    Catalog.saveTable(events.limit(100), "ods_production", "events_sample")
+    val master = spark.sql(
+      """SELECT user_id, COUNT(*) AS n FROM ods_production.events_sample GROUP BY user_id""")
+    Catalog.saveTable(master, "master", "user_activity")
+    val out = Catalog.table(spark, "master", "user_activity")
+    assert(out.agg(sum(col("n"))).collect()(0).getLong(0) === 100L)
+    assert(spark.catalog.tableExists("ods_production.events_sample"))
+  }
+
   test("runSqlDir executes numbered scripts in order with view chaining") {
     val dir = Files.createTempDirectory("graft-sqldir")
     Tables.events(spark, "/root/testdata/sf0.001").createOrReplaceTempView("stg_events")
