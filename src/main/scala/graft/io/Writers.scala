@@ -69,6 +69,30 @@ object Writers {
     fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
   }
 
+  /** UPDATE … WHERE as read-modify-swap — the reference's post-hoc fix
+    * pattern (45 files; e.g. GDPR anonymization,
+    * `8_monitoring/gdpr/anonymize_gdpr_columns.sql`): rows matching the
+    * condition get the assignments applied; the table is rewritten behind
+    * an atomic rename so readers never see a partial update.
+    */
+  def updateWhere(
+      spark: SparkSession,
+      path: String,
+      condition: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): Unit = {
+    val current = spark.read.parquet(path)
+    val updated = assignments.foldLeft(current) { case (df, (c, v)) =>
+      df.withColumn(c, when(condition, v).otherwise(col(c)))
+    }
+    val tmp = path + "__tmp"
+    updated.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    fs.delete(target, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
+  }
+
   /** Bucketed + sorted catalog table — the DISTKEY/SORTKEY analogue
     * (`7_snowplow/2_sessions/01_sessions.sql:3-4`; 73/69 reference files
     * tune these by hand). Two tables bucketed on the same key with the

@@ -47,6 +47,17 @@ class WritersChecksSpec extends SparkSpec {
     assert(out === Seq((1, "new"), (2, "keep"), (3, "ins")))
   }
 
+  test("updateWhere applies targeted assignments atomically (GDPR anonymize shape)") {
+    val path = tmp() + "/u"
+    Seq((1, "alice", "keep@x.com"), (2, "bob", "gone@x.com"))
+      .toDF("id", "name", "email").write.parquet(path)
+    Writers.updateWhere(spark, path, col("id") === 2,
+      Map("name" -> lit("REDACTED"), "email" -> lit(null).cast("string")))
+    val out = spark.read.parquet(path).orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(out === Seq((1, "alice", "keep@x.com"), (2, "REDACTED", null)))
+  }
+
   test("checks: rowCount, unique, notNull, continuity, invariant, freshness") {
     val df = Seq((1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-01-03"))
       .toDF("id", "d").withColumn("d", col("d").cast("date"))
