@@ -252,6 +252,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[JaccardSimilarity].getName, "graft_jaccard"),
       (children: Seq[Expression]) => JaccardSimilarity(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[VectorCosine].getName, "graft_cosine"),
+      (children: Seq[Expression]) => VectorCosine(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "graft_dot"),
+      (children: Seq[Expression]) => VectorDot(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_l2"),
+      new ExpressionInfo(classOf[VectorL2].getName, "graft_l2"),
+      (children: Seq[Expression]) => VectorL2(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_word_shingles"),
       (children: Seq[Expression]) => {

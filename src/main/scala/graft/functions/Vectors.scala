@@ -5,27 +5,38 @@ import org.apache.spark.sql.functions._
 
 /** Vector (embedding) column functions over `array<float>` columns.
   *
-  * Built on `zip_with`/`aggregate` higher-order functions: evaluated inside
-  * codegen, no UDF serialization, works on any array length. At 100 TB the
-  * dominant cost is the pairwise-join fan-out, not these per-row ops — see
-  * [[graft.ops.Similarity]] for the join-side strategies.
+  * The pairwise hot path (dot/cosine/L2) is evaluated by native Catalyst
+  * expressions ([[graft.expressions.VectorCosine]] et al., registered via
+  * `spark.sql.extensions=graft.expressions.GraftExtensions`): one compiled
+  * loop per pair. The `zip_with`/`aggregate` HOF forms they replace are
+  * interpreted per element per pair (~50× slower measured at sf0.1 — the
+  * same gap as the hash-sketch expressions); [[dotHof]] is kept only as the
+  * declarative parity reference for tests.
   */
 object Vectors {
 
   def dot(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
+
+  /** HOF reference implementation of [[dot]] — parity-test oracle only. */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
 
-  def cosineSimilarity(a: Column, b: Column): Column = {
-    val d = dot(a, b)
+  def cosineSimilarity(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
+
+  /** HOF reference implementation of [[cosineSimilarity]] — parity oracle. */
+  private[graft] def cosineSimilarityHof(a: Column, b: Column): Column = {
+    val d = dotHof(a, b)
     val n = norm(a) * norm(b)
     when(n === 0, lit(0.0)).otherwise(d / n)
   }
 
   def l2Distance(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
+    call_function("graft_l2", a, b)
 
   /** Unit-normalize a vector (pre-normalization turns cosine top-k into
     * dot-product top-k — do it once at write time, not per pair).

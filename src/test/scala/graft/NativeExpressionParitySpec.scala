@@ -94,6 +94,62 @@ class NativeExpressionParitySpec extends SparkSpec {
     }
   }
 
+  test("native cosine/dot/l2 == HOF forms bit-exactly (double arrays)") {
+    import graft.functions.Vectors
+    val pairs = (1 to 50).map { _ =>
+      def arr() = Array.fill(16)(rnd.nextGaussian())
+      (arr(), arr())
+    } :+ ((Array.fill(16)(0.0), Array.fill(16)(1.0))) // zero-norm edge
+    val df = pairs.toDF("a", "b")
+      .select(
+        Vectors.cosineSimilarity(col("a"), col("b")).as("nat_cos"),
+        Vectors.cosineSimilarityHof(col("a"), col("b")).as("hof_cos"),
+        Vectors.dot(col("a"), col("b")).as("nat_dot"),
+        Vectors.dotHof(col("a"), col("b")).as("hof_dot"),
+        Vectors.l2Distance(col("a"), col("b")).as("nat_l2"),
+        sqrt(aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v)).as("hof_l2"))
+      .collect()
+    df.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1)) // bit-exact, not approx
+      assert(r.getDouble(2) === r.getDouble(3))
+      assert(r.getDouble(4) === r.getDouble(5))
+    }
+  }
+
+  test("native cosine/dot == HOF forms bit-exactly (float arrays, float-precision products)") {
+    import graft.functions.Vectors
+    val pairs = (1 to 50).map { _ =>
+      def arr() = Array.fill(16)(rnd.nextGaussian().toFloat)
+      (arr(), arr())
+    }
+    val df = pairs.toDF("a", "b")
+      .select(
+        Vectors.cosineSimilarity(col("a"), col("b")).as("nat_cos"),
+        Vectors.cosineSimilarityHof(col("a"), col("b")).as("hof_cos"),
+        Vectors.dot(col("a"), col("b")).as("nat_dot"),
+        Vectors.dotHof(col("a"), col("b")).as("hof_dot"))
+      .collect()
+    df.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1))
+      assert(r.getDouble(2) === r.getDouble(3))
+    }
+  }
+
+  test("native vector exprs: null array and null element poisoning, SQL registration") {
+    val r = spark.sql(
+      "SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)), " +
+        "graft_cosine(cast(null as array<double>), array(1.0d)), " +
+        "graft_cosine(array(1.0d, cast(null as double)), array(1.0d, 2.0d)), " +
+        "graft_dot(array(2.0d, 3.0d), array(4.0d, 5.0d)), " +
+        "graft_l2(array(0.0d, 3.0d), array(4.0d, 0.0d))").collect()(0)
+    assert(r.getDouble(0) === 1.0)
+    assert(r.isNullAt(1))
+    assert(r.isNullAt(2), s"row=$r")
+    assert(r.getDouble(3) === 23.0)
+    assert(r.getDouble(4) === 5.0)
+  }
+
   test("native simhash: hamming(0) on self, registered in SQL") {
     val fp = spark.sql(
       "SELECT graft_simhash64(graft_word_shingles('alpha beta gamma delta', 2))").collect()
