@@ -46,13 +46,61 @@ object Ingest {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write
+        mergeBatchIntoPartitions(batch, targetDir, Seq(idCol, tsCol))
+      }
+      .start()
+  }
+
+  /** Merge one micro-batch into a date/hour-partitioned parquet target.
+    *
+    * Dynamic partition overwrite alone would replace each touched partition
+    * with ONLY the batch's rows — on recurring runs, a late event for an
+    * already-written hour would silently delete that hour's earlier rows.
+    * So: union the batch with the current contents of exactly the
+    * partitions it touches (partition-pruned read), dedup on the id key,
+    * then dynamically overwrite those partitions. Idempotent under batch
+    * replay (the dedup absorbs re-delivered rows) and still atomic per
+    * partition via the overwrite commit.
+    *
+    * Scale: a batch touches O(lateness/hour) partitions; the merge re-reads
+    * and rewrites only those, never the table. The `collect()` is over the
+    * distinct touched (date, hour) pairs — bounded and tiny by design.
+    */
+  private[graft] def mergeBatchIntoPartitions(
+      batch: DataFrame,
+      targetDir: String,
+      dedupKey: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.persist()
+    try {
+      val touched = b.select(col("date"), col("hour")).distinct().collect()
+      if (touched.nonEmpty) {
+        val existing =
+          try {
+            val touchedFilter = touched
+              .map(r => col("date") === lit(r.get(0)) && col("hour") === lit(r.get(1)))
+              .reduce(_ || _)
+            spark.read
+              .schema(b.schema)
+              .parquet(targetDir)
+              .filter(touchedFilter)
+              // REQUIRED barrier: we are about to overwrite the very
+              // partition directories this plan reads — materialize first
+              .localCheckpoint()
+          } catch {
+            // first batch: target doesn't exist yet
+            case _: org.apache.spark.sql.AnalysisException =>
+              spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], b.schema)
+          }
+        b.unionByName(existing)
+          .dropDuplicates(dedupKey)
+          .write
           .mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("date", "hour")
           .parquet(targetDir)
       }
-      .start()
+    } finally b.unpersist()
   }
 
   /** Windowed streaming aggregation with watermark (tumbling event-time

@@ -28,6 +28,39 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(out.select("hour").distinct().collect().map(_.getInt(0)).sorted.toSeq === Seq(10, 11))
   }
 
+  test("late events for an already-written hour merge instead of clobbering it") {
+    val base = Files.createTempDirectory("graft-stream-late").toString
+    val src = s"$base/src"; val tgt = s"$base/tgt"; val chk = s"$base/chk"
+    new java.io.File(src).mkdirs()
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("ts", TimestampType),
+      StructField("v", IntegerType)))
+    // run 1: two events in hour 10
+    Files.writeString(java.nio.file.Paths.get(s"$src/batch1.json"),
+      """{"id":"a","ts":"2024-01-01T10:00:00.000Z","v":1}
+        |{"id":"b","ts":"2024-01-01T10:30:00.000Z","v":2}
+        |""".stripMargin)
+    Ingest.jsonLinesToPartitionedParquet(
+      spark, src, schema, tgt, chk, idCol = "id", tsCol = "ts").awaitTermination(60000)
+    assert(spark.read.parquet(tgt).count() === 2)
+    // run 2 (cron-cadence restart, same checkpoint): a LATE event lands in
+    // hour 10 alongside a new hour-11 event, plus a replay of id=a that the
+    // merge dedup must absorb
+    Files.writeString(java.nio.file.Paths.get(s"$src/batch2.json"),
+      """{"id":"c","ts":"2024-01-01T10:45:00.000Z","v":3}
+        |{"id":"d","ts":"2024-01-01T11:05:00.000Z","v":4}
+        |{"id":"a","ts":"2024-01-01T10:00:00.000Z","v":1}
+        |""".stripMargin)
+    Ingest.jsonLinesToPartitionedParquet(
+      spark, src, schema, tgt, chk, idCol = "id", tsCol = "ts").awaitTermination(60000)
+    val out = spark.read.parquet(tgt)
+    // pre-fix, dynamic overwrite replaced hour 10 with only the late row,
+    // losing a and b
+    assert(out.filter(col("hour") === 10).select("id").collect().map(_.getString(0)).sorted.toSeq
+      === Seq("a", "b", "c"))
+    assert(out.count() === 4)
+  }
+
   test("windowedCounts groups into tumbling event-time windows") {
     import sqlImplicits._
     val events = Seq(
