@@ -62,11 +62,38 @@ object Writers {
     // (reference "no ghost reads": business_logic/segment/parquet_rewriter.py:36-54)
     val tmp = path + "__tmp"
     merged.write.mode("overwrite").parquet(tmp)
+    atomicSwap(spark, tmp, path)
+  }
+
+  /** Swap a freshly-written directory into place via rename-aside:
+    * target → backup, tmp → target, drop backup. Compared to
+    * delete-then-rename this (a) shrinks the no-table window from a full
+    * recursive delete to two metadata renames (on HDFS each rename is an
+    * atomic ~ms namenode op), and (b) is crash-safe: at every step the
+    * data exists intact in either target or backup — a crashed swap is
+    * recovered by the next run's leftover-backup cleanup, never lost.
+    * On object stores without atomic rename a manifest/pointer layer
+    * (or a table format) is the real answer; this is the best possible
+    * shape for path-addressed parquet.
+    */
+  private[graft] def atomicSwap(spark: SparkSession, tmpDir: String, path: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(path)
-    fs.delete(target, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
+    val tmp = new org.apache.hadoop.fs.Path(tmpDir)
+    val backup = new org.apache.hadoop.fs.Path(path + "__old")
+    require(fs.exists(tmp), s"swap source $tmpDir does not exist")
+    fs.delete(backup, true) // leftover from a crashed earlier swap
+    val hadTarget = fs.exists(target)
+    if (hadTarget) {
+      if (!fs.rename(target, backup))
+        throw new IllegalStateException(s"could not rename $path aside")
+    }
+    if (!fs.rename(tmp, target)) {
+      if (hadTarget) fs.rename(backup, target) // roll back: table restored
+      throw new IllegalStateException(s"could not rename $tmpDir into $path")
+    }
+    fs.delete(backup, true)
   }
 
   /** UPDATE … WHERE as read-modify-swap — the reference's post-hoc fix
@@ -86,11 +113,7 @@ object Writers {
     }
     val tmp = path + "__tmp"
     updated.write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
-    val target = new org.apache.hadoop.fs.Path(path)
-    fs.delete(target, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
+    atomicSwap(spark, tmp, path)
   }
 
   /** Bucketed + sorted catalog table — the DISTKEY/SORTKEY analogue

@@ -58,6 +58,32 @@ class WritersChecksSpec extends SparkSpec {
     assert(out === Seq((1, "alice", "keep@x.com"), (2, "REDACTED", null)))
   }
 
+  test("atomicSwap: data always present in target-or-backup; failed swap rolls back; no leftovers") {
+    val base = tmp()
+    val path = base + "/t"
+    Seq((1, "v1")).toDF("k", "v").write.parquet(path)
+    // successful swap replaces contents and cleans tmp + backup
+    val tmpDir = path + "__tmp"
+    Seq((2, "v2")).toDF("k", "v").write.parquet(tmpDir)
+    Writers.atomicSwap(spark, tmpDir, path)
+    assert(spark.read.parquet(path).collect().map(_.getString(1)).toSeq === Seq("v2"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__tmp")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__old")))
+    // missing swap source: rejected up front, target untouched
+    intercept[IllegalArgumentException] {
+      Writers.atomicSwap(spark, base + "/nonexistent", path)
+    }
+    assert(spark.read.parquet(path).collect().map(_.getString(1)).toSeq === Seq("v2"))
+    // a leftover backup from a crashed earlier swap is cleaned, not fatal
+    Seq((9, "stale")).toDF("k", "v").write.parquet(path + "__old")
+    Seq((3, "v3")).toDF("k", "v").write.parquet(tmpDir)
+    Writers.atomicSwap(spark, tmpDir, path)
+    assert(spark.read.parquet(path).collect().map(_.getString(1)).toSeq === Seq("v3"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__old")))
+  }
+
   test("checks: rowCount, unique, notNull, continuity, invariant, freshness") {
     val df = Seq((1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-01-03"))
       .toDF("id", "d").withColumn("d", col("d").cast("date"))
