@@ -224,23 +224,30 @@ object Queries {
       .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
 
   /** W2/W5/W6/W7: rank, running sum, windowed count, percent_rank
-    * (`3_master/subscription.sql:113-115`, `00_customer_rfm_segmentation.sql:13-15`). */
+    * (`3_master/subscription.sql:113-115`, `00_customer_rfm_segmentation.sql:13-15`).
+    * The global percent_rank runs through [[Ops.withGlobalPercentRank]] —
+    * range-partitioned, never a single-partition WindowExec (the naive
+    * `Window.orderBy(price)` serializes the whole table onto one core).
+    */
   def q17_window_suite(spark: SparkSession, dir: String): DataFrame = {
     val byCust = Window.partitionBy(col("o_custkey"))
     val byCustDate = byCust.orderBy(col("o_orderdate"), col("o_orderkey"))
-    val byPriceAll = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    t(spark, dir, "orders")
+    val base = t(spark, dir, "orders")
       .filter(col("o_custkey") < 100)
       .select(
         col("o_orderkey"),
         col("o_custkey"),
+        col("o_totalprice"),
         rank().over(byCust.orderBy(col("o_totalprice").desc, col("o_orderkey"))).as("price_rank"),
         row_number().over(byCustDate).as("order_seq"),
         sum(col("o_totalprice").cast("decimal(18,2)"))
           .over(byCustDate.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("double").as("running_total"),
-        count(lit(1)).over(byCust).as("n_orders"),
-        round(percent_rank().over(byPriceAll), 6).as("price_pctile"))
+        count(lit(1)).over(byCust).as("n_orders"))
+    Ops.withGlobalPercentRank(base, Seq(col("o_totalprice"), col("o_orderkey")), "__pr")
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("price_rank"), col("order_seq"),
+        col("running_total"), col("n_orders"), round(col("__pr"), 6).as("price_pctile"))
   }
 
   /** W3: LAG/LEAD with gap math (`06_10_page_views_app.sql:24`). */

@@ -254,6 +254,104 @@ object QueriesLLM {
         round(min(col("l_extendedprice")), 2).as("min_kept"),
         round(max(col("l_extendedprice")), 2).as("max_kept"))
 
+  /** §2.11 single-parse JSON payload decoding — the engine replacement for
+    * the reference's hottest JSON idiom: 30–50 `JSON_EXTRACT_PATH_TEXT`
+    * calls re-parsing one payload column per field
+    * (`1_ods_core/00_subscription.sql:8-57`; 147 files). A 12-field
+    * payload is built from orders (the fixture's `events.props` is
+    * single-key), then decoded with ONE `from_json`
+    * ([[R.withPayloadFields]]) — every field a codegen'd struct access.
+    */
+  def q51_json_payload(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val payload = to_json(struct(
+      col("o_orderkey").as("order_id"),
+      col("o_custkey").as("customer_id"),
+      col("o_orderstatus").as("status"),
+      col("o_totalprice").as("amount"),
+      col("o_orderdate").cast("date").cast("string").as("order_date"),
+      col("o_orderpriority").as("priority"),
+      format_string("Clerk#%09d", pmod(col("o_orderkey"), lit(1000))).as("clerk"),
+      pmod(col("o_orderkey"), lit(5)).cast("int").as("ship_priority"),
+      concat(lit("order "), col("o_orderstatus"), lit("/"), col("o_orderpriority")).as("note"),
+      (col("o_totalprice") > 100000).as("is_large"),
+      month(col("o_orderdate")).as("order_month"),
+      pmod(col("o_orderkey"), lit(7)).as("shard")))
+    val schema = StructType(Seq(
+      StructField("order_id", LongType),
+      StructField("customer_id", LongType),
+      StructField("status", StringType),
+      StructField("amount", DoubleType),
+      StructField("order_date", StringType),
+      StructField("priority", StringType),
+      StructField("clerk", StringType),
+      StructField("ship_priority", IntegerType),
+      StructField("note", StringType),
+      StructField("is_large", BooleanType),
+      StructField("order_month", IntegerType),
+      StructField("shard", LongType)))
+    R.withPayloadFields(
+        t(spark, dir, "orders").select(payload.as("payload")), "payload", schema)
+      .drop("payload")
+  }
+
+  /** §2.5 W3 completion: LAG … IGNORE NULLS forward fill — the
+    * reference's pricing gap-fill shape
+    * (`9_SPV/Pricing/1_pricing_outlier_removal.sql:41-43`): carry the
+    * last non-null purchase value forward within each user's event
+    * stream.
+    */
+  def q52_forward_fill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .withColumn("purchase_value",
+        when(col("event_type") === "purchase", col("value")))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("purchase_value"),
+        lag(col("purchase_value"), 1, null, ignoreNulls = true).over(w)
+          .as("prev_purchase_value"),
+        last(col("purchase_value"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("filled_value"))
+  }
+
+  /** W7 at full-table scale: RFM scoring
+    * (`2_ods_marketing/00_customer_rfm_segmentation.sql:13-15`) — three
+    * whole-table percent_ranks via [[Ops.withGlobalPercentRank]], so no
+    * single-partition WindowExec anywhere in the plan (the reference's
+    * form serializes the customer table onto one Redshift slice; the
+    * naive Spark translation does the same to one core).
+    */
+  def q53_rfm_segmentation(spark: SparkSession, dir: String): DataFrame = {
+    val anchor = lit(java.sql.Date.valueOf("1998-12-01"))
+    val per = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(
+        datediff(anchor, max(col("o_orderdate")).cast("date")).as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("monetary"))
+    val ranked =
+      Ops.withGlobalPercentRank(
+        Ops.withGlobalPercentRank(
+          Ops.withGlobalPercentRank(per, Seq(col("recency_days").desc), "r_pct"),
+          Seq(col("frequency")), "f_pct"),
+        Seq(col("monetary")), "m_pct")
+    def tier(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(c >= 0.75, "4").when(c >= 0.5, "3").when(c >= 0.25, "2").otherwise("1")
+    ranked.select(
+      col("o_custkey"),
+      col("recency_days"),
+      col("frequency"),
+      col("monetary"),
+      round(col("r_pct"), 6).as("r_pct"),
+      round(col("f_pct"), 6).as("f_pct"),
+      round(col("m_pct"), 6).as("m_pct"),
+      concat(tier(col("r_pct")), tier(col("f_pct")), tier(col("m_pct"))).as("segment"))
+  }
+
   /** §2.8 TO_NUMBER EU-locale money parse round-trip
     * (`1_ods_grover_card/01_grover_card_transactions.sql:30`).
     */

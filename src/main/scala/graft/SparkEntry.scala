@@ -68,7 +68,10 @@ object SparkEntry {
     "q47_embed_dup" -> (QueriesLLM.q47_embed_dup _),
     "q48_embed_dup_lsh" -> (QueriesLLM.q48_embed_dup_lsh _),
     "q49_rollup" -> (QueriesLLM.q49_rollup _),
-    "q50_intersect" -> (QueriesLLM.q50_intersect _)
+    "q50_intersect" -> (QueriesLLM.q50_intersect _),
+    "q51_json_payload" -> (QueriesLLM.q51_json_payload _),
+    "q52_forward_fill" -> (QueriesLLM.q52_forward_fill _),
+    "q53_rfm_segmentation" -> (QueriesLLM.q53_rfm_segmentation _)
   )
 
   /** Shared DuckDB fragment: Text.normalizeForDedup equivalent. */
@@ -113,6 +116,30 @@ object SparkEntry {
 
   private def stopwordListSql: String =
     graft.functions.Text.Stopwords.map(s => s"'$s'").mkString(", ")
+
+  /** DuckDB replica of q48's hyperplane LSH: the planes are deterministic
+    * ([[graft.functions.Vectors.hyperplanes]], seed 42), so they embed as
+    * literal DOUBLE[] arrays; bit i of the signature is
+    * sign(v · plane_i) — exactly [[graft.functions.Vectors.hyperplaneLshSignature]].
+    */
+  private def q48Oracle: String = {
+    val planes = graft.functions.Vectors.hyperplanes(numBits = 8, dim = 64)
+    val sigTerms = planes.zipWithIndex
+      .map { case (p, i) =>
+        val arr = p.mkString("[", ", ", "]")
+        s"(CASE WHEN LIST_DOT_PRODUCT(v, $arr::DOUBLE[]) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }
+      .mkString("\n    + ")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sig AS (SELECT vec_id, v,
+       |    $sigTerms AS sig
+       |  FROM emb),
+       |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    CASE WHEN (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))) = 0 THEN 0.0
+       |         ELSE LIST_DOT_PRODUCT(a.v, b.v) / (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))) END AS cosine
+       |  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM pairs WHERE cosine >= 0.85""".stripMargin
+  }
 
   /** DuckDB equivalents, same column names (driver sorts columns by name and
     * hashes values — names and value-level semantics must both match).
@@ -479,6 +506,61 @@ object SparkEntry {
     "q50_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_totalprice > 100000
         |INTERSECT
-        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "q48_embed_dup_lsh" -> q48Oracle,
+    "q51_json_payload" ->
+      """WITH payloads AS (SELECT JSON_OBJECT(
+        |    'order_id', o_orderkey, 'customer_id', o_custkey, 'status', o_orderstatus,
+        |    'amount', o_totalprice, 'order_date', CAST(o_orderdate AS DATE),
+        |    'priority', o_orderpriority,
+        |    'clerk', PRINTF('Clerk#%09d', o_orderkey % 1000),
+        |    'ship_priority', CAST(o_orderkey % 5 AS INTEGER),
+        |    'note', 'order ' || o_orderstatus || '/' || o_orderpriority,
+        |    'is_large', o_totalprice > 100000,
+        |    'order_month', MONTH(o_orderdate), 'shard', o_orderkey % 7) AS payload
+        |  FROM orders)
+        |SELECT
+        |  CAST(JSON_EXTRACT_STRING(payload, '$.order_id') AS BIGINT) AS order_id,
+        |  CAST(JSON_EXTRACT_STRING(payload, '$.customer_id') AS BIGINT) AS customer_id,
+        |  JSON_EXTRACT_STRING(payload, '$.status') AS status,
+        |  CAST(JSON_EXTRACT_STRING(payload, '$.amount') AS DOUBLE) AS amount,
+        |  JSON_EXTRACT_STRING(payload, '$.order_date') AS order_date,
+        |  JSON_EXTRACT_STRING(payload, '$.priority') AS priority,
+        |  JSON_EXTRACT_STRING(payload, '$.clerk') AS clerk,
+        |  CAST(JSON_EXTRACT_STRING(payload, '$.ship_priority') AS INTEGER) AS ship_priority,
+        |  JSON_EXTRACT_STRING(payload, '$.note') AS note,
+        |  CAST(JSON_EXTRACT_STRING(payload, '$.is_large') AS BOOLEAN) AS is_large,
+        |  CAST(JSON_EXTRACT_STRING(payload, '$.order_month') AS INTEGER) AS order_month,
+        |  CAST(JSON_EXTRACT_STRING(payload, '$.shard') AS BIGINT) AS shard
+        |FROM payloads""".stripMargin,
+    "q52_forward_fill" ->
+      """SELECT event_id, user_id, purchase_value,
+        |  LAG(purchase_value, 1 IGNORE NULLS) OVER w AS prev_purchase_value,
+        |  LAST_VALUE(purchase_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM (SELECT *, CASE WHEN event_type = 'purchase' THEN value END AS purchase_value FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "q53_rfm_segmentation" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    DATE_DIFF('day', CAST(MAX(o_orderdate) AS DATE), DATE '1998-12-01') AS recency_days,
+        |    COUNT(*) AS frequency,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |  FROM orders GROUP BY o_custkey),
+        |pct AS (
+        |  SELECT *,
+        |    PERCENT_RANK() OVER (ORDER BY recency_days DESC) AS r_raw,
+        |    PERCENT_RANK() OVER (ORDER BY frequency) AS f_raw,
+        |    PERCENT_RANK() OVER (ORDER BY monetary) AS m_raw
+        |  FROM per),
+        |tiers AS (
+        |  SELECT *,
+        |    CASE WHEN r_raw >= 0.75 THEN '4' WHEN r_raw >= 0.5 THEN '3' WHEN r_raw >= 0.25 THEN '2' ELSE '1' END AS rt,
+        |    CASE WHEN f_raw >= 0.75 THEN '4' WHEN f_raw >= 0.5 THEN '3' WHEN f_raw >= 0.25 THEN '2' ELSE '1' END AS ft,
+        |    CASE WHEN m_raw >= 0.75 THEN '4' WHEN m_raw >= 0.5 THEN '3' WHEN m_raw >= 0.25 THEN '2' ELSE '1' END AS mt
+        |  FROM pct)
+        |SELECT o_custkey, recency_days, frequency, monetary,
+        |  ROUND(r_raw, 6) AS r_pct, ROUND(f_raw, 6) AS f_pct, ROUND(m_raw, 6) AS m_pct,
+        |  rt || ft || mt AS segment
+        |FROM tiers""".stripMargin
   )
 }

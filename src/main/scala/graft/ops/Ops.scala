@@ -339,4 +339,81 @@ object Ops {
     */
   def changedRows(current: DataFrame, lastExport: DataFrame): DataFrame =
     current.except(lastExport)
+
+  /** Global rank WITHOUT a single-partition window.
+    *
+    * `rank() OVER (ORDER BY …)` — the reference's whole-table RFM scoring
+    * shape (`2_ods_marketing/00_customer_rfm_segmentation.sql:13-15`) —
+    * makes Spark move every row to one partition ("No Partition Defined"
+    * warning; serializes the table onto one core at scale). This computes
+    * the same result distributed:
+    *
+    *   1. `repartitionByRange` on the order key — equal keys always land in
+    *      the same partition (range boundaries never split a value), so
+    *      tie-ranks stay correct;
+    *   2. per-partition `rank()` (window partitioned by partition id);
+    *   3. per-partition counts → cumulative offsets (a numPartitions-row
+    *      table: the only single-partition window runs over ~32 rows) —
+    *      broadcast-joined back; global rank = local rank + offset.
+    *
+    * Both exchanges are full-width but distributed; the range exchange is
+    * deduplicated across the rank and count branches by ReusedExchange.
+    * Ties share a rank (SQL RANK semantics), matching `percent_rank`'s
+    * rank. A pathologically-skewed order key (one value = most rows) still
+    * bottlenecks its range partition — inherent to rank semantics, since
+    * that value's ties must be counted together.
+    */
+  def withGlobalRank(
+      df: DataFrame,
+      orderBy: Seq[Column],
+      outCol: String,
+      numPartitions: Int = 0): DataFrame =
+    globalRankImpl(df, orderBy, outCol, percent = false, numPartitions)
+
+  /** `percent_rank() OVER (ORDER BY …)`, distributed — see
+    * [[withGlobalRank]]. percent_rank = (rank − 1) / (N − 1), 0.0 when
+    * N = 1 (Spark/ANSI semantics).
+    */
+  def withGlobalPercentRank(
+      df: DataFrame,
+      orderBy: Seq[Column],
+      outCol: String,
+      numPartitions: Int = 0): DataFrame =
+    globalRankImpl(df, orderBy, outCol, percent = true, numPartitions)
+
+  private def globalRankImpl(
+      df: DataFrame,
+      orderBy: Seq[Column],
+      outCol: String,
+      percent: Boolean,
+      numPartitions: Int): DataFrame = {
+    val n =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val cols = df.columns.toSeq
+    val ranged = df
+      .repartitionByRange(n, orderBy: _*)
+      .withColumn("__pid", spark_partition_id())
+    val ranked = ranged.withColumn(
+      "__lrank",
+      rank().over(Window.partitionBy(col("__pid")).orderBy(orderBy: _*)))
+    // cumulative offsets over the numPartitions-row counts table, as a
+    // triangular self-join rather than an unpartitioned window — keeps
+    // every plan in the engine free of single-partition WindowExec
+    val cnts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+    val offsets = cnts
+      .alias("a")
+      .join(cnts.alias("b"), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid"))
+      .agg(coalesce(sum(col("b.__cnt")), lit(0L)).as("__offset"))
+      .crossJoin(cnts.agg(sum(col("__cnt")).as("__total")))
+    val joined = ranked.join(broadcast(offsets), "__pid")
+    val globalRank = col("__lrank") + col("__offset")
+    val out =
+      if (percent)
+        when(col("__total") === 1, lit(0.0))
+          .otherwise((globalRank - 1).cast("double") / (col("__total") - 1))
+      else globalRank
+    joined.select((cols.map(col) :+ out.as(outCol)): _*)
+  }
 }

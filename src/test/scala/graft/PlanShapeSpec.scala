@@ -55,4 +55,31 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q31_minhash_pairs")
     assert(!p.contains("SortAggregate"), p)
   }
+
+  test("q17/q53: global percent_rank plans have NO single-partition window") {
+    // `Window.orderBy(x)` (no partitionBy) plans an Exchange SinglePartition
+    // under WindowExec — the whole table onto one core. The distributed
+    // global-rank rewrite must never produce that shape.
+    for (q <- Seq("q17_window_suite", "q53_rfm_segmentation")) {
+      val p = plan(q)
+      val windowLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+      assert(windowLines.nonEmpty, p)
+      // a WindowExec line prints `Window [exprs], [partitionSpec], [orderSpec]`
+      // (order spec omitted for frame-only windows, partition spec omitted
+      // for GLOBAL windows). After the expr list, a lone group containing a
+      // sort direction = an order spec with no partition spec = global.
+      windowLines.foreach { line =>
+        val specs = line.substring(line.indexOf("], [") + 4)
+          .stripSuffix("]").split("\\], \\[").toSeq
+        val isGlobal = specs.size == 1 && (specs.head.contains(" ASC") || specs.head.contains(" DESC"))
+        assert(!isGlobal, s"$q has an unpartitioned (single-partition) window:\n$line")
+      }
+      assert(p.contains("rangepartitioning"), p) // the distributed form
+    }
+  }
+
+  test("q53: offset table joins back as a broadcast (no full-width extra shuffle)") {
+    val p = plan("q53_rfm_segmentation")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }

@@ -16,8 +16,7 @@ class SparkEntrySpec extends SparkSpec {
     assert((o -- q).isEmpty, s"oracle keys without query: ${o -- q}")
     val rowsOnly = q -- o
     assert(rowsOnly === Set(
-      "q31_minhash_pairs", "q32_simhash_pairs",
-      "q38_multimodal", "q48_embed_dup_lsh"),
+      "q31_minhash_pairs", "q32_simhash_pairs", "q38_multimodal"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 
