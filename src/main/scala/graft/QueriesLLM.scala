@@ -352,6 +352,87 @@ object QueriesLLM {
       concat(tier(col("r_pct")), tier(col("f_pct")), tier(col("m_pct"))).as("segment"))
   }
 
+  /** S-layer script execution: a trimmed `00_subscription.sql`-shaped
+    * staging chain (`1_ods_core/00_subscription.sql:1-70`) — DROP + CREATE
+    * TEMP TABLE (SORTKEY/DISTKEY stripped, DISTKEY → repartition) with
+    * JSON extraction, dedup-latest window, then CREATE TABLE AS with
+    * dialect datediff — run through [[graft.pipeline.RedshiftScript]],
+    * result read back from the session catalog.
+    */
+  def q54_script_subscription(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.{Catalog, RedshiftScript}
+    Catalog.ensureDatabase(spark, "g54_ods")
+    Catalog.replaceTable(t(spark, dir, "events"), "g54_ods", "events_src")
+    val script =
+      """DROP TABLE IF EXISTS stg_user_events;
+        |CREATE TEMP TABLE stg_user_events
+        |SORTKEY(user_id)
+        |DISTKEY(user_id)
+        |AS
+        |WITH parsed AS (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    NULLIF(json_extract_path_text(props, 'k'), '') AS k
+        |  FROM g54_ods.events_src
+        |),
+        |dedup AS (
+        |  SELECT *,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS total_events,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS idx
+        |  FROM parsed
+        |)
+        |SELECT * FROM dedup WHERE idx = 1;
+        |
+        |DROP TABLE IF EXISTS g54_ods.user_state;
+        |CREATE TABLE g54_ods.user_state AS
+        |SELECT user_id, event_id, event_type, CAST(k AS INT) AS k, total_events,
+        |  datediff(day, ts, current_date) AS days_since_last
+        |FROM stg_user_events;""".stripMargin
+    val root = java.nio.file.Files.createTempDirectory("graft-q54").toString
+    val res = new RedshiftScript.Runner(spark, root, Some("2024-06-01")).run(script)
+    require(res.ok, res.reports.filterNot(_.ok).mkString("; "))
+    spark.table("g54_ods.user_state")
+  }
+
+  /** Historical-layer script execution, run TWICE to prove the
+    * DELETE-yesterday + INSERT-yesterday transaction is idempotent
+    * (`5_master_historical/addon_35up_order_historical.sql:1-26`): the
+    * second run's DELETE clears the first run's snapshot before
+    * re-inserting, all behind per-table atomic swaps at COMMIT.
+    */
+  def q55_script_historical(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.{Catalog, RedshiftScript}
+    Catalog.ensureDatabase(spark, "g55_master")
+    Catalog.replaceTable(t(spark, dir, "orders"), "g55_master", "orders_src")
+    Catalog.replaceTable(
+      t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("date", lit(null).cast("date"))
+        .limit(0),
+      "g55_master", "order_hist")
+    val script =
+      """BEGIN;
+        |
+        |DELETE FROM g55_master.order_hist
+        |WHERE date = current_date - 1;
+        |
+        |INSERT INTO g55_master.order_hist
+        |SELECT o_orderkey,
+        |o_custkey,
+        |o_orderstatus,
+        |o_totalprice,
+        |current_date - 1 AS date
+        |FROM g55_master.orders_src
+        |WHERE o_orderdate < current_date;
+        |
+        |COMMIT;""".stripMargin
+    val root = java.nio.file.Files.createTempDirectory("graft-q55").toString
+    (1 to 2).foreach { _ =>
+      val res = new RedshiftScript.Runner(spark, root, Some("1998-12-01")).run(script)
+      require(res.ok, res.reports.filterNot(_.ok).mkString("; "))
+    }
+    spark.table("g55_master.order_hist")
+  }
+
   /** §2.8 TO_NUMBER EU-locale money parse round-trip
     * (`1_ods_grover_card/01_grover_card_transactions.sql:30`).
     */

@@ -71,7 +71,9 @@ object SparkEntry {
     "q50_intersect" -> (QueriesLLM.q50_intersect _),
     "q51_json_payload" -> (QueriesLLM.q51_json_payload _),
     "q52_forward_fill" -> (QueriesLLM.q52_forward_fill _),
-    "q53_rfm_segmentation" -> (QueriesLLM.q53_rfm_segmentation _)
+    "q53_rfm_segmentation" -> (QueriesLLM.q53_rfm_segmentation _),
+    "q54_script_subscription" -> (QueriesLLM.q54_script_subscription _),
+    "q55_script_historical" -> (QueriesLLM.q55_script_historical _)
   )
 
   /** Shared DuckDB fragment: Text.normalizeForDedup equivalent. */
@@ -561,6 +563,22 @@ object SparkEntry {
         |SELECT o_custkey, recency_days, frequency, monetary,
         |  ROUND(r_raw, 6) AS r_pct, ROUND(f_raw, 6) AS f_pct, ROUND(m_raw, 6) AS m_pct,
         |  rt || ft || mt AS segment
-        |FROM tiers""".stripMargin
+        |FROM tiers""".stripMargin,
+    "q54_script_subscription" ->
+      """WITH parsed AS (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    NULLIF(JSON_EXTRACT_STRING(props, '$.k'), '') AS k
+        |  FROM events),
+        |dedup AS (
+        |  SELECT *,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS total_events,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS idx
+        |  FROM parsed)
+        |SELECT user_id, event_id, event_type, CAST(k AS INTEGER) AS k, total_events,
+        |  DATE_DIFF('day', CAST(ts AS DATE), DATE '2024-06-01') AS days_since_last
+        |FROM dedup WHERE idx = 1""".stripMargin,
+    "q55_script_historical" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, DATE '1998-11-30' AS date
+        |FROM orders WHERE o_orderdate < TIMESTAMP '1998-12-01'""".stripMargin
   )
 }

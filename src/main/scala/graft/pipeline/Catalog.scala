@@ -33,6 +33,23 @@ object Catalog {
   def table(spark: SparkSession, db: String, name: String): DataFrame =
     spark.table(s"$db.$name")
 
+  /** saveAsTable that survives a previous process's leftovers: with an
+    * in-memory catalog the warehouse DIRECTORY outlives the catalog entry,
+    * and a fresh session's `saveAsTable` then fails with
+    * LOCATION_ALREADY_EXISTS. Drop the entry AND clear the default
+    * location before writing.
+    */
+  def replaceTable(df: DataFrame, db: String, table: String): Unit = {
+    val spark = df.sparkSession
+    ensureDatabase(spark, db)
+    spark.sql(s"DROP TABLE IF EXISTS $db.$table")
+    val loc = spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db)))
+    val fs = org.apache.hadoop.fs.FileSystem.get(loc, spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(loc), true)
+    df.write.mode("overwrite").saveAsTable(s"$db.$table")
+  }
+
   /** The reference's layer ordering (SURVEY §0): lower layers build first. */
   val LayerOrder: Seq[String] =
     Seq("ods_production", "master", "master_historical", "dwh", "dm_reporting")

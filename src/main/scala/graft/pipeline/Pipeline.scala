@@ -30,10 +30,17 @@ object Pipeline {
     * ones exactly like the reference's temp-table chaining. A `-- target:`
     * header line materializes the result to that path first.
     */
+  /** @param scriptLayoutRoot where multi-statement scripts' `db.table`
+    *                         targets materialize (see [[RedshiftScript]])
+    * @param scriptCurrentDate pin `current_date` inside scripts for
+    *                         deterministic reruns
+    */
   def runSqlDir(
       spark: SparkSession,
       dir: String,
-      continueOnError: Boolean = true): Seq[StageReport] = {
+      continueOnError: Boolean = true,
+      scriptLayoutRoot: Option[String] = None,
+      scriptCurrentDate: Option[String] = None): Seq[StageReport] = {
     val scripts = new java.io.File(dir)
       .listFiles()
       .filter(f => f.isFile && f.getName.endsWith(".sql"))
@@ -45,7 +52,22 @@ object Pipeline {
       val target = sql.linesIterator
         .find(_.trim.startsWith("-- target:"))
         .map(_.trim.stripPrefix("-- target:").trim)
-      Stage(name, s => s.sql(sql), materializePath = target)
+      if (RedshiftScript.splitStatements(sql).size > 1) {
+        // a real reference-shaped script: DROP/CREATE TEMP/DELETE/INSERT/
+        // BEGIN-COMMIT chains run through the statement interpreter; the
+        // file-stem view is the script's final SELECT (when present), so
+        // later scripts chain off it exactly like the one-SELECT form
+        Stage(name, s => {
+          val root = scriptLayoutRoot.getOrElse(
+            java.nio.file.Files.createTempDirectory("graft-script").toString)
+          val res = new RedshiftScript.Runner(s, root, scriptCurrentDate).run(sql)
+          res.reports.find(!_.ok).foreach { r =>
+            throw new RuntimeException(
+              s"${r.verb}${r.target.fold("")(" " + _)} failed: ${r.error.getOrElse("?")}")
+          }
+          res.lastSelect.getOrElse(s.emptyDataFrame)
+        }, materializePath = target)
+      } else Stage(name, s => s.sql(sql), materializePath = target)
     }
     run(spark, stages, continueOnError)
   }

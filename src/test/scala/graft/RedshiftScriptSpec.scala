@@ -1,0 +1,161 @@
+package graft
+
+import graft.pipeline.{Catalog, Pipeline, RedshiftScript}
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** The multi-statement script interpreter against the two canonical
+  * reference shapes: the BEGIN/DELETE/INSERT/COMMIT snapshot-historical
+  * script (`5_master_historical/addon_35up_order_historical.sql`) and the
+  * DROP + CREATE TEMP TABLE … AS + CREATE TABLE AS staging chain
+  * (`1_ods_core/00_subscription.sql`).
+  */
+class RedshiftScriptSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def root(): String = Files.createTempDirectory("graft-script").toString
+
+  test("splitStatements respects strings, line comments and block comments") {
+    val s =
+      """-- a comment; with a semicolon
+        |SELECT 'a;b' AS x; /* block; comment */ SELECT 2;
+        |SELECT 'it''s; fine'""".stripMargin
+    val parts = RedshiftScript.splitStatements(s)
+    assert(parts.size === 3)
+    assert(parts(0).contains("'a;b'"))
+    assert(parts(2).contains("it''s; fine"))
+  }
+
+  test("translate rewrites dialect forms and pins current_date") {
+    val t = RedshiftScript.translate(
+      "SELECT datediff(day, a, b), dateadd(month, 1, c), date_part(dow, d), " +
+        "to_char(e, 'YYYY'), sysdate, current_date - 1, current_date",
+      currentDate = Some("2024-06-01"))
+    assert(t.contains("datediff_rs('day', a, b)"))
+    assert(t.contains("dateadd_rs('month', 1, c)"))
+    assert(t.contains("date_part_rs('dow', d)"))
+    assert(t.contains("to_char_rs(e, 'YYYY')"))
+    assert(t.contains("current_timestamp"))
+    assert(t.contains("date_sub(DATE '2024-06-01', 1)"))
+    assert(!t.toLowerCase.contains("current_date "))
+  }
+
+  test("snapshot-historical script (BEGIN/DELETE/INSERT/COMMIT) runs and is idempotent") {
+    Catalog.replaceTable(Tables.read(spark, sfDir, "orders"), "rs_master", "orders_src")
+    Catalog.replaceTable(
+      Tables.read(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("date", lit(null).cast("date"))
+        .limit(0),
+      "rs_master", "order_hist")
+    val script =
+      """BEGIN;
+        |
+        |DELETE FROM rs_master.order_hist
+        |WHERE date = current_date - 1;
+        |
+        |INSERT INTO rs_master.order_hist
+        |SELECT o_orderkey,
+        |o_custkey,
+        |o_orderstatus,
+        |o_totalprice,
+        |current_date - 1 AS date
+        |FROM rs_master.orders_src
+        |WHERE o_orderdate < current_date;
+        |
+        |COMMIT;""".stripMargin
+    val expected = Tables.read(spark, sfDir, "orders")
+      .filter(col("o_orderdate") < lit("1998-12-01").cast("date")).count()
+
+    val r1 = new RedshiftScript.Runner(spark, root(), Some("1998-12-01")).run(script)
+    assert(r1.ok, r1.reports.mkString("; "))
+    assert(r1.reports.map(_.verb) === Seq("BEGIN", "DELETE", "INSERT", "COMMIT"))
+    assert(spark.table("rs_master.order_hist").count() === expected)
+
+    // second run: DELETE clears yesterday's snapshot, INSERT rebuilds it —
+    // the count must not double
+    val r2 = new RedshiftScript.Runner(spark, root(), Some("1998-12-01")).run(script)
+    assert(r2.ok)
+    val hist = spark.table("rs_master.order_hist")
+    assert(hist.count() === expected)
+    assert(hist.select("date").distinct().collect().map(_.getDate(0).toString).toSeq
+      === Seq("1998-11-30"))
+  }
+
+  test("staging-chain script (DROP + CREATE TEMP + CREATE TABLE AS) with JSON/windows/dialect") {
+    Catalog.replaceTable(Tables.read(spark, sfDir, "events"), "rs_ods", "events_src")
+    val script =
+      """DROP TABLE IF EXISTS stg_user_events;
+        |	CREATE TEMP TABLE stg_user_events
+        |	SORTKEY(user_id)
+        |	DISTKEY(user_id)
+        |    AS
+        |WITH parsed AS (
+        |	SELECT event_id, user_id, event_type, ts,
+        |		NULLIF(json_extract_path_text(props, 'k'), '') AS k
+        |	FROM rs_ods.events_src
+        |),
+        |dedup AS (
+        |	SELECT *,
+        |		COUNT(*) OVER (PARTITION BY user_id) AS total_events,
+        |		ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS idx
+        |	FROM parsed
+        |)
+        |SELECT * FROM dedup WHERE idx = 1;
+        |
+        |DROP TABLE IF EXISTS rs_ods.user_state;
+        |CREATE TABLE rs_ods.user_state AS
+        |SELECT user_id, event_id, event_type, CAST(k AS INT) AS k, total_events,
+        |	datediff(day, ts, current_date) AS days_since_last
+        |FROM stg_user_events;""".stripMargin
+    val res = new RedshiftScript.Runner(spark, root(), Some("2024-06-01")).run(script)
+    assert(res.ok, res.reports.mkString("; "))
+    val out = spark.table("rs_ods.user_state")
+    assert(out.count() === 15) // one row per user
+    assert(out.schema("k").dataType.typeName === "integer")
+    // datediff day boundary-crossing vs the pinned date
+    val sample = out.filter(col("user_id") === 1).collect()(0)
+    assert(sample.getAs[Long]("days_since_last") > 0)
+  }
+
+  test("UPDATE and TRUNCATE verbs") {
+    import sqlImplicits._
+    Catalog.replaceTable(
+      Seq((1, "a", 10.0), (2, "b", 20.0)).toDF("id", "name", "v"), "rs_misc", "tgt")
+    val r = new RedshiftScript.Runner(spark, root()).run(
+      "UPDATE rs_misc.tgt SET name = 'REDACTED', v = v * 2 WHERE id = 2;")
+    assert(r.ok, r.reports.mkString("; "))
+    val rows = spark.table("rs_misc.tgt").orderBy("id")
+      .collect().map(x => (x.getInt(0), x.getString(1), x.getDouble(2))).toSeq
+    assert(rows === Seq((1, "a", 10.0), (2, "REDACTED", 40.0)))
+    val r2 = new RedshiftScript.Runner(spark, root()).run("TRUNCATE TABLE rs_misc.tgt;")
+    assert(r2.ok)
+    assert(spark.table("rs_misc.tgt").count() === 0)
+  }
+
+  test("ROLLBACK discards staged mutations") {
+    import sqlImplicits._
+    Catalog.replaceTable(Seq((1, "keep")).toDF("id", "s"), "rs_misc", "rb")
+    val r = new RedshiftScript.Runner(spark, root()).run(
+      "BEGIN; DELETE FROM rs_misc.rb; ROLLBACK;")
+    assert(r.ok)
+    assert(spark.table("rs_misc.rb").count() === 1)
+  }
+
+  test("runSqlDir routes a multi-statement file through the interpreter") {
+    Catalog.replaceTable(Tables.read(spark, sfDir, "orders"), "rs_dir", "orders_src")
+    val dir = Files.createTempDirectory("graft-sqldir").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/01_build.sql"),
+      """DROP TABLE IF EXISTS rs_dir.big_orders;
+        |CREATE TABLE rs_dir.big_orders AS
+        |SELECT o_orderkey, o_totalprice FROM rs_dir.orders_src WHERE o_totalprice > 200000;
+        |SELECT COUNT(*) AS n FROM rs_dir.big_orders;""".stripMargin)
+    val reports = Pipeline.runSqlDir(spark, dir, continueOnError = false,
+      scriptLayoutRoot = Some(root()))
+    assert(reports.forall(_.ok), reports.mkString("; "))
+    // the file-stem view is the script's final SELECT
+    val n = spark.table("build").collect()(0).getLong(0)
+    assert(n === spark.table("rs_dir.big_orders").count())
+    assert(n > 0)
+  }
+}
