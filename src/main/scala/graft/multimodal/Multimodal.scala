@@ -51,23 +51,24 @@ object Multimodal {
     }
   }
 
-  /** Feature extraction over the binary column: mapPartitions so a codec
-    * would be initialized once per partition, not per row (the shape a
-    * Pandas UDF / Arrow batch iteration has in PySpark).
+  /** Feature extraction over the binary column: `Dataset.mapPartitions`
+    * (NOT `df.rdd`) so a codec would be initialized once per partition —
+    * the shape a Pandas UDF / Arrow batch iteration has in PySpark —
+    * while the stage stays inside the Dataset world: no LogicalRDD
+    * barrier, Tungsten-encoded rows on both sides, and Catalyst can still
+    * prune/push around the MapPartitions node.
     */
   def extractFeatures(media: DataFrame, dim: Int = 64): DataFrame = {
-    val spark = media.sparkSession
     val outSchema = StructType(
       media.schema.fields :+ StructField("features", ArrayType(FloatType), nullable = false))
     val contentIdx = media.schema.fieldIndex("content")
-    val rdd = media.rdd.mapPartitions { rows =>
+    media.mapPartitions { rows =>
       // per-partition "codec init" happens here in a real decoder
       rows.map { r =>
         val content = if (r.isNullAt(contentIdx)) null else r.getAs[Array[Byte]](contentIdx)
         Row.fromSeq(r.toSeq :+ StubDecoder.features(content, dim).toSeq)
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Metadata-only projection — demonstrates that predicates on metadata
@@ -83,9 +84,8 @@ object Multimodal {
     * passed through untouched.
     */
   def resizeImages(media: DataFrame, maxDim: Int): DataFrame = {
-    val spark = media.sparkSession
     val idx = media.schema.fieldNames.zipWithIndex.toMap
-    val rdd = media.rdd.mapPartitions { rows =>
+    media.mapPartitions { rows =>
       // per-partition codec init would happen here
       rows.map { r =>
         if (r.getString(idx("media_type")) != "image" || r.isNullAt(idx("width"))) r
@@ -102,8 +102,7 @@ object Multimodal {
             .updated(idx("content"), content))
         }
       }
-    }
-    spark.createDataFrame(rdd, media.schema)
+    }(org.apache.spark.sql.Encoders.row(media.schema))
   }
 
   /** Sample every `everyNth` frame of each video into one row per frame
@@ -128,7 +127,9 @@ object Multimodal {
       .select("media_id", "frame_idx", "frame_ts_ms", "frame", "format")
   }
 
-  /** Deterministic synthetic media table for tests. */
+  /** Deterministic synthetic media table for tests (a LocalRelation, not
+    * an RDD source, so downstream plans contain no ExistingRDD at all).
+    */
   def synthetic(spark: SparkSession, n: Int): DataFrame = {
     val rows = (0 until n).map { i =>
       val payload = Array.tabulate[Byte](64 + (i % 32))(j => ((i * 31 + j) % 127).toByte)
@@ -138,6 +139,7 @@ object Multimodal {
         if (i % 3 != 0) java.lang.Long.valueOf(1000L * (i % 60)) else null,
         Seq("png", "wav", "mp4")(i % 3))
     }
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), mediaSchema)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, mediaSchema).repartition(4)
   }
 }

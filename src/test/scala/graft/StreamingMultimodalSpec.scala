@@ -73,6 +73,17 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(out === Seq(("2024-01-01 10:00:00", 2L, 3.0), ("2024-01-01 11:00:00", 1L, 4.0)))
   }
 
+  test("multimodal stages stay in the Dataset world: no ExistingRDD in the plan") {
+    val media = Multimodal.synthetic(spark, 30)
+    for (df <- Seq(Multimodal.extractFeatures(media, dim = 8),
+                   Multimodal.resizeImages(media, maxDim = 100))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("ExistingRDD"), p)
+      assert(p.contains("MapPartitions"), p)
+      assert(p.contains("SerializeFromObject"), p) // Tungsten on the way out
+    }
+  }
+
   test("multimodal feature extraction is deterministic and schema-stable") {
     val media = Multimodal.synthetic(spark, 30)
     val f1 = Multimodal.extractFeatures(media, dim = 8)
