@@ -77,12 +77,13 @@ object Similarity {
 
   /** IVF-style ANN: assign every vector to its nearest of `nCells` centroid
     * cells (centroids = deterministic sample of the corpus), then search a
-    * query only against its own cell's members (nProbe=1 here; raise by
-    * unioning additional cells).
+    * query only against the members of its `nProbe` nearest cells.
     *
     * At scale: centroids broadcast (tiny), assignment is a map-side
     * transform, and the candidate join shuffles on cell id — fan-out is
-    * corpusSize/nCells per query instead of corpusSize.
+    * nProbe × corpusSize/nCells per query instead of corpusSize. Raising
+    * nProbe buys recall linearly in candidate cost (the classic IVF
+    * recall/latency dial); the corpus side always indexes at rn=1.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -90,7 +91,9 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      nCells: Int): DataFrame = {
+      nCells: Int,
+      nProbe: Int = 1): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells, "1 <= nProbe <= nCells")
     // deterministic centroid pick: lowest ids (a real impl would k-means;
     // the join topology — the part that matters at scale — is identical)
     val centroids = corpus
@@ -98,7 +101,7 @@ object Similarity {
       .orderBy(col("cell_id"))
       .limit(nCells)
 
-    def assign(df: DataFrame, id: String, v: String): DataFrame = {
+    def assign(df: DataFrame, id: String, v: String, probes: Int): DataFrame = {
       val scored = df
         .select(col(idCol).as(id), col(vecCol).as(v))
         .repartition(df.sparkSession.sparkContext.defaultParallelism)
@@ -107,12 +110,12 @@ object Similarity {
       val w = Window.partitionBy(col(id)).orderBy(col("sim").desc, col("cell_id"))
       scored
         .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .filter(col("rn") <= probes)
         .select(col(id), col(v), col("cell_id").as(s"${id}_cell"))
     }
 
-    val c = assign(corpus, "corpus_id", "cvec")
-    val q = assign(queries, "query_id", "qvec")
+    val c = assign(corpus, "corpus_id", "cvec", probes = 1)
+    val q = assign(queries, "query_id", "qvec", probes = nProbe)
     val scored = q
       .join(c, col("query_id_cell") === col("corpus_id_cell") && col("query_id") =!= col("corpus_id"))
       .withColumn("cosine", Vectors.cosineSimilarity(col("qvec"), col("cvec")))

@@ -49,6 +49,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfTopK nProbe=2 recall vs brute force dominates nProbe=1") {
+    val n = 60
+    val vecs = (0 until n).map { i =>
+      val angle = i * math.Pi / n
+      (i.toLong, Seq(math.cos(angle), math.sin(angle)))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", k = 3)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(nProbe: Int): Double = {
+      val got = Similarity
+        .ivfTopK(vecs, queries, "vec_id", "embedding", k = 3, nCells = 6, nProbe = nProbe)
+        .select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val r1 = recall(1)
+    val r2 = recall(2)
+    // probing a second cell can only add candidates → recall is monotone,
+    // and on this ring geometry it strictly improves boundary queries
+    assert(r2 >= r1, s"recall(2)=$r2 < recall(1)=$r1")
+    assert(r2 > 0.6, s"recall(2)=$r2")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(vecs, queries, "vec_id", "embedding", k = 3, nCells = 4, nProbe = 9)
+    }
+  }
+
   test("embedding dedup finds a planted near-duplicate vector and drops it") {
     import graft.ops.Dedup
     val base = Seq(1.0, 2.0, 3.0, 4.0)
