@@ -1,0 +1,70 @@
+package graft
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import graft.io.HttpSink
+import java.net.InetSocketAddress
+import java.util.concurrent.atomic.AtomicInteger
+
+/** The reverse-ETL HTTP sink against an in-test HTTP stub: chunking,
+  * retry-with-backoff on 5xx, and full delivery.
+  */
+class HttpSinkSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def withServer(failFirst: Int)(test: (String, java.util.List[String]) => Unit): Unit = {
+    val received = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val failures = new AtomicInteger(failFirst)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/upsert", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        if (failures.getAndDecrement() > 0) {
+          ex.sendResponseHeaders(503, -1)
+        } else {
+          received.add(body)
+          ex.sendResponseHeaders(200, -1)
+        }
+        ex.close()
+      }
+    })
+    server.start()
+    try test(s"http://127.0.0.1:${server.getAddress.getPort}/upsert", received)
+    finally server.stop(0)
+  }
+
+  test("posts every row in bounded JSON-array chunks") {
+    withServer(failFirst = 0) { (url, received) =>
+      val df = (1 to 23).map(i => (i, s"user_$i")).toDF("id", "external_id").repartition(3)
+      HttpSink.postJsonBatches(df, HttpSink.Config(url, batchSize = 5))
+      val bodies = received.toArray(Array.empty[String]).toSeq
+      // every chunk is a JSON array of at most batchSize rows
+      bodies.foreach { b => assert(b.startsWith("[") && b.endsWith("]")) }
+      val rows = bodies.flatMap(_.stripPrefix("[").stripSuffix("]").split("(?<=\\}),(?=\\{)"))
+      assert(rows.size === 23)
+      assert(bodies.forall(_.split("\\},\\{").length <= 5))
+      val ids = rows.flatMap("\"id\":(\\d+)".r.findFirstMatchIn(_).map(_.group(1).toInt)).sorted
+      assert(ids === (1 to 23))
+    }
+  }
+
+  test("retries with backoff through transient 5xx and still delivers") {
+    withServer(failFirst = 2) { (url, received) =>
+      val df = (1 to 4).map(i => (i, s"u$i")).toDF("id", "external_id").coalesce(1)
+      HttpSink.postJsonBatches(df,
+        HttpSink.Config(url, batchSize = 10, maxRetries = 4, initialBackoffMs = 10))
+      assert(received.size === 1) // delivered exactly once after the retries
+      assert(received.get(0).contains("\"u1\""))
+    }
+  }
+
+  test("exhausted retries fail the job (at-least-once, never silent loss)") {
+    withServer(failFirst = Int.MaxValue) { (url, _) =>
+      val df = Seq((1, "u1")).toDF("id", "external_id").coalesce(1)
+      val e = intercept[org.apache.spark.SparkException] {
+        HttpSink.postJsonBatches(df,
+          HttpSink.Config(url, maxRetries = 1, initialBackoffMs = 5))
+      }
+      assert(e.getMessage.contains("failed") || e.getCause != null)
+    }
+  }
+}
