@@ -33,9 +33,20 @@ object Aggregators {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
-  /** Longest streak of consecutive true values in event-time order —
-    * a typed aggregate no built-in composes (buffer carries prefix/suffix
-    * runs so partial merges stay associative over ordered segments).
+  /** Longest streak of consecutive true values — a typed aggregate no
+    * built-in composes (buffer carries prefix/suffix runs so partial
+    * merges compose over ordered segments).
+    *
+    * ==ORDERING CONTRACT (read this before using)==
+    * The merge is only correct when partial buffers combine in the values'
+    * logical order — but Spark merges shuffled partials in ARBITRARY order
+    * and row order inside a partition is not event-time. This Aggregator
+    * is therefore only safe over input that is (a) a single pre-sorted
+    * partition, or (b) per-group data sorted within each group's single
+    * partition (`repartition(key).sortWithinPartitions(key, ts)` where
+    * each group fits one partition). For the general distributed case use
+    * [[longestTrueStreakOrdered]], which makes the ordering explicit via a
+    * window and is partition-invariant.
     */
   final case class StreakBuf(best: Long, prefix: Long, suffix: Long, len: Long, allTrue: Boolean)
 
@@ -55,5 +66,35 @@ object Aggregators {
     override def finish(r: StreakBuf): Long = r.best
     override def bufferEncoder: Encoder[StreakBuf] = Encoders.product[StreakBuf]
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** Longest consecutive-true streak per key with an EXPLICIT ordering —
+    * the distributed-safe form of [[LongestTrueStreak]]: gaps-and-islands
+    * via two window row_numbers (their difference is constant within a
+    * run of trues), then a max over run lengths. Partition-invariant:
+    * every shuffle is on the group key, order comes from `orderCols`,
+    * never from physical row order. Keys whose column is never true get
+    * streak 0.
+    */
+  def longestTrueStreakOrdered(
+      df: org.apache.spark.sql.DataFrame,
+      keyCol: String,
+      orderCols: Seq[org.apache.spark.sql.Column],
+      boolCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val wAll = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    val runs = df
+      .withColumn("__rn", row_number().over(wAll))
+      .filter(col(boolCol))
+      .withColumn("__grp",
+        col("__rn") - row_number().over(Window.partitionBy(col(keyCol)).orderBy(col("__rn"))))
+      .groupBy(col(keyCol), col("__grp"))
+      .agg(count(lit(1)).as("__run"))
+      .groupBy(col(keyCol))
+      .agg(max(col("__run")).as("longest_true_streak"))
+    df.select(col(keyCol)).distinct()
+      .join(runs, Seq(keyCol), "left")
+      .withColumn("longest_true_streak", coalesce(col("longest_true_streak"), lit(0L)))
   }
 }

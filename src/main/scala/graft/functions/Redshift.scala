@@ -93,8 +93,13 @@ object Redshift {
       case "month" =>
         ((year(end) - year(start)) * 12 + (month(end) - month(start))).cast("long")
       case "week" =>
-        // boundary = Monday (Redshift weeks start Monday for datediff)
-        (datediff(date_trunc("week", end), date_trunc("week", start)) / 7).cast("long")
+        // Redshift DATEDIFF counts SUNDAY boundaries (a week boundary is
+        // the Saturday→Sunday transition), even though its own
+        // DATE_TRUNC('week') is Monday-based. Sunday-on-or-before(d) =
+        // monday_trunc(d + 1 day) - 1 day.
+        def sundayFloor(c: Column): Column =
+          date_sub(date_trunc("week", date_add(c.cast("date"), 1)).cast("date"), 1)
+        (datediff(sundayFloor(end), sundayFloor(start)) / 7).cast("long")
       case "day" =>
         datediff(end.cast("date"), start.cast("date")).cast("long")
       case "hour" | "minute" | "second" =>

@@ -16,12 +16,32 @@ class AggregatorsSpec extends SparkSpec {
     assert(empty.getDouble(0) === 0.0)
   }
 
-  test("LongestTrueStreak is associative across partition splits") {
+  test("LongestTrueStreak merges ordered segments (single-partition contract)") {
     val flags = Seq(true, true, false, true, true, true, false, true)
-    // typed aggregation over a deliberately multi-partition dataset:
-    // ordered-segment merge must reconstruct the global streak
+    // the Aggregator's documented contract: single pre-sorted partition
+    // (Spark merges shuffled partials in arbitrary order — see the
+    // ORDERING CONTRACT scaladoc; distributed callers use
+    // longestTrueStreakOrdered)
     val ds = spark.createDataset(flags)(sqlImplicits.newBooleanEncoder).repartitionByRange(1, lit(1))
     val result = ds.select(Aggregators.LongestTrueStreak.toColumn).collect()(0)
     assert(result === 3L)
+  }
+
+  test("longestTrueStreakOrdered is partition-invariant with explicit ordering") {
+    import sqlImplicits._
+    val rows = Seq(
+      // key a: T T F T T T F T → 3; deliberately out of order in the input
+      ("a", 5, true), ("a", 1, true), ("a", 3, false), ("a", 2, true),
+      ("a", 4, true), ("a", 6, true), ("a", 7, false), ("a", 8, true),
+      // key b: never true → 0
+      ("b", 1, false), ("b", 2, false),
+      // key c: all true → 4
+      ("c", 1, true), ("c", 2, true), ("c", 3, true), ("c", 4, true))
+    for (parts <- Seq(1, 7)) {
+      val df = rows.toDF("k", "ord", "flag").repartition(parts)
+      val out = Aggregators.longestTrueStreakOrdered(df, "k", Seq(col("ord")), "flag")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out === Map("a" -> 3L, "b" -> 0L, "c" -> 4L), s"parts=$parts")
+    }
   }
 }

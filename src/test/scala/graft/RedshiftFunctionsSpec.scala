@@ -25,9 +25,13 @@ class RedshiftFunctionsSpec extends SparkSpec {
     assert(dd("second", "2024-01-01 00:00:00.9", "2024-01-01 00:00:01.1") === 1L)
     assert(dd("quarter", "2024-03-31", "2024-04-01") === 1L)
     assert(dd("day", "2024-01-02", "2024-01-01") === -1L) // negative direction
-    // week boundary = Monday: Sun 2024-08-11 → Mon 2024-08-12 crosses one
-    assert(dd("week", "2024-08-11", "2024-08-12") === 1L)
-    assert(dd("week", "2024-08-12", "2024-08-18") === 0L) // Mon→Sun same week
+    // week boundary = SUNDAY (Redshift DATEDIFF counts Sat→Sun
+    // transitions, unlike its Monday-based DATE_TRUNC('week')):
+    assert(dd("week", "2024-08-10", "2024-08-11") === 1L) // Sat→Sun crosses
+    assert(dd("week", "2024-08-11", "2024-08-12") === 0L) // Sun→Mon same week
+    assert(dd("week", "2024-08-11", "2024-08-17") === 0L) // Sun→Sat same week
+    assert(dd("week", "2024-08-11", "2024-08-18") === 1L) // next Sunday
+    assert(dd("week", "2024-08-01", "2024-08-31") === 4L) // Thu → Sat, 4 Sundays between
   }
 
   test("dateAdd with Redshift argument order and unit aliases") {

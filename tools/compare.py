@@ -29,7 +29,11 @@ def canon(rows, cols):
         if isinstance(v, float):
             if math.isnan(v):
                 return "NaN"
-            return f"{v:.6g}"
+            # stricter than the driver's %.6g (6 SIGNIFICANT digits, which
+            # hides cent-level drift in 7+ digit aggregates): combine a
+            # relative form with an absolute 4-decimal form so both large
+            # and small divergences surface locally
+            return f"{v:.10g}|{v:.4f}"
         if isinstance(v, list):
             return "[" + ",".join(cv(x) for x in v) + "]"
         return str(v)
