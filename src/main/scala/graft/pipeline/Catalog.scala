@@ -50,6 +50,68 @@ object Catalog {
     df.write.mode("overwrite").saveAsTable(s"$db.$table")
   }
 
+  /** CREATE OR REPLACE VIEW — the reference's presentation layer
+    * (222 `v_*` view files, `4_dwh_core/v_daily_kpi_report.sql:1-2`):
+    * a saved logical plan in the session catalog, recomputed per query.
+    */
+  def createOrReplaceView(spark: SparkSession, name: String, viewSql: String): Unit = {
+    val parts = name.split("\\.")
+    if (parts.length > 1) ensureDatabase(spark, parts.head)
+    spark.sql(s"CREATE OR REPLACE VIEW $name AS $viewSql")
+  }
+
+  /** Materialized view as materialize-plus-refresh (the reference has 8;
+    * Spark has no native MV): the defining SQL is stored beside the data
+    * so [[refreshMaterializedView]] can re-run it — each refresh writes
+    * new data and swaps it in atomically ([[graft.io.Writers.atomicSwap]]),
+    * so readers always see a complete snapshot.
+    */
+  def createMaterializedView(
+      spark: SparkSession,
+      name: String,
+      viewSql: String,
+      path: String): Unit = {
+    val parts = name.split("\\.")
+    if (parts.length > 1) ensureDatabase(spark, parts.head)
+    writeText(spark, defPath(path), viewSql)
+    spark.sql(viewSql).write.mode("overwrite").parquet(path)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name USING parquet LOCATION '$path'")
+  }
+
+  /** Re-run the stored definition and swap the result in atomically. */
+  def refreshMaterializedView(spark: SparkSession, name: String): Unit = {
+    val path = spark.sessionState.catalog
+      .getTableMetadata(tableId(name)).location.getPath
+    val viewSql = readText(spark, defPath(path))
+    val tmp = path + "__refresh"
+    spark.sql(viewSql).write.mode("overwrite").parquet(tmp)
+    graft.io.Writers.atomicSwap(spark, tmp, path)
+    spark.sql(s"REFRESH TABLE $name")
+  }
+
+  private def tableId(name: String): org.apache.spark.sql.catalyst.TableIdentifier = {
+    val parts = name.split("\\.")
+    org.apache.spark.sql.catalyst.TableIdentifier(
+      parts.last, if (parts.length > 1) Some(parts.head) else None)
+  }
+
+  private def defPath(dataPath: String): String = dataPath + ".mvdef.sql"
+
+  private def writeText(spark: SparkSession, path: String, text: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readText(spark: SparkSession, path: String): String = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path))
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
   /** The reference's layer ordering (SURVEY §0): lower layers build first. */
   val LayerOrder: Seq[String] =
     Seq("ods_production", "master", "master_historical", "dwh", "dm_reporting")

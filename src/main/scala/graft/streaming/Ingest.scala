@@ -103,6 +103,51 @@ object Ingest {
     } finally b.unpersist()
   }
 
+  /** The wire schema the `spark-sql-kafka` source emits — pinned here so
+    * the contract test and a real Kafka deployment share one shape.
+    */
+  val kafkaWireSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.BinaryType),
+    org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.BinaryType),
+    org.apache.spark.sql.types.StructField("topic", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("partition", org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("offset", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("timestamp", org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("timestampType", org.apache.spark.sql.types.IntegerType)))
+
+  /** Kafka entity-event ingestion (SURVEY §2.1 S5): the same
+    * parse → watermark-dedup → date/hour merge-sink chain as the file
+    * source, over the exact DataFrame shape the `spark-sql-kafka` source
+    * produces (`value` is the JSON payload). In production the input is
+    * `spark.readStream.format("kafka")…load()` — the connector jar is not
+    * in this container, so the contract test drives the chain with a
+    * MemoryStream of [[kafkaWireSchema]]-shaped records; everything from
+    * the first select onward is identical either way.
+    */
+  def kafkaShapedToPartitionedParquet(
+      kafka: DataFrame,
+      schema: StructType,
+      targetDir: String,
+      checkpointDir: String,
+      idCol: String,
+      tsCol: String,
+      lateness: String = "2 hours"): StreamingQuery = {
+    val parsed = kafka
+      .select(from_json(col("value").cast("string"), schema).as("__r"))
+      .select("__r.*")
+      .withWatermark(tsCol, lateness)
+      .dropDuplicates(idCol, tsCol)
+      .withColumn("date", to_date(col(tsCol)))
+      .withColumn("hour", hour(col(tsCol)))
+    parsed.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeBatchIntoPartitions(batch, targetDir, Seq(idCol, tsCol))
+      }
+      .start()
+  }
+
   /** Windowed streaming aggregation with watermark (tumbling event-time
     * windows — the daily/weekly KPI tables' streaming form).
     */

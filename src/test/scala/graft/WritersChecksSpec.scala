@@ -84,6 +84,27 @@ class WritersChecksSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__old")))
   }
 
+  test("view + materialized view: definition persists, refresh swaps in new data") {
+    import graft.pipeline.Catalog
+    Catalog.replaceTable(
+      Seq((1, 10.0), (2, 20.0)).toDF("id", "v"), "rs_mv", "src")
+    // plain view recomputes per query
+    Catalog.createOrReplaceView(spark, "rs_mv.v_sum",
+      "SELECT CAST(SUM(v) AS DOUBLE) AS total FROM rs_mv.src")
+    assert(spark.table("rs_mv.v_sum").collect()(0).getDouble(0) === 30.0)
+    // materialized view is frozen until refreshed
+    val mvPath = tmp() + "/mv_sum"
+    Catalog.createMaterializedView(spark, "rs_mv.mv_sum",
+      "SELECT CAST(SUM(v) AS DOUBLE) AS total FROM rs_mv.src", mvPath)
+    assert(spark.table("rs_mv.mv_sum").collect()(0).getDouble(0) === 30.0)
+    Catalog.replaceTable(
+      Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("id", "v"), "rs_mv", "src")
+    assert(spark.table("rs_mv.v_sum").collect()(0).getDouble(0) === 60.0) // view follows
+    assert(spark.table("rs_mv.mv_sum").collect()(0).getDouble(0) === 30.0) // MV frozen
+    Catalog.refreshMaterializedView(spark, "rs_mv.mv_sum")
+    assert(spark.table("rs_mv.mv_sum").collect()(0).getDouble(0) === 60.0)
+  }
+
   test("checks: rowCount, unique, notNull, continuity, invariant, freshness") {
     val df = Seq((1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-01-03"))
       .toDF("id", "d").withColumn("d", col("d").cast("date"))
