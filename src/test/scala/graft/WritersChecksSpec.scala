@@ -105,6 +105,46 @@ class WritersChecksSpec extends SparkSpec {
     assert(spark.table("rs_mv.mv_sum").collect()(0).getDouble(0) === 60.0)
   }
 
+  test("runFused evaluates all checks in one aggregate job, matching individual results") {
+    import sqlImplicits._
+    val df = Seq(
+      (1, "2024-01-01", "x", 5.0), (2, "2024-01-02", "y", 6.0),
+      (3, "2024-01-03", null, 7.0), (3, "2024-01-03", "z", -1.0))
+      .toDF("id", "d", "s", "v").withColumn("d", col("d").cast("date"))
+    val now = java.time.Instant.parse("2024-01-04T00:00:00Z")
+    val specs = Seq(
+      Checks.RowCountSpec(1),
+      Checks.UniqueSpec(Seq("id")),
+      Checks.NotNullSpec(Seq("s")),
+      Checks.ContinuitySpec("d"),
+      Checks.InvariantSpec("v_positive", col("v") > 0))
+    def countJobs(body: => Seq[Boolean]): (Int, Seq[Boolean]) = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val r = body
+        Thread.sleep(500) // let the listener bus drain
+        (jobs.get(), r)
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val (fusedJobs, fused) = countJobs(Checks.runFused(df, specs, now).map(_.passed))
+    val (indivJobs, indiv) = countJobs(Seq(
+      Checks.rowCount(df, 1).passed,
+      Checks.unique(df, Seq("id")).passed,
+      Checks.notNull(df, Seq("s")).passed,
+      Checks.dateContinuity(df, "d").passed,
+      Checks.invariant(df, "v_positive", col("v") > 0).passed))
+    // one QUERY for all five checks (AQE may stage it into 2-3 jobs) vs
+    // five separate queries on the individual path
+    assert(fusedJobs < indivJobs, s"fused=$fusedJobs individual=$indivJobs")
+    assert(fused === indiv)
+    assert(fused === Seq(true, false, false, true, false))
+  }
+
   test("checks: rowCount, unique, notNull, continuity, invariant, freshness") {
     val df = Seq((1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-01-03"))
       .toDF("id", "d").withColumn("d", col("d").cast("date"))
