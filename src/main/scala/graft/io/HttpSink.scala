@@ -41,7 +41,7 @@ object HttpSink {
     }
   }
 
-  private[io] def postWithRetry(
+  private[graft] def postWithRetry(
       client: java.net.http.HttpClient,
       conf: Config,
       body: String): Unit = {

@@ -22,6 +22,28 @@ object Pipeline {
 
   final case class StageReport(name: String, ok: Boolean, seconds: Double, error: Option[String])
 
+  /** Status notification hook (SURVEY §2.1 S12 — the reference POSTs DAG
+    * status to a Slack webhook): send the run's stage reports as one JSON
+    * payload, with the same retry/backoff discipline as the reverse-ETL
+    * sink. Driver-side (reports are tiny); failures throw after retries
+    * so a broken webhook is visible, not silent.
+    */
+  def notifyWebhook(
+      reports: Seq[StageReport],
+      url: String,
+      maxRetries: Int = 3): Unit = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n")
+    val body = reports.map { r =>
+      s"""{"name":"${esc(r.name)}","ok":${r.ok},"seconds":${r.seconds},""" +
+        s""""error":${r.error.map(e => "\"" + esc(e) + "\"").getOrElse("null")}}"""
+    }.mkString("""{"stages":[""", ",", s"""],"ok":${reports.forall(_.ok)}}""")
+    graft.io.HttpSink.postWithRetry(
+      java.net.http.HttpClient.newHttpClient(),
+      graft.io.HttpSink.Config(url, maxRetries = maxRetries, initialBackoffMs = 100),
+      body)
+  }
+
   /** Run a directory of SQL scripts in sorted filename order — the
     * reference's `RunQueryFromRepoOperator` over numbered script dirs
     * (`Datawarehouse-ETL/1_ods_core/00_*.sql` …;

@@ -57,6 +57,20 @@ class HttpSinkSpec extends SparkSpec {
     }
   }
 
+  test("pipeline webhook notification posts stage reports as one JSON payload") {
+    import graft.pipeline.Pipeline
+    withServer(failFirst = 1) { (url, received) => // one 503 to exercise retry
+      Pipeline.notifyWebhook(Seq(
+        Pipeline.StageReport("ods", ok = true, 1.5, None),
+        Pipeline.StageReport("mart", ok = false, 0.2, Some("boom \"quoted\""))), url)
+      assert(received.size === 1)
+      val body = received.get(0)
+      assert(body.contains("\"name\":\"ods\"") && body.contains("\"ok\":false"))
+      assert(body.contains("boom \\\"quoted\\\""))
+      assert(body.endsWith("\"ok\":false}")) // run-level status
+    }
+  }
+
   test("exhausted retries fail the job (at-least-once, never silent loss)") {
     withServer(failFirst = Int.MaxValue) { (url, _) =>
       val df = Seq((1, "u1")).toDF("id", "external_id").coalesce(1)

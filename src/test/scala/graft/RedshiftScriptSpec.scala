@@ -133,6 +133,40 @@ class RedshiftScriptSpec extends SparkSpec {
     assert(spark.table("rs_misc.tgt").count() === 0)
   }
 
+  test("MERGE INTO upserts: matched rows take SET columns, unmatched insert (reference shape)") {
+    import sqlImplicits._
+    Catalog.replaceTable(
+      Seq((1L, "alice", "old-state", "keep-note"), (2L, "bob", "stale", "note2"))
+        .toDF("subscription_id", "owner", "current_state", "team_notes"),
+      "rs_merge", "retained")
+    Catalog.replaceTable(
+      Seq((2L, "bob-src", "active", "fresh"), (3L, "carol", "new", "hello"))
+        .toDF("subscription_id", "owner", "current_state", "team_notes"),
+      "rs_merge", "updates")
+    // mirrors last_payment_event.sql:23-45: SET updates SOME columns
+    // (owner is NOT in the SET list and must survive), INSERT takes all
+    val r = new RedshiftScript.Runner(spark, root()).run(
+      """MERGE INTO rs_merge.retained
+        |USING rs_merge.updates dcc
+        |	ON rs_merge.retained.subscription_id = dcc.subscription_id
+        |WHEN MATCHED THEN
+        |UPDATE
+        |	SET current_state = dcc.current_state,
+        |	team_notes = dcc.team_notes
+        |WHEN NOT MATCHED THEN INSERT VALUES
+        |	(dcc.subscription_id,
+        |	dcc."owner",
+        |	dcc.current_state,
+        |	dcc.team_notes);""".stripMargin)
+    assert(r.ok, r.reports.mkString("; "))
+    val out = spark.table("rs_merge.retained").orderBy("subscription_id")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getString(3))).toSeq
+    assert(out === Seq(
+      (1L, "alice", "old-state", "keep-note"), // untouched
+      (2L, "bob", "active", "fresh"),          // SET applied; owner kept
+      (3L, "carol", "new", "hello")))          // inserted
+  }
+
   test("ROLLBACK discards staged mutations") {
     import sqlImplicits._
     Catalog.replaceTable(Seq((1, "keep")).toDF("id", "s"), "rs_misc", "rb")
