@@ -438,6 +438,20 @@ object QueriesLLM {
     spark.table("g55_master.order_hist")
   }
 
+  /** End-to-end corpus cleaning (the C4/CCNet composition as ONE engine
+    * operator): quality filter → language filter → exact dedup, over a
+    * corpus with planted duplicates. The MinHash near-dedup stage is
+    * exercised in CorpusSpec (xxhash sketches are not DuckDB-replicable).
+    */
+  def q56_corpus_clean(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 10000))
+    graft.ops.Corpus
+      .clean(doubled, "doc_id", "text",
+        minQuality = Some(0.3), keepLangs = Seq("en", "de", "fr"))
+      .select(col("doc_id"), col("lang_pred"), col("quality_score"))
+  }
+
   /** §2.8 TO_NUMBER EU-locale money parse round-trip
     * (`1_ods_grover_card/01_grover_card_transactions.sql:30`).
     */

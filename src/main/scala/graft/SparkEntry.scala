@@ -73,7 +73,8 @@ object SparkEntry {
     "q52_forward_fill" -> (QueriesLLM.q52_forward_fill _),
     "q53_rfm_segmentation" -> (QueriesLLM.q53_rfm_segmentation _),
     "q54_script_subscription" -> (QueriesLLM.q54_script_subscription _),
-    "q55_script_historical" -> (QueriesLLM.q55_script_historical _)
+    "q55_script_historical" -> (QueriesLLM.q55_script_historical _),
+    "q56_corpus_clean" -> (QueriesLLM.q56_corpus_clean _)
   )
 
   /** Shared DuckDB fragment: Text.normalizeForDedup equivalent. */
@@ -118,6 +119,47 @@ object SparkEntry {
 
   private def stopwordListSql: String =
     graft.functions.Text.Stopwords.map(s => s"'$s'").mkString(", ")
+
+  /** DuckDB replica of q56's corpus-clean chain: quality score (q33's
+    * formula) + language prediction (q34's cascade) + filters + exact
+    * dedup on normalized text, over the doubled corpus.
+    */
+  private def q56Oracle: String = {
+    val profiles = graft.functions.Text.LangProfiles
+    val scoreCols = profiles
+      .map { case (lang, ws, cs) => s"${langScoreSql(ws, cs)} AS s_$lang" }
+      .mkString(",\n    ")
+    val langsDesc = profiles.map(_._1).sortBy(identity).reverse
+    val allScores = profiles.map(p => s"s_${p._1}").mkString(", ")
+    val cascade = langsDesc.init.zipWithIndex
+      .map { case (lang, i) =>
+        val rest = langsDesc.drop(i + 1).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+        s"WHEN $rest THEN '$lang'"
+      }
+      .mkString("\n      ")
+    s"""WITH doubled AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000 AS doc_id, text FROM documents),
+       |base AS (SELECT doc_id, text, ' ' || LOWER(text) || ' ' AS t,
+       |    STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM doubled),
+       |scored AS (SELECT doc_id, text, toks,
+       |    $scoreCols,
+       |    CASE WHEN LENGTH(text) = 0 THEN 0.0 ELSE LEN(REGEXP_EXTRACT_ALL(text, '[[:punct:]]')) * 1.0 / LENGTH(text) END AS punct_ratio,
+       |    CASE WHEN LEN(toks) = 0 THEN 0.0 ELSE LEN(LIST_FILTER(toks, x -> x IN ($stopwordListSql))) * 1.0 / LEN(toks) END AS stopword_ratio
+       |  FROM base),
+       |pred AS (SELECT doc_id, text,
+       |    CASE WHEN GREATEST($allScores) <= 0 THEN 'und'
+       |      $cascade
+       |      ELSE '${langsDesc.last}' END AS lang_pred,
+       |    ROUND(LEAST(LENGTH(text) / 500.0, 1.0) * 0.4 + LEAST(stopword_ratio * 4.0, 1.0) * 0.3 + GREATEST(1.0 - punct_ratio * 5.0, 0.0) * 0.3, 6) AS quality_score
+       |  FROM scored),
+       |filtered AS (SELECT * FROM pred
+       |  WHERE quality_score >= 0.3 AND lang_pred IN ('en', 'de', 'fr')),
+       |kept AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY ${normSql("text")} ORDER BY doc_id) AS rn
+       |  FROM filtered)
+       |SELECT doc_id, lang_pred, quality_score FROM kept WHERE rn = 1""".stripMargin
+  }
 
   /** DuckDB replica of q48's hyperplane LSH: the planes are deterministic
     * ([[graft.functions.Vectors.hyperplanes]], seed 42), so they embed as
@@ -579,6 +621,7 @@ object SparkEntry {
         |FROM dedup WHERE idx = 1""".stripMargin,
     "q55_script_historical" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, DATE '1998-11-30' AS date
-        |FROM orders WHERE o_orderdate < TIMESTAMP '1998-12-01'""".stripMargin
+        |FROM orders WHERE o_orderdate < TIMESTAMP '1998-12-01'""".stripMargin,
+    "q56_corpus_clean" -> q56Oracle
   )
 }
