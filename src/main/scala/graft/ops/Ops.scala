@@ -391,21 +391,29 @@ object Ops {
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val cols = df.columns.toSeq
+    // localCheckpoint is REQUIRED for correctness, not an optimization:
+    // the rank branch and the counts branch below both consume this frame,
+    // and without a materialization barrier each branch re-executes the
+    // range exchange — whose SAMPLED boundaries can differ between
+    // executions, assigning rows to different partitions in each branch.
+    // Offsets computed against one partitioning and local ranks against
+    // another silently corrupt the global rank (caught by a local[3] vs
+    // local[16] invariance sweep). Materializing once pins a single
+    // partitioning for every consumer; on a cluster this is
+    // persist/checkpoint of the projected table — the textbook cost of
+    // any distributed global rank (cf. TeraSort's sampled partitioner).
     val ranged = df
       .repartitionByRange(n, orderBy: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     val ranked = ranged.withColumn(
       "__lrank",
       rank().over(Window.partitionBy(col("__pid")).orderBy(orderBy: _*)))
     // cumulative offsets over the numPartitions-row counts table in ONE
     // window pass. The window partitions on a constant: a single
     // partition of ~numPartitions rows, bounded BY CONSTRUCTION (never
-    // data volume) — and exactly one extra reference to `ranged`: chained
-    // rank calls duplicate the input subtree 2×/level instead of 4×
-    // (the triangular-self-join formulation put 80 scan subtrees in the
-    // 3-rank RFM plan; this form has 8, and AQE stage reuse deduplicates
-    // the identical exchanges at runtime). Callers chaining many ranks
-    // over an expensive input should persist/checkpoint it first.
+    // data volume). Both this branch and the rank branch read the
+    // checkpointed `ranged`, so neither re-executes the input.
     // pmod(__pid, 1) ≡ 0 but column-dependent, so ConstantFolding cannot
     // strip the partition spec and re-plan this as a global window
     val pidW = Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy(col("__pid"))

@@ -111,4 +111,31 @@ class OpsSpec extends SparkSpec {
     val out = Ops.changedRows(cur, last).collect().map(r => (r.getInt(0), r.getString(1))).toSeq
     assert(out === Seq((1, "a")))
   }
+
+  test("withGlobalRank/PercentRank: exact ranks with ties, invariant across partitionings") {
+    // values with deliberate ties; rank must use SQL RANK tie semantics
+    // and be identical no matter how the input is partitioned (regression:
+    // un-materialized dual execution of the range exchange let the two
+    // branches see different sampled boundaries)
+    val values = Seq(5, 1, 3, 3, 9, 7, 3, 1, 8, 6, 2, 2, 4, 9, 0)
+    val expectRank = {
+      val sorted = values.sorted
+      values.map(v => sorted.indexOf(v) + 1) // first index of the tie group
+    }
+    for (parts <- Seq(1, 2, 7)) {
+      val df = values.zipWithIndex.map { case (v, i) => (i, v) }
+        .toDF("id", "v").repartition(parts)
+      val out = Ops.withGlobalRank(df, Seq(col("v")), "r", numPartitions = 4)
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      values.indices.foreach { i =>
+        assert(out(i) === expectRank(i).toLong, s"parts=$parts id=$i")
+      }
+      val pct = Ops.withGlobalPercentRank(df, Seq(col("v")), "p", numPartitions = 4)
+        .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+      values.indices.foreach { i =>
+        assert(pct(i) === (expectRank(i) - 1).toDouble / (values.size - 1),
+          s"parts=$parts id=$i")
+      }
+    }
+  }
 }

@@ -74,7 +74,10 @@ class PlanShapeSpec extends SparkSpec {
         val isGlobal = specs.size == 1 && (specs.head.contains(" ASC") || specs.head.contains(" DESC"))
         assert(!isGlobal, s"$q has an unpartitioned (single-partition) window:\n$line")
       }
-      assert(p.contains("rangepartitioning"), p) // the distributed form
+      // the checkpointed range-partitioned frame reads back as an RDD scan
+      // (the range exchange ran eagerly at build time); what must remain
+      // visible is the pid-partitioned window over it
+      assert(p.contains("hashpartitioning(__pid"), p)
     }
   }
 
