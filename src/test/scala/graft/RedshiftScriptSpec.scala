@@ -118,6 +118,49 @@ class RedshiftScriptSpec extends SparkSpec {
     assert(sample.getAs[Long]("days_since_last") > 0)
   }
 
+  test("a VERBATIM reference script file runs end-to-end (addon_35up_order_historical.sql)") {
+    // the actual file from the reference repo, byte-for-byte — only the
+    // tables it names are stood up from fixture data
+    val path = java.nio.file.Paths.get(
+      "/root/reference/Datawarehouse-ETL/5_master_historical/addon_35up_order_historical.sql")
+    assume(java.nio.file.Files.exists(path))
+    val script = java.nio.file.Files.readString(path)
+    Catalog.ensureDatabase(spark, "master")
+    val src = Tables.read(spark, sfDir, "orders").select(
+      col("o_orderkey").as("order_id"),
+      col("o_custkey").as("customer_id"),
+      col("o_orderdate").as("created_date"),
+      col("o_orderdate").as("submitted_date"),
+      col("o_orderdate").as("paid_date"),
+      col("o_orderstatus").as("status"),
+      col("o_totalprice").as("order_value"),
+      lit("NEW").as("new_recurring"),
+      lit("DE").as("store_country"),
+      lit("normal").as("customer_type"),
+      lit(1).as("order_item_count"),
+      lit("de").as("store_code"),
+      lit(null).cast("timestamp").as("refund_date"),
+      lit(0).as("addon_item_count"),
+      lit(0.0).as("addon_price"))
+    Catalog.replaceTable(src, "master", "addon_35up_order")
+    Catalog.replaceTable(
+      src.withColumn("date", lit(null).cast("date")).limit(0),
+      "master", "addon_35up_order_historical")
+
+    val expected = src.filter(col("created_date") < lit("1998-12-01").cast("date")).count()
+    assert(expected > 0)
+    // run TWICE: the reference schedules this daily; rerun must not double
+    (1 to 2).foreach { i =>
+      val r = new RedshiftScript.Runner(spark, root(), Some("1998-12-01")).run(script)
+      assert(r.ok, s"run $i: " + r.reports.filterNot(_.ok).mkString("; "))
+      assert(r.reports.map(_.verb) === Seq("BEGIN", "DELETE", "INSERT", "COMMIT"))
+    }
+    val hist = spark.table("master.addon_35up_order_historical")
+    assert(hist.count() === expected)
+    assert(hist.select("date").distinct().collect().map(_.getDate(0).toString).toSeq
+      === Seq("1998-11-30"))
+  }
+
   test("UPDATE and TRUNCATE verbs") {
     import sqlImplicits._
     Catalog.replaceTable(
@@ -165,6 +208,36 @@ class RedshiftScriptSpec extends SparkSpec {
       (1L, "alice", "old-state", "keep-note"), // untouched
       (2L, "bob", "active", "fresh"),          // SET applied; owner kept
       (3L, "carol", "new", "hello")))          // inserted
+  }
+
+  test("DDL CREATE TABLE, ALTER on temp tables, GRANT/ANALYZE no-ops") {
+    Catalog.ensureDatabase(spark, "rs_ddl")
+    spark.sql("DROP TABLE IF EXISTS rs_ddl.tgt")
+    val r = new RedshiftScript.Runner(spark, root()).run(
+      """CREATE TEMP TABLE stg_alter AS SELECT 1 AS id, 'x' AS keep_me, 2.5 AS tmp_col;
+        |ALTER TABLE stg_alter DROP COLUMN tmp_col;
+        |ALTER TABLE stg_alter ADD COLUMN added_at timestamp;
+        |ALTER TABLE stg_alter RENAME COLUMN keep_me TO kept;
+        |
+        |CREATE TABLE rs_ddl.tgt (
+        |  id bigint encode az64,
+        |  name varchar(64),
+        |  amount numeric(18,2),
+        |  created_at timestamp,
+        |  is_active boolean
+        |);
+        |INSERT INTO rs_ddl.tgt SELECT id, kept, 12.34, added_at, true FROM stg_alter;
+        |GRANT SELECT ON rs_ddl.tgt TO GROUP bi;
+        |ANALYZE rs_ddl.tgt;""".stripMargin)
+    assert(r.ok, r.reports.mkString("; "))
+    assert(r.reports.map(_.verb).count(_.endsWith("(no-op)")) === 2)
+    val tgt = spark.table("rs_ddl.tgt")
+    assert(tgt.schema.map(f => (f.name, f.dataType.typeName)).toSeq === Seq(
+      ("id", "long"), ("name", "string"), ("amount", "decimal(18,2)"),
+      ("created_at", "timestamp"), ("is_active", "boolean")))
+    val row = tgt.collect()(0)
+    assert(row.getLong(0) === 1L && row.getString(1) === "x" &&
+      row.getDecimal(2).toString === "12.34" && row.getBoolean(4))
   }
 
   test("ROLLBACK discards staged mutations") {
