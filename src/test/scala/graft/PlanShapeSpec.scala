@@ -85,4 +85,18 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q53_rfm_segmentation")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q51: single-parse payload decode is map-only with a pruned scan") {
+    val p = plan("q51_json_payload")
+    assert(!p.contains("Exchange"), p) // zero shuffles: scan → project
+    assert(p.contains("ReadSchema") && !p.contains("o_comment"), p)
+  }
+
+  test("q56: corpus-clean chain shuffles only for the dedup key") {
+    val p = plan("q56_corpus_clean")
+    // quality/langid scoring fuses into the scan; the one full-width
+    // exchange is the dedup fingerprint window
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("SortAggregate"), p)
+  }
 }
