@@ -264,6 +264,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VectorL2].getName, "graft_l2"),
       (children: Seq[Expression]) => VectorL2(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_lang_id"),
+      new ExpressionInfo(classOf[LangId].getName, "graft_lang_id"),
+      (children: Seq[Expression]) => LangId(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_punct_ratio"),
+      new ExpressionInfo(classOf[CharClassRatio].getName, "graft_punct_ratio"),
+      (children: Seq[Expression]) => CharClassRatio(children.head, punct = true)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_alpha_ratio"),
+      new ExpressionInfo(classOf[CharClassRatio].getName, "graft_alpha_ratio"),
+      (children: Seq[Expression]) => CharClassRatio(children.head, punct = false)))
+    ext.injectFunction((
       FunctionIdentifier("graft_word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_word_shingles"),
       (children: Seq[Expression]) => {

@@ -112,13 +112,23 @@ object Text {
     "for", "on", "with", "as", "at", "by", "it", "this", "that", "be")
 
   /** Heuristic quality signals: length, punctuation ratio, stopword ratio,
-    * alpha ratio, mean word length (C4/Gopher-style filters).
+    * alpha ratio, mean word length (C4/Gopher-style filters). Punct/alpha
+    * ratios and language-ID run as native single-pass expressions
+    * ([[graft.expressions.CharClassRatio]], [[graft.expressions.LangId]])
+    * — the regex formulations (kept below as `*Hof` parity references)
+    * scan the document once per pattern.
     */
   def punctRatio(text: Column): Column =
+    call_function("graft_punct_ratio", text)
+
+  private[graft] def punctRatioHof(text: Column): Column =
     when(length(text) === 0, lit(0.0))
       .otherwise(regexp_count(text, lit("[\\p{Punct}]")).cast("double") / length(text))
 
   def alphaRatio(text: Column): Column =
+    call_function("graft_alpha_ratio", text)
+
+  private[graft] def alphaRatioHof(text: Column): Column =
     when(length(text) === 0, lit(0.0))
       .otherwise(regexp_count(text, lit("[A-Za-z]")).cast("double") / length(text))
 
@@ -165,7 +175,13 @@ object Text {
     ("it", Seq("il", "di", "che", "per", "con", "una", "sono"), Seq("à", "ò", "ù"))
   )
 
-  def languageId(text: Column): Column = {
+  def languageId(text: Column): Column =
+    call_function("graft_lang_id", text)
+
+  /** Regex-scan parity reference for [[languageId]] (the oracle's CASE
+    * cascade replicates the same greatest-struct argmax).
+    */
+  private[graft] def languageIdHof(text: Column): Column = {
     val t = concat(lit(" "), lower(text), lit(" "))
     def score(words: Seq[String], chars: Seq[String]): Column = {
       val w = words.map(wd => regexp_count(t, lit(s" $wd "))).reduce(_ + _)

@@ -150,6 +150,33 @@ class NativeExpressionParitySpec extends SparkSpec {
     assert(r.getDouble(4) === 5.0)
   }
 
+  test("native lang-id / punct / alpha == regex Column forms on fixtures + adversarial text") {
+    import graft.functions.Text
+    val adversarial = Seq(
+      "", " ", "   \t\n ", "!!!", "der die das und ist", "the el le il",
+      "¿dónde está? ¡sí!", "größe straße müde", "naïve café déjà-vu",
+      "中文 and the of to", "a" * 300, ". , ; : ! ?", "123 456 789",
+      "LE LA LES ET EST", " est pas pour ", "mixed the der le el il text")
+    val docs = Tables.read(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text"))
+      .unionByName(adversarial.toDF("text"))
+    val rows = docs.select(
+      col("text"),
+      Text.languageId(col("text")).as("nat_lang"),
+      Text.languageIdHof(col("text")).as("hof_lang"),
+      Text.punctRatio(col("text")).as("nat_p"),
+      Text.punctRatioHof(col("text")).as("hof_p"),
+      Text.alphaRatio(col("text")).as("nat_a"),
+      Text.alphaRatioHof(col("text")).as("hof_a")).collect()
+    assert(rows.length > 500)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getString(1) === r.getString(2), s"lang mismatch on: $t")
+      assert(r.getDouble(3) === r.getDouble(4), s"punct mismatch on: $t") // bit-exact
+      assert(r.getDouble(5) === r.getDouble(6), s"alpha mismatch on: $t")
+    }
+  }
+
   test("native simhash: hamming(0) on self, registered in SQL") {
     val fp = spark.sql(
       "SELECT graft_simhash64(graft_word_shingles('alpha beta gamma delta', 2))").collect()
