@@ -180,7 +180,7 @@ object RedshiftScript {
     "(?is)^UPDATE\\s+([\\w.]+)(?:\\s+(\\w+))?\\s+SET\\s+(.*?)\\s+FROM\\s+(.*)$".r
 
   /** Split at the first depth-0, outside-string occurrence of a keyword. */
-  private[pipeline] def splitTopKeyword(s: String, kw: String): (String, Option[String]) = {
+  private[graft] def splitTopKeyword(s: String, kw: String): (String, Option[String]) = {
     var depth = 0; var inStr = false
     var i = 0
     val upper = s.toUpperCase
