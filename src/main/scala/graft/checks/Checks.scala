@@ -30,6 +30,7 @@ object Checks {
 
   /** Evaluate every spec in ONE aggregate job over one scan of `df`. */
   def runFused(df: DataFrame, specs: Seq[Spec], now: java.time.Instant): Seq[CheckResult] = {
+    if (specs.isEmpty) return Nil
     val aggs = specs.zipWithIndex.flatMap { case (spec, i) =>
       val p = s"c$i"
       spec match {

@@ -38,10 +38,14 @@ private[expressions] object VectorExprs {
   /** Σ product(a_i, b_i) with the product taken in the arrays' element
     * precision (float inputs → float multiply, like Spark's `x * y` on
     * FloatType), accumulated in double. Returns NaN-free Double; null if
-    * any touched element is null (poisoning, like the HOF form).
+    * any touched element is null OR the arrays differ in length — both
+    * match the HOF form (`zip_with` pads the shorter array with nulls,
+    * which poisons the aggregate), so a mixed-dimension embedding table
+    * yields null, never a silently-truncated similarity.
     */
   def dot(a: ArrayData, b: ArrayData, at: DataType, bt: DataType): java.lang.Double = {
-    val n = Math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     val floatMul = at == FloatType && bt == FloatType
     var acc = 0.0
     var i = 0
@@ -153,7 +157,8 @@ case class VectorL2(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = Math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null // HOF zip_with parity
+    val n = a.numElements()
     val floatMath = lt == FloatType && rt == FloatType
     var acc = 0.0
     var i = 0

@@ -53,6 +53,11 @@ object Writers {
       updates: DataFrame,
       path: String,
       keys: Seq[String]): Unit = {
+    // a swap that crashed between rename-aside and rename-in left the
+    // data in the backup; restore BEFORE reading — falling through to the
+    // empty-table branch here would silently merge against nothing and
+    // then destroy the backup
+    recoverCrashedSwap(spark, path)
     val existing =
       try spark.read.parquet(path)
       catch { case _: Exception => spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], updates.schema) }
@@ -76,6 +81,17 @@ object Writers {
     * (or a table format) is the real answer; this is the best possible
     * shape for path-addressed parquet.
     */
+  /** Restore a swap that crashed between rename-aside and rename-in:
+    * target absent + backup present ⇒ the backup holds the only copy.
+    */
+  private[graft] def recoverCrashedSwap(spark: SparkSession, path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val backup = new org.apache.hadoop.fs.Path(path + "__old")
+    if (!fs.exists(target) && fs.exists(backup)) fs.rename(backup, target)
+  }
+
   private[graft] def atomicSwap(spark: SparkSession, tmpDir: String, path: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
@@ -83,7 +99,12 @@ object Writers {
     val tmp = new org.apache.hadoop.fs.Path(tmpDir)
     val backup = new org.apache.hadoop.fs.Path(path + "__old")
     require(fs.exists(tmp), s"swap source $tmpDir does not exist")
-    fs.delete(backup, true) // leftover from a crashed earlier swap
+    // crash recovery FIRST: a previous swap that died between
+    // rename-aside and rename-in left the only copy in the backup —
+    // restore it before anything else (deleting it here would destroy
+    // the pre-crash table)
+    if (!fs.exists(target) && fs.exists(backup)) fs.rename(backup, target)
+    fs.delete(backup, true) // leftover from a crashed-but-completed swap
     val hadTarget = fs.exists(target)
     if (hadTarget) {
       if (!fs.rename(target, backup))
@@ -107,6 +128,7 @@ object Writers {
       path: String,
       condition: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column]): Unit = {
+    recoverCrashedSwap(spark, path) // see mergeByKey
     val current = spark.read.parquet(path)
     val updated = assignments.foldLeft(current) { case (df, (c, v)) =>
       df.withColumn(c, when(condition, v).otherwise(col(c)))

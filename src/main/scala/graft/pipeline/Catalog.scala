@@ -81,8 +81,10 @@ object Catalog {
 
   /** Re-run the stored definition and swap the result in atomically. */
   def refreshMaterializedView(spark: SparkSession, name: String): Unit = {
+    // full URI, not getPath — stripping scheme/authority would resolve
+    // against the default filesystem instead of the table's actual store
     val path = spark.sessionState.catalog
-      .getTableMetadata(tableId(name)).location.getPath
+      .getTableMetadata(tableId(name)).location.toString
     val viewSql = readText(spark, defPath(path))
     val tmp = path + "__refresh"
     spark.sql(viewSql).write.mode("overwrite").parquet(tmp)

@@ -32,8 +32,12 @@ object Pipeline {
       reports: Seq[StageReport],
       url: String,
       maxRetries: Int = 3): Unit = {
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replace("\n", "\\n")
+    def esc(s: String) = s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => f"\\u${c.toInt}%04x" // ALL control chars, per JSON spec
+      case c => c.toString
+    }
     val body = reports.map { r =>
       s"""{"name":"${esc(r.name)}","ok":${r.ok},"seconds":${r.seconds},""" +
         s""""error":${r.error.map(e => "\"" + esc(e) + "\"").getOrElse("null")}}"""

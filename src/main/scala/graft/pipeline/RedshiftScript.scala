@@ -156,8 +156,11 @@ object RedshiftScript {
     "(?is)^DELETE\\s+FROM\\s+([\\w.]+)(?:\\s+WHERE\\s+(.*))?$".r
   private[pipeline] val InsertRe =
     "(?is)^INSERT\\s+INTO\\s+([\\w.]+)\\s*(\\([\\w\\s,\"]*\\))?\\s*(.*)$".r
-  private[pipeline] val UpdateRe =
-    "(?is)^UPDATE\\s+([\\w.]+)\\s+SET\\s+(.*?)(?:\\s+WHERE\\s+(.*))?$".r
+  // one head pattern for both UPDATE forms; the SET remainder is routed
+  // by a depth-and-string-aware scan for a top-level FROM (a scalar
+  // subquery's FROM inside the SET list must not trigger the join form)
+  private[pipeline] val UpdateHeadRe =
+    "(?is)^UPDATE\\s+([\\w.]+)(?:\\s+(\\w+))?\\s+SET\\s+(.*)$".r
   private[pipeline] val TruncateRe =
     "(?is)^TRUNCATE\\s+(?:TABLE\\s+)?([\\w.]+)\\s*$".r
   private[pipeline] val MergeRe =
@@ -172,12 +175,6 @@ object RedshiftScript {
   // between them, parsed as one statement (124 occurrences)
   private[pipeline] val DropCreateRe =
     "(?is)^(DROP\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?[\\w.]+)\\s+(CREATE\\s+.*)$".r
-  // UPDATE target [alias] SET ... FROM source [alias] [WHERE ...] —
-  // Redshift's join-update (101 occurrences). The FROM remainder is split
-  // at the first TOP-LEVEL WHERE by [[splitTopKeyword]] (a subquery's own
-  // WHERE sits inside parens).
-  private[pipeline] val UpdateFromRe =
-    "(?is)^UPDATE\\s+([\\w.]+)(?:\\s+(\\w+))?\\s+SET\\s+(.*?)\\s+FROM\\s+(.*)$".r
 
   /** Split at the first depth-0, outside-string occurrence of a keyword. */
   private[graft] def splitTopKeyword(s: String, kw: String): (String, Option[String]) = {
@@ -243,8 +240,8 @@ object RedshiftScript {
       case DeleteUsingRe(_, _, _, _) => "DELETE USING"
       case DeleteRe(_, _) => "DELETE"
       case InsertRe(_, cl, body) if parseInsert(cl, body)._2.nonEmpty => "INSERT"
-      case UpdateFromRe(_, _, _, _) => "UPDATE FROM"
-      case UpdateRe(_, _, _) => "UPDATE"
+      case UpdateHeadRe(_, _, rest) =>
+        if (splitTopKeyword(rest, "FROM")._2.isDefined) "UPDATE FROM" else "UPDATE"
       case TruncateRe(_) => "TRUNCATE"
       case MergeRe(_, _, _, _, _, _) => "MERGE"
       case AlterOwnerRe() => "ALTER OWNER (no-op)"
@@ -394,17 +391,24 @@ object RedshiftScript {
       }
     }
 
-    /** Materialize every overlaid table: write-new → atomic swap → refresh.
-      * Each table commits atomically; the multi-table transaction commits
-      * table-at-a-time (cross-table atomicity needs a table format with a
-      * shared log — out of parquet's reach, and the reference's own
-      * Redshift COMMIT is the analogue of the per-table swap here).
+    /** Materialize every overlaid table in TWO phases: first write every
+      * overlay to its staging dir — all writes therefore read the
+      * PRE-commit state of every table (a later overlay's plan may scan a
+      * table mutated earlier in the same transaction; swapping as we
+      * wrote would yank its input files mid-commit) — then swap them all
+      * in (fast metadata renames). Each table's swap is atomic;
+      * cross-table atomicity beyond the narrow swap window needs a table
+      * format with a shared log (out of parquet's reach — the reference's
+      * Redshift COMMIT is the analogue of the swap phase here).
       */
     private def commit(): Unit = {
-      overlay.foreach { case (name, df) =>
+      val staged = overlay.toSeq.map { case (name, df) =>
         val path = tablePath(name)
         val tmp = path + "__txn"
         df.write.mode("overwrite").parquet(tmp)
+        (name, path, tmp)
+      }
+      staged.foreach { case (name, path, tmp) =>
         Writers.atomicSwap(spark, tmp, path)
         if (spark.catalog.tableExists(name)) spark.sql(s"REFRESH TABLE $name")
         else registerExternal(name, path)
@@ -532,25 +536,40 @@ object RedshiftScript {
           case RefreshMvRe(name) =>
             Catalog.refreshMaterializedView(spark, name)
             report("REFRESH MATERIALIZED VIEW", Some(name))
-          case UpdateFromRe(name, tAliasOpt, setClause, fromRest) =>
-            val (fromSrc, cond) = splitTopKeyword(fromRest, "WHERE")
-            stage(name, updateFrom(name, Option(tAliasOpt), setClause, fromSrc, cond))
-            report("UPDATE FROM", Some(name))
           case InsertRe(name, colList, rawBody) =>
             val (cols, body) = parseInsert(colList, rawBody)
             require(body.nonEmpty, s"unparseable INSERT body: ${rawBody.take(60)}")
             val incoming = alignTo(currentState(name), cols, spark.sql(tr(body)))
             stage(name, currentState(name).unionByName(incoming))
             report("INSERT", Some(name))
-          case UpdateRe(name, assignments, cond) =>
-            val where =
-              if (cond == null) lit(true)
-              else coalesce(expr(tr(cond)), lit(false))
-            val df = splitAssignments(assignments).foldLeft(currentState(name)) {
-              case (d, (c, v)) => d.withColumn(c, when(where, expr(tr(v))).otherwise(col(c)))
+          case UpdateHeadRe(name, tAliasOpt, rest) =>
+            splitTopKeyword(rest, "FROM") match {
+              case (setClause, Some(fromRest)) =>
+                val (fromSrc, cond) = splitTopKeyword(fromRest, "WHERE")
+                stage(name, updateFrom(name, Option(tAliasOpt), setClause, fromSrc, cond))
+                report("UPDATE FROM", Some(name))
+              case (setAndWhere, None) =>
+                val (assignments, cond) = splitTopKeyword(setAndWhere, "WHERE")
+                val where =
+                  cond.map(c => coalesce(expr(tr(c)), lit(false))).getOrElse(lit(true))
+                val cur = currentState(name)
+                val assigns = splitAssignments(assignments)
+                  .map { case (c, v) => c.replaceAll("\"", "").toLowerCase -> expr(tr(v)) }
+                  .toMap
+                // ALL assignments and the WHERE evaluate against the OLD
+                // row in one select — SQL UPDATE snapshot semantics (a
+                // sequential withColumn chain would let `SET a = b, b = a`
+                // read already-updated values)
+                val out = cur.schema.fields.map { f =>
+                  assigns.get(f.name.toLowerCase) match {
+                    case Some(e) =>
+                      when(where, e).otherwise(col(f.name)).cast(f.dataType).as(f.name)
+                    case None => col(f.name)
+                  }
+                }
+                stage(name, cur.select(out.toIndexedSeq: _*))
+                report("UPDATE", Some(name))
             }
-            stage(name, df)
-            report("UPDATE", Some(name))
           case TruncateRe(name) =>
             stage(name, currentState(name).limit(0))
             report("TRUNCATE", Some(name))
@@ -721,12 +740,13 @@ object RedshiftScript {
            |FROM $tView
            |LEFT JOIN (SELECT *, true AS __match FROM ($srcSql)) $srcAlias
            |  ON $onCond""".stripMargin
-      val joined = spark.sql(sql)
-      val total = target.count()
-      val out = joined.drop("__matched")
-      require(out.count() == total,
+      // one execution of the join: the checkpoint serves both the
+      // multiplicity check and the staged commit write
+      val joined = spark.sql(sql).localCheckpoint()
+      spark.catalog.dropTempView(tView) // plan captured; view no longer needed
+      require(joined.count() == target.count(),
         s"UPDATE FROM source matches some rows of $name more than once")
-      out
+      joined.drop("__matched")
     }
 
     /** Split on top-level commas (parens/quotes aware). */

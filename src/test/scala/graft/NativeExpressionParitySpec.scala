@@ -148,6 +148,13 @@ class NativeExpressionParitySpec extends SparkSpec {
     assert(r.isNullAt(2), s"row=$r")
     assert(r.getDouble(3) === 23.0)
     assert(r.getDouble(4) === 5.0)
+    // length mismatch → null (zip_with pads with nulls and poisons the
+    // aggregate), NEVER a silently-truncated similarity
+    val m = spark.sql(
+      "SELECT graft_cosine(array(1.0d), array(1.0d, 2.0d)), " +
+        "graft_dot(array(1.0d), array(1.0d, 2.0d)), " +
+        "graft_l2(array(1.0d), array(1.0d, 2.0d))").collect()(0)
+    assert(m.isNullAt(0) && m.isNullAt(1) && m.isNullAt(2), s"row=$m")
   }
 
   test("native lang-id / punct / alpha == regex Column forms on fixtures + adversarial text") {

@@ -283,6 +283,45 @@ class RedshiftScriptSpec extends SparkSpec {
     assert(spark.table("rs_idiom.made").count() === 2)
   }
 
+  test("UPDATE evaluates all SET expressions against the OLD row (swap idiom)") {
+    import sqlImplicits._
+    Catalog.replaceTable(
+      Seq((1, 10.0, 20.0), (2, 3.0, 4.0)).toDF("id", "a", "b"), "rs_upd", "swap")
+    val r = new RedshiftScript.Runner(spark, root()).run(
+      "UPDATE rs_upd.swap SET a = b, b = a WHERE id = 1;")
+    assert(r.ok, r.reports.mkString("; "))
+    val rows = spark.table("rs_upd.swap").orderBy("id")
+      .collect().map(x => (x.getInt(0), x.getDouble(1), x.getDouble(2))).toSeq
+    // sequential withColumn semantics would give (20.0, 20.0)
+    assert(rows === Seq((1, 20.0, 10.0), (2, 3.0, 4.0)))
+    // a scalar subquery containing FROM in the SET list must NOT route to
+    // the UPDATE ... FROM form
+    val r2 = new RedshiftScript.Runner(spark, root()).run(
+      "UPDATE rs_upd.swap SET a = (SELECT MAX(b) FROM rs_upd.swap) WHERE id = 2;")
+    assert(r2.ok, r2.reports.mkString("; "))
+    assert(r2.reports.map(_.verb) === Seq("UPDATE"))
+    assert(spark.table("rs_upd.swap").filter(col("id") === 2)
+      .collect()(0).getDouble(1) === 10.0)
+  }
+
+  test("transaction where a later statement reads a table mutated earlier commits consistently") {
+    import sqlImplicits._
+    Catalog.replaceTable(Seq((1, "keep"), (2, "drop")).toDF("id", "s"), "rs_txn", "a")
+    Catalog.replaceTable(Seq((99, "old")).toDF("id", "s"), "rs_txn", "b")
+    // b's INSERT reads table a, which the same transaction already
+    // mutated: the two-phase commit must write b against a's PRE-commit
+    // files (swapping a first would yank b's input files mid-commit)
+    val r = new RedshiftScript.Runner(spark, root()).run(
+      """BEGIN;
+        |DELETE FROM rs_txn.a WHERE s = 'drop';
+        |INSERT INTO rs_txn.b SELECT id, s FROM rs_txn.a;
+        |COMMIT;""".stripMargin)
+    assert(r.ok, r.reports.mkString("; "))
+    assert(spark.table("rs_txn.a").count() === 1)
+    // b gets a's pre-transaction rows (documented snapshot semantics)
+    assert(spark.table("rs_txn.b").count() === 3) // old + both pre-txn rows of a
+  }
+
   test("ROLLBACK discards staged mutations") {
     import sqlImplicits._
     Catalog.replaceTable(Seq((1, "keep")).toDF("id", "s"), "rs_misc", "rb")

@@ -84,6 +84,22 @@ class WritersChecksSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__old")))
   }
 
+  test("crashed swap recovers from the backup instead of merging against an empty table") {
+    val path = tmp() + "/crash"
+    Seq((1, "v1"), (2, "v2")).toDF("k", "v").write.parquet(path)
+    // simulate a crash between rename-aside and rename-in: the table dir
+    // is gone, the only copy sits in the backup
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(path), new org.apache.hadoop.fs.Path(path + "__old"))
+    // pre-fix, mergeByKey read "empty table", merged only the updates,
+    // and the subsequent swap deleted the backup — silent data loss
+    Writers.mergeByKey(spark, Seq((2, "v2b"), (3, "v3")).toDF("k", "v"), path, Seq("k"))
+    val out = spark.read.parquet(path).collect().map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+    assert(out === Seq((1, "v1"), (2, "v2b"), (3, "v3")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__old")))
+  }
+
   test("view + materialized view: definition persists, refresh swaps in new data") {
     import graft.pipeline.Catalog
     Catalog.replaceTable(
