@@ -89,7 +89,10 @@ object Writers {
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(path)
     val backup = new org.apache.hadoop.fs.Path(path + "__old")
-    if (!fs.exists(target) && fs.exists(backup)) fs.rename(backup, target)
+    if (!fs.exists(target) && fs.exists(backup)) {
+      require(fs.rename(backup, target),
+        s"crashed-swap recovery failed: could not rename $backup back to $path")
+    }
   }
 
   private[graft] def atomicSwap(spark: SparkSession, tmpDir: String, path: String): Unit = {
@@ -103,8 +106,13 @@ object Writers {
     // rename-aside and rename-in left the only copy in the backup —
     // restore it before anything else (deleting it here would destroy
     // the pre-crash table)
-    if (!fs.exists(target) && fs.exists(backup)) fs.rename(backup, target)
-    fs.delete(backup, true) // leftover from a crashed-but-completed swap
+    recoverCrashedSwap(spark, path)
+    if (fs.exists(backup)) {
+      // backup still present ⇒ target also exists (recovery above would
+      // have restored it otherwise) — safe leftover cleanup
+      require(fs.exists(target), s"refusing to delete sole copy at ${backup}")
+      fs.delete(backup, true)
+    }
     val hadTarget = fs.exists(target)
     if (hadTarget) {
       if (!fs.rename(target, backup))

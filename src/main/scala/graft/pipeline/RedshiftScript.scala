@@ -32,12 +32,18 @@ import scala.collection.mutable
   * reproducible runs (the reference relies on run-date; pinning makes a
   * script a pure function of its inputs).
   *
-  * Known scope limits (documented, not silent): within a transaction a
-  * SELECT over a table mutated earlier in the same transaction sees the
-  * pre-transaction state (the reference pattern never does this — the
-  * INSERT's SELECT reads source tables, not the target); DDL column lists
-  * / constraints on CREATE TABLE are not parsed (the reference is
-  * overwhelmingly CREATE TABLE AS).
+  * Known scope limits (documented, not silent). In-transaction read
+  * semantics are split by statement form: DataFrame-level verbs that
+  * resolve tables through the overlay (DELETE USING's source, MERGE's
+  * source, and every verb's TARGET table) see mutations staged earlier
+  * in the same transaction, while raw SQL bodies parsed by `spark.sql`
+  * (SELECT, CREATE TABLE AS, the query of an INSERT/UPDATE…FROM) see the
+  * pre-transaction snapshot — full read-your-writes inside SQL text
+  * would require rewriting every table reference to an overlay view.
+  * The reference's DELETE-then-INSERT scripts mutate a table and read
+  * OTHER tables, where the two semantics agree (pinned by the
+  * transaction spec). DDL constraints on CREATE TABLE are not parsed
+  * (the reference is overwhelmingly CREATE TABLE AS).
   */
 object RedshiftScript {
 
@@ -176,28 +182,54 @@ object RedshiftScript {
   private[pipeline] val DropCreateRe =
     "(?is)^(DROP\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?[\\w.]+)\\s+(CREATE\\s+.*)$".r
 
-  /** Split at the first depth-0, outside-string occurrence of a keyword. */
+  /** Split at the first depth-0 occurrence of a keyword that is outside
+    * string literals AND comments, at an identifier boundary (`_` counts
+    * as a word character — `valid_from` must never split at its `from`).
+    */
   private[graft] def splitTopKeyword(s: String, kw: String): (String, Option[String]) = {
-    var depth = 0; var inStr = false
+    def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    var depth = 0; var inStr = false; var inLc = false; var inBc = false
     var i = 0
     val upper = s.toUpperCase
     val kwU = kw.toUpperCase
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
+      val next = if (i + 1 < s.length) s.charAt(i + 1) else ' '
+      if (inLc) { if (c == '\n') inLc = false }
+      else if (inBc) { if (c == '*' && next == '/') { inBc = false; i += 1 } }
+      else if (inStr) { if (c == '\'') inStr = false }
       else c match {
         case '\'' => inStr = true
+        case '-' if next == '-' => inLc = true; i += 1
+        case '/' if next == '*' => inBc = true; i += 1
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>
           if (depth == 0 && upper.startsWith(kwU, i) &&
-              (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
-              (i + kwU.length >= s.length || !Character.isLetterOrDigit(s.charAt(i + kwU.length))))
+              (i == 0 || !isWord(s.charAt(i - 1))) &&
+              (i + kwU.length >= s.length || !isWord(s.charAt(i + kwU.length))))
             return (s.substring(0, i).trim, Some(s.substring(i + kwU.length).trim))
       }
       i += 1
     }
     (s.trim, None)
+  }
+
+  /** Apply a regex rewrite only OUTSIDE single-quoted string literals —
+    * alias retargeting must never rewrite text inside a literal value.
+    */
+  private[pipeline] def rewriteOutsideStrings(sql: String, pattern: String, repl: String): String = {
+    val out = new StringBuilder
+    val seg = new StringBuilder
+    var inStr = false
+    def flush(): Unit = { out.append(seg.toString.replaceAll(pattern, repl)); seg.clear() }
+    sql.foreach { c =>
+      if (inStr) { out.append(c); if (c == '\'') inStr = false }
+      else if (c == '\'') { flush(); out.append(c); inStr = true }
+      else seg.append(c)
+    }
+    flush()
+    out.toString
   }
   private[pipeline] val RefreshMvRe =
     "(?is)^REFRESH\\s+MATERIALIZED\\s+VIEW\\s+([\\w.]+)\\s*$".r
@@ -269,10 +301,13 @@ object RedshiftScript {
   private[pipeline] def insertBody(raw: String): String = {
     var b = stripLeadingComments(raw.trim)
     if (b.startsWith("(") && b.endsWith(")")) {
-      // unwrap only if the parens are one balanced pair around the whole body
-      var depth = 0; var wraps = true
+      // unwrap only if the parens are one balanced pair around the whole
+      // body — ignoring parens inside string literals (')' in a value)
+      var depth = 0; var wraps = true; var inStr = false
       b.zipWithIndex.foreach { case (c, i) =>
-        if (c == '(') depth += 1
+        if (inStr) { if (c == '\'') inStr = false }
+        else if (c == '\'') inStr = true
+        else if (c == '(') depth += 1
         else if (c == ')') { depth -= 1; if (depth == 0 && i < b.length - 1) wraps = false }
       }
       if (wraps) b = stripLeadingComments(b.substring(1, b.length - 1).trim)
@@ -510,10 +545,13 @@ object RedshiftScript {
             val alias = Option(aliasOpt).map(_.trim).filter(_.nonEmpty)
               .getOrElse(srcName.split("\\.").last)
             val tBase = name.split("\\.").last
-            val condRewritten = tr(cond)
-              .replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(name)}\\.", "__t.")
-              .replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(tBase)}\\.", "__t.")
-              .replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(srcName)}\\.", s"$alias.")
+            val condRewritten = Seq(
+              (s"(?i)\\b${java.util.regex.Pattern.quote(name)}\\.", "__t."),
+              (s"(?i)\\b${java.util.regex.Pattern.quote(tBase)}\\.", "__t."),
+              (s"(?i)\\b${java.util.regex.Pattern.quote(srcName)}\\.", s"$alias."))
+              .foldLeft(tr(cond)) { case (acc, (pat, rep)) =>
+                RedshiftScript.rewriteOutsideStrings(acc, pat, rep)
+              }
             stage(name, currentState(name).alias("__t")
               .join(currentState(srcName).alias(alias), expr(condRewritten), "left_anti"))
             report("DELETE USING", Some(name))
@@ -560,6 +598,10 @@ object RedshiftScript {
                 // row in one select — SQL UPDATE snapshot semantics (a
                 // sequential withColumn chain would let `SET a = b, b = a`
                 // read already-updated values)
+                val known = cur.schema.fieldNames.map(_.toLowerCase).toSet
+                val unknown = assigns.keySet.diff(known)
+                require(unknown.isEmpty,
+                  s"UPDATE $name SET references unknown column(s): ${unknown.mkString(", ")}")
                 val out = cur.schema.fields.map { f =>
                   assigns.get(f.name.toLowerCase) match {
                     case Some(e) =>
@@ -579,6 +621,8 @@ object RedshiftScript {
             report("MERGE", Some(tgtName))
           case AlterOwnerRe() =>
             report("ALTER OWNER (no-op)")
+          case AlterConstraintRe(_, _) =>
+            report("ALTER CONSTRAINT (no-op)")
           case AlterAddRe(name, c, ty) =>
             stage(name, currentState(name).withColumn(c, lit(null).cast(redshiftType(ty))))
             report("ALTER ADD", Some(name))
@@ -616,7 +660,8 @@ object RedshiftScript {
             else if (ifNotExists != null && spark.catalog.tableExists(name)) ()
             else stage(name, empty)
             report("CREATE TABLE (DDL)", Some(name))
-          case _ if upper.startsWith("SELECT") || upper.startsWith("WITH") =>
+          case _ if upper.startsWith("SELECT") || upper.startsWith("WITH") ||
+              upper.startsWith("(") =>
             lastSelect = Some(spark.sql(tr(stmt)))
             report("SELECT")
           case other =>
@@ -656,8 +701,9 @@ object RedshiftScript {
       val s = currentState(srcName)
       def unq(x: String) = x.replaceAll("\"", "").trim
       // source references (alias.col / src.col, optionally "quoted") → __s_ cols
-      def rewriteSrcRefs(e: String): String = e
-        .replaceAll(s"(?i)\\b(?:${java.util.regex.Pattern.quote(alias)}|${java.util.regex.Pattern.quote(srcName)})\\.\"?(\\w+)\"?", "__s_$1")
+      def rewriteSrcRefs(e: String): String =
+        RedshiftScript.rewriteOutsideStrings(e,
+          s"(?i)\\b(?:${java.util.regex.Pattern.quote(alias)}|${java.util.regex.Pattern.quote(srcName)})\\.\"?(\\w+)\"?", "__s_$1")
       val sPref = s.select(s.columns.map(c => col(c).as(s"__s_$c")) :+ lit(true).as("__s_present"): _*)
       val tPref = t.withColumn("__t_present", lit(true))
       val keyPairs = onCond.split("(?i)\\bAND\\b").toSeq.map { eq =>
@@ -719,14 +765,20 @@ object RedshiftScript {
           case tbl => (s"SELECT * FROM $tbl", tbl.split("\\.").last)
         }
       }
-      def retarget(e: String): String = e
-        .replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(name)}\\.", s"$tView.")
-        .replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(tBase)}\\.", s"$tView.")
-        .replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(tAlias)}\\.", s"$tView.")
+      def retarget(e: String): String = Seq(
+        (s"(?i)\\b${java.util.regex.Pattern.quote(name)}\\.", s"$tView."),
+        (s"(?i)\\b${java.util.regex.Pattern.quote(tBase)}\\.", s"$tView."),
+        (s"(?i)\\b${java.util.regex.Pattern.quote(tAlias)}\\.", s"$tView."))
+        .foldLeft(e) { case (acc, (pat, rep)) =>
+          RedshiftScript.rewriteOutsideStrings(acc, pat, rep)
+        }
       val target = currentState(name)
       target.createOrReplaceTempView(tView)
       val assigns = splitAssignments(setClause)
         .map { case (k, v) => k.replaceAll("\"", "").toLowerCase -> retarget(tr(v)) }.toMap
+      val unknownSet = assigns.keySet.diff(target.schema.fieldNames.map(_.toLowerCase).toSet)
+      require(unknownSet.isEmpty,
+        s"UPDATE $name SET references unknown column(s): ${unknownSet.mkString(", ")}")
       val outCols = target.schema.fields.map { f =>
         assigns.get(f.name.toLowerCase) match {
           case Some(e) =>

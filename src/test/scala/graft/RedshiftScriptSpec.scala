@@ -322,6 +322,42 @@ class RedshiftScriptSpec extends SparkSpec {
     assert(spark.table("rs_txn.b").count() === 3) // old + both pre-txn rows of a
   }
 
+  test("UPDATE edge cases: _from columns, commented FROM, string literals, unknown columns") {
+    import sqlImplicits._
+    Catalog.replaceTable(
+      Seq((1, "2020-06-01", "x"), (2, "2019-01-01", "y"))
+        .toDF("id", "valid_from", "note"), "rs_edge", "t")
+    // a snake_case *_from column must not route to the UPDATE..FROM path
+    val r1 = new RedshiftScript.Runner(spark, root()).run(
+      "UPDATE rs_edge.t SET note = 'new' WHERE valid_from > '2020-01-01';")
+    assert(r1.ok, r1.reports.mkString("; "))
+    assert(r1.reports.map(_.verb) === Seq("UPDATE"))
+    assert(spark.table("rs_edge.t").filter(col("id") === 1)
+      .collect()(0).getString(2) === "new")
+    // FROM inside an inline comment must not route either
+    val r2 = new RedshiftScript.Runner(spark, root()).run(
+      "UPDATE rs_edge.t SET note = 'c' -- copied FROM legacy\n WHERE id = 2;")
+    assert(r2.ok, r2.reports.mkString("; "))
+    assert(r2.reports.map(_.verb) === Seq("UPDATE"))
+    // alias rewriting must not corrupt string literals containing "t."
+    Catalog.replaceTable(Seq((1, "s1")).toDF("id", "v"), "rs_edge", "src")
+    val r3 = new RedshiftScript.Runner(spark, root()).run(
+      "UPDATE rs_edge.t SET note = 'see t.note' FROM rs_edge.src s WHERE t.id = s.id;")
+    assert(r3.ok, r3.reports.mkString("; "))
+    assert(spark.table("rs_edge.t").filter(col("id") === 1)
+      .collect()(0).getString(2) === "see t.note")
+    // unknown SET column fails loudly instead of a silent no-op
+    val r4 = new RedshiftScript.Runner(spark, root()).run(
+      "UPDATE rs_edge.t SET no_such_col = 1;")
+    assert(!r4.ok)
+    assert(r4.reports.head.error.get.contains("unknown column"))
+    // ALTER ... ADD CONSTRAINT is a recorded no-op, not a failure
+    val r5 = new RedshiftScript.Runner(spark, root()).run(
+      "ALTER TABLE rs_edge.t ADD CONSTRAINT pk PRIMARY KEY (id);")
+    assert(r5.ok, r5.reports.mkString("; "))
+    assert(r5.reports.map(_.verb) === Seq("ALTER CONSTRAINT (no-op)"))
+  }
+
   test("ROLLBACK discards staged mutations") {
     import sqlImplicits._
     Catalog.replaceTable(Seq((1, "keep")).toDF("id", "s"), "rs_misc", "rb")
