@@ -32,17 +32,17 @@ import scala.collection.mutable
   * reproducible runs (the reference relies on run-date; pinning makes a
   * script a pure function of its inputs).
   *
-  * Known scope limits (documented, not silent). In-transaction read
-  * semantics are split by statement form: DataFrame-level verbs that
-  * resolve tables through the overlay (DELETE USING's source, MERGE's
-  * source, and every verb's TARGET table) see mutations staged earlier
-  * in the same transaction, while raw SQL bodies parsed by `spark.sql`
-  * (SELECT, CREATE TABLE AS, the query of an INSERT/UPDATE…FROM) see the
-  * pre-transaction snapshot — full read-your-writes inside SQL text
-  * would require rewriting every table reference to an overlay view.
-  * The reference's DELETE-then-INSERT scripts mutate a table and read
-  * OTHER tables, where the two semantics agree (pinned by the
-  * transaction spec). DDL constraints on CREATE TABLE are not parsed
+  * In-transaction reads are read-your-writes across BOTH statement
+  * forms: DataFrame-level verbs resolve tables through the overlay
+  * directly, and raw SQL bodies parsed by `spark.sql` (SELECT, CREATE
+  * TABLE AS, the query of an INSERT/UPDATE…FROM) have their references
+  * to overlaid tables rewritten to overlay-backed temp views before
+  * parsing — a statement reading a table mutated earlier in the same
+  * transaction sees the staged mutation, as in Redshift. Failure follows
+  * Redshift abort semantics: a failed statement inside BEGIN…COMMIT
+  * aborts the transaction — subsequent statements fail until
+  * COMMIT/ROLLBACK, and COMMIT of an aborted transaction rolls back and
+  * reports the failure. DDL constraints on CREATE TABLE are not parsed
   * (the reference is overwhelmingly CREATE TABLE AS).
   */
 object RedshiftScript {
@@ -131,56 +131,213 @@ object RedshiftScript {
   private val Units =
     "(?:years?|yrs?|quarters?|qtr|months?|mons?|weeks?|wks?|w|days?|d|hours?|hrs?|h|minutes?|mins?|m|seconds?|secs?|s)"
 
-  /** Rewrite Redshift-dialect expression text into the engine dialect. */
+  /** Rewrite Redshift-dialect expression text into the engine dialect.
+    * Every rewrite runs OUTSIDE string literals and comments — a literal
+    * value containing `current_date` or `to_char(` must survive verbatim
+    * (the pin would otherwise splice a DATE literal into data values and
+    * break the quoting).
+    */
   def translate(sql: String, currentDate: Option[String] = None): String = {
-    var s = sql
-    // date arithmetic first (current_date - 1), so the pin below still sees
-    // a plain function argument
-    s = s.replaceAll("(?i)\\bcurrent_date\\s*-\\s*(\\d+)", "date_sub(current_date, $1)")
-    s = s.replaceAll("(?i)\\bcurrent_date\\s*\\+\\s*(\\d+)", "date_add(current_date, $1)")
-    s = s.replaceAll("(?i)\\bsysdate\\b", "current_timestamp")
-    // bare or quoted units → _rs dialect forms (Redshift boundary-crossing
-    // semantics; Spark's parser owns the bare names as TIMESTAMPDIFF forms)
-    s = s.replaceAll(s"(?i)\\bdatediff\\s*\\(\\s*'?($Units)'?\\s*,", "datediff_rs('$1',")
-    s = s.replaceAll(s"(?i)\\bdateadd\\s*\\(\\s*'?($Units)'?\\s*,", "dateadd_rs('$1',")
-    s = s.replaceAll(
-      s"(?i)\\bdate_part\\s*\\(\\s*'?($Units|dows?|doys?|epoch)'?\\s*,", "date_part_rs('$1',")
-    s = s.replaceAll("(?i)\\bto_char\\s*\\(", "to_char_rs(")
-    currentDate.foreach { d => s = s.replaceAll("(?i)\\bcurrent_date\\b", s"DATE '$d'") }
-    s
+    val rules = Seq(
+      // date arithmetic first (current_date - 1), so the pin below still
+      // sees a plain function argument
+      "(?i)\\bcurrent_date\\s*-\\s*(\\d+)" -> "date_sub(current_date, $1)",
+      "(?i)\\bcurrent_date\\s*\\+\\s*(\\d+)" -> "date_add(current_date, $1)",
+      "(?i)\\bsysdate\\b" -> "current_timestamp",
+      // bare or quoted units → _rs dialect forms (Redshift boundary-crossing
+      // semantics; Spark's parser owns the bare names as TIMESTAMPDIFF forms)
+      s"(?i)\\bdatediff\\s*\\(\\s*'?($Units)'?\\s*," -> "datediff_rs('$1',",
+      s"(?i)\\bdateadd\\s*\\(\\s*'?($Units)'?\\s*," -> "dateadd_rs('$1',",
+      s"(?i)\\bdate_part\\s*\\(\\s*'?($Units|dows?|doys?|epoch)'?\\s*," -> "date_part_rs('$1',",
+      "(?i)\\bto_char\\s*\\(" -> "to_char_rs(",
+      // Redshift double-quotes are ALWAYS identifiers (`i."key"::text`,
+      // `master."order"`); Spark's default parser reads them as strings —
+      // convert to backticks (single-quoted literals are never touched)
+      "\"([^\"]+)\"" -> "`$1`") ++
+      // the pin runs LAST so the DATE '…' it splices in is never re-matched
+      currentDate.map(d => "(?i)\\bcurrent_date\\b" -> s"DATE '$d'").toSeq
+    rewriteOutsideStrings(rewriteQualify(sql), rules)
+  }
+
+  /** Rewrite `QUALIFY <pred>` (Redshift/Snowflake window filter — Spark's
+    * parser rejects it; 22 reference files use it, e.g.
+    * `4_dwh_b2b/b2b_po_voucher.sql:14`) into a wrapped ranked subquery:
+    *
+    * `SELECT <list> FROM <rest> QUALIFY <pred> <tail>` becomes
+    * `SELECT * EXCEPT(__q) FROM (SELECT <list>, (<pred>) AS __q FROM
+    * <rest>) WHERE __q <tail>` — the window expressions in the predicate
+    * compute in the inner query (after WHERE/GROUP BY/HAVING, as QUALIFY
+    * requires), the filter applies outside, and the helper column is
+    * dropped. Handles QUALIFY at any nesting depth (CTE bodies,
+    * subqueries), repeatedly until none remain. A `SELECT DISTINCT`
+    * moves its DISTINCT to the outer select (filter first, then
+    * de-duplicate — Redshift's evaluation order).
+    */
+  def rewriteQualify(sql: String): String = rewriteQualify(sql, 0)
+
+  private def rewriteQualify(sql: String, n: Int): String = {
+    def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    // scan for the first QUALIFY keyword outside strings/comments,
+    // remembering the position of its innermost enclosing '('
+    var i = 0; var inStr = false; var inLc = false; var inBc = false
+    val openStack = mutable.Stack[Int]()
+    val upper = sql.toUpperCase
+    var qPos = -1; var qOpen = -1
+    while (i < sql.length && qPos < 0) {
+      val c = sql.charAt(i)
+      val next = if (i + 1 < sql.length) sql.charAt(i + 1) else ' '
+      if (inLc) { if (c == '\n') inLc = false }
+      else if (inBc) { if (c == '*' && next == '/') { inBc = false; i += 1 } }
+      else if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '-' if next == '-' => inLc = true; i += 1
+        case '/' if next == '*' => inBc = true; i += 1
+        case '(' => openStack.push(i)
+        case ')' => if (openStack.nonEmpty) openStack.pop()
+        case _ =>
+          if (upper.startsWith("QUALIFY", i) &&
+              (i == 0 || !isWord(sql.charAt(i - 1))) &&
+              (i + 7 >= sql.length || !isWord(sql.charAt(i + 7)))) {
+            qPos = i; qOpen = if (openStack.nonEmpty) openStack.top else -1
+          }
+      }
+      i += 1
+    }
+    if (qPos < 0) return sql
+    val regionStart = qOpen + 1 // 0 when not parenthesized
+    // the enclosing SELECT: last depth-0 SELECT keyword before QUALIFY
+    // (depth relative to the region — skips scalar subqueries in the list
+    // and lands on the final branch of a set operation / after CTEs)
+    var selStart = -1
+    locally {
+      var j = regionStart; var d = 0
+      var s2 = false; var lc2 = false; var bc2 = false
+      while (j < qPos) {
+        val c = sql.charAt(j)
+        val next = if (j + 1 < sql.length) sql.charAt(j + 1) else ' '
+        if (lc2) { if (c == '\n') lc2 = false }
+        else if (bc2) { if (c == '*' && next == '/') { bc2 = false; j += 1 } }
+        else if (s2) { if (c == '\'') s2 = false }
+        else c match {
+          case '\'' => s2 = true
+          case '-' if next == '-' => lc2 = true; j += 1
+          case '/' if next == '*' => bc2 = true; j += 1
+          case '(' => d += 1
+          case ')' => d -= 1
+          case _ =>
+            if (d == 0 && upper.startsWith("SELECT", j) &&
+                (j == 0 || !isWord(sql.charAt(j - 1))) && !isWord(sql.charAt(j + 6)))
+              selStart = j
+        }
+        j += 1
+      }
+    }
+    require(selStart >= 0, s"QUALIFY without an enclosing SELECT: ${sql.take(80)}")
+    // the predicate runs to the first depth-0 ORDER/LIMIT/set-op keyword,
+    // the region's closing paren, or end of text
+    var predEnd = sql.length
+    locally {
+      val stops = Seq("ORDER", "LIMIT", "UNION", "INTERSECT", "EXCEPT", "MINUS")
+      var j = qPos + 7; var d = 0
+      var s2 = false; var lc2 = false; var bc2 = false
+      var done = false
+      while (j < sql.length && !done) {
+        val c = sql.charAt(j)
+        val next = if (j + 1 < sql.length) sql.charAt(j + 1) else ' '
+        if (lc2) { if (c == '\n') lc2 = false }
+        else if (bc2) { if (c == '*' && next == '/') { bc2 = false; j += 1 } }
+        else if (s2) { if (c == '\'') s2 = false }
+        else c match {
+          case '\'' => s2 = true
+          case '-' if next == '-' => lc2 = true; j += 1
+          case '/' if next == '*' => bc2 = true; j += 1
+          case '(' => d += 1
+          case ')' =>
+            if (d == 0) { predEnd = j; done = true } else d -= 1
+          case _ =>
+            if (d == 0 && stops.exists(k => upper.startsWith(k, j) &&
+                (j == 0 || !isWord(sql.charAt(j - 1))) &&
+                (j + k.length >= sql.length || !isWord(sql.charAt(j + k.length))))) {
+              predEnd = j; done = true
+            }
+        }
+        j += 1
+      }
+    }
+    val sel = sql.substring(selStart, qPos)
+    val pred = sql.substring(qPos + 7, predEnd)
+    val SelHead = "(?is)^SELECT\\s+(DISTINCT|ALL)?(.*)$".r
+    val (distinct, rest) = sel.trim match {
+      case SelHead(d, r) if d != null && !r.isEmpty && !isWord(r.charAt(0)) =>
+        (d.toUpperCase + " ", r)
+      case SelHead(_, r) => ("", sel.trim.substring(6))
+      case _ => throw new IllegalArgumentException(s"unparseable SELECT head: ${sel.take(60)}")
+    }
+    val (list, fromRest) = splitTopKeyword(rest, "FROM")
+    require(fromRest.isDefined, s"QUALIFY on a SELECT without FROM: ${sel.take(60)}")
+    val q = s"__qualify_$n"
+    // trailing newlines guard against a predicate / FROM-tail that ends in
+    // a line comment swallowing the inserted syntax
+    val replacement =
+      s"SELECT $distinct* EXCEPT($q) FROM (SELECT $list, ($pred\n) AS $q FROM ${fromRest.get}\n) WHERE $q "
+    rewriteQualify(
+      sql.substring(0, selStart) + replacement + sql.substring(predEnd), n + 1)
   }
 
   // --------------------------------------------------- statement patterns
 
+  // table names: dotted identifiers, any part optionally "double-quoted"
+  // (Redshift identifier quoting — `master."order"`, `web."sessions"`)
+  private val Nm = "(?:[\\w]+|\"[^\"]+\")(?:\\.(?:[\\w]+|\"[^\"]+\"))*"
   private[pipeline] val DropRe =
-    "(?is)^DROP\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?([\\w.]+)\\s*$".r
+    s"(?is)^DROP\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?($Nm)\\s*(?:CASCADE\\s*)?$$".r
+  private[pipeline] val DropViewRe =
+    s"(?is)^DROP\\s+(?:MATERIALIZED\\s+)?VIEW\\s+(?:IF\\s+EXISTS\\s+)?($Nm)\\s*(?:CASCADE\\s*)?$$".r
   private[pipeline] val CreateRe =
-    "(?is)^CREATE\\s+(TEMP|TEMPORARY\\s+)?\\s*TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)(.*?)\\bAS\\b(.*)$".r
+    s"(?is)^CREATE\\s+(TEMP|TEMPORARY\\s+)?\\s*TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?($Nm)(.*?)\\bAS\\b(.*)$$".r
   private[pipeline] val DeleteUsingRe =
-    "(?is)^DELETE\\s+FROM\\s+([\\w.]+)\\s+USING\\s+([\\w.]+)\\s*(?:AS\\s+)?(\\w+)?\\s+WHERE\\s+(.*)$".r
+    s"(?is)^DELETE\\s+FROM\\s+($Nm)\\s+USING\\s+($Nm)\\s*(?:AS\\s+)?(\\w+)?\\s+WHERE\\s+(.*)$$".r
   private[pipeline] val DeleteRe =
-    "(?is)^DELETE\\s+FROM\\s+([\\w.]+)(?:\\s+WHERE\\s+(.*))?$".r
+    s"(?is)^DELETE\\s+FROM\\s+($Nm)(?:\\s+WHERE\\s+(.*))?$$".r
   private[pipeline] val InsertRe =
-    "(?is)^INSERT\\s+INTO\\s+([\\w.]+)\\s*(\\([\\w\\s,\"]*\\))?\\s*(.*)$".r
+    s"(?is)^INSERT\\s+INTO\\s+($Nm)\\s*(\\([^)]*\\))?\\s*(.*)$$".r
   // one head pattern for both UPDATE forms; the SET remainder is routed
   // by a depth-and-string-aware scan for a top-level FROM (a scalar
   // subquery's FROM inside the SET list must not trigger the join form)
   private[pipeline] val UpdateHeadRe =
-    "(?is)^UPDATE\\s+([\\w.]+)(?:\\s+(\\w+))?\\s+SET\\s+(.*)$".r
+    s"(?is)^UPDATE\\s+($Nm)(?:\\s+(\\w+))?\\s+SET\\s+(.*)$$".r
   private[pipeline] val TruncateRe =
-    "(?is)^TRUNCATE\\s+(?:TABLE\\s+)?([\\w.]+)\\s*$".r
+    s"(?is)^TRUNCATE\\s+(?:TABLE\\s+)?($Nm)\\s*$$".r
   private[pipeline] val MergeRe =
-    ("(?is)^MERGE\\s+INTO\\s+([\\w.]+)\\s+USING\\s+([\\w.]+)\\s*(?:AS\\s+)?(\\w+)?\\s+" +
+    (s"(?is)^MERGE\\s+INTO\\s+($Nm)\\s+USING\\s+($Nm)\\s*(?:AS\\s+)?(\\w+)?\\s+" +
       "ON\\s+(.*?)\\s+WHEN\\s+MATCHED\\s+THEN\\s+UPDATE\\s+SET\\s+(.*?)\\s+" +
       "WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s+(?:VALUES\\s*)?\\((.*)\\)\\s*$").r
+  // Redshift table move: `ALTER TABLE tgt APPEND FROM src [FILLTARGET]`
+  // (`master_historical/*_on_failure.sql` recovery scripts)
+  private[pipeline] val AlterAppendRe =
+    s"(?is)^ALTER\\s+TABLE\\s+($Nm)\\s+APPEND\\s+FROM\\s+($Nm)\\s*(FILLTARGET)?\\s*$$".r
+  // physical-layout ALTERs (sort/dist keys) — warehouse hints, no-ops here
+  private[pipeline] val AlterLayoutRe =
+    s"(?is)^ALTER\\s+TABLE\\s+$Nm\\s+(?:ADD\\s+SORT_?KEY|ALTER\\s+(?:COMPOUND\\s+)?SORTKEY|ALTER\\s+DISTKEY|ALTER\\s+DISTSTYLE)\\b.*".r
+  // `UNLOAD ('query') [TO 'path'] <options>` — export; the reference omits
+  // TO and lets the orchestration inject it (`4_dwh_risk/sku_market_valuation.sql:146-148`)
+  private[pipeline] val UnloadRe =
+    "(?is)^UNLOAD\\s*\\(\\s*'(.*?)'\\s*\\)\\s*(.*)$".r
   // permission/statistics/maintenance/session verbs Spark has no analogue
   // for: recorded, not failed (754 GRANTs across the reference scripts)
   private[pipeline] val NoopRe =
-    "(?is)^(GRANT|REVOKE|ANALYZE|VACUUM|COMMENT|SET)\\b.*".r
+    "(?is)^(GRANT|REVOKE|ANALYZE|VACUUM|COMMENT|SET|RESET)\\b.*".r
   // a common reference idiom: DROP and CREATE with a missing semicolon
   // between them, parsed as one statement (124 occurrences)
   private[pipeline] val DropCreateRe =
     "(?is)^(DROP\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?[\\w.]+)\\s+(CREATE\\s+.*)$".r
+  // Redshift bulk load: `COPY tbl [(cols)] [FROM 'path'] <options>`
+  // (`11_marketing_reporting/Affiliate_Automation/affiliate_everflow_staging.sql:22-27`
+  // omits FROM — the orchestration injects it; `catman/sql/copy_pricing_data.sql:5-8`
+  // has FROM + FORMAT AS PARQUET)
+  private[pipeline] val CopyRe =
+    "(?is)^COPY\\s+([\\w.{}\\s]*?[\\w.}])\\s*(\\([\\w\\s,\"]*\\))?\\s*((?:FROM|IAM_ROLE|CREDENTIALS|ACCESS_KEY_ID|DELIMITER|IGNOREHEADER|EMPTYASNULL|FORMAT|CSV|PARQUET|JSON|GZIP|REGION|ESCAPE|MAXERROR|ACCEPTINVCHARS|TRUNCATECOLUMNS|COMPUPDATE|STATUPDATE|TIMEFORMAT|DATEFORMAT|NULL|ACCEPTANYDATE|BLANKSASNULL|REMOVEQUOTES|FILLRECORD)\\b.*)$".r
 
   /** Split at the first depth-0 occurrence of a keyword that is outside
     * string literals AND comments, at an identifier boundary (`_` counts
@@ -215,22 +372,43 @@ object RedshiftScript {
     (s.trim, None)
   }
 
-  /** Apply a regex rewrite only OUTSIDE single-quoted string literals —
-    * alias retargeting must never rewrite text inside a literal value.
+  /** Apply regex rewrites only OUTSIDE single-quoted string literals and
+    * comments — alias retargeting and dialect translation must never
+    * rewrite text inside a literal value or a comment span. Rules apply
+    * in order within each plain-text segment, so a rule whose replacement
+    * splices in a quoted literal (the current_date pin) must run last.
     */
-  private[pipeline] def rewriteOutsideStrings(sql: String, pattern: String, repl: String): String = {
+  private[pipeline] def rewriteOutsideStrings(sql: String, rules: Seq[(String, String)]): String = {
     val out = new StringBuilder
     val seg = new StringBuilder
-    var inStr = false
-    def flush(): Unit = { out.append(seg.toString.replaceAll(pattern, repl)); seg.clear() }
-    sql.foreach { c =>
+    var i = 0; var inStr = false; var inLc = false; var inBc = false
+    def flush(): Unit = {
+      var t = seg.toString
+      rules.foreach { case (p, r) => t = t.replaceAll(p, r) }
+      out.append(t); seg.clear()
+    }
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      val next = if (i + 1 < sql.length) sql.charAt(i + 1) else ' '
       if (inStr) { out.append(c); if (c == '\'') inStr = false }
-      else if (c == '\'') { flush(); out.append(c); inStr = true }
-      else seg.append(c)
+      else if (inLc) { out.append(c); if (c == '\n') inLc = false }
+      else if (inBc) {
+        out.append(c)
+        if (c == '*' && next == '/') { out.append(next); i += 1; inBc = false }
+      } else c match {
+        case '\'' => flush(); out.append(c); inStr = true
+        case '-' if next == '-' => flush(); out.append(c); inLc = true
+        case '/' if next == '*' => flush(); out.append(c); inBc = true
+        case _ => seg.append(c)
+      }
+      i += 1
     }
     flush()
     out.toString
   }
+
+  private[pipeline] def rewriteOutsideStrings(sql: String, pattern: String, repl: String): String =
+    rewriteOutsideStrings(sql, Seq(pattern -> repl))
   private[pipeline] val RefreshMvRe =
     "(?is)^REFRESH\\s+MATERIALIZED\\s+VIEW\\s+([\\w.]+)\\s*$".r
   private[pipeline] val AlterConstraintRe =
@@ -248,7 +426,7 @@ object RedshiftScript {
   private[pipeline] val CreateDdlRe =
     "(?is)^CREATE\\s+(TEMP|TEMPORARY\\s+)?\\s*TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)\\s*\\((.*)\\)[\\s\\w()]*$".r
   private[pipeline] val CreateViewRe =
-    "(?is)^CREATE\\s+(?:OR\\s+REPLACE\\s+)?VIEW\\s+([\\w.]+)\\s+AS\\s+(.*)$".r
+    s"(?is)^CREATE\\s+(?:OR\\s+REPLACE\\s+)?VIEW\\s+($Nm)\\s+AS\\b\\s*(.*)$$".r
   private[pipeline] val CreateMvRe =
     "(?is)^CREATE\\s+MATERIALIZED\\s+VIEW\\s+([\\w.]+)(?:\\s+\\w+\\s+\\w+)*?\\s+AS\\s+(.*)$".r
   private[pipeline] val CreateSchemaRe =
@@ -260,7 +438,14 @@ object RedshiftScript {
     * interpreter handles, without executing anything.
     */
   def classify(raw: String): String = {
+    // classification-only normalization: Airflow/python template slots
+    // (`{{ params.x }}`, `{schema_name}`) become plain identifiers, and
+    // zero-width/unicode spaces ahead of the verb are stripped — the
+    // corpus has both; execution of templated statements still fails
+    // (the orchestration renders them first)
     val stmt = stripLeadingComments(raw.trim)
+      .replaceAll("\\{\\{[^}]*\\}\\}|\\{[^{}]*\\}", "__tpl__")
+      .replaceAll("^[\\p{Z}\\p{C}\\s]+", "")
     val upper = stmt.toUpperCase.replaceAll("\\s+", " ")
     stmt match {
       case _ if upper.startsWith("BEGIN") || upper.startsWith("START TRANSACTION") => "BEGIN"
@@ -268,6 +453,11 @@ object RedshiftScript {
       case _ if upper.startsWith("ROLLBACK") => "ROLLBACK"
       case DropCreateRe(_, create) => classify(create)
       case DropRe(_) => "DROP"
+      case DropViewRe(_) => "DROP VIEW"
+      case CopyRe(_, _, _) => "COPY"
+      case UnloadRe(_, _) => "UNLOAD"
+      case AlterAppendRe(_, _, _) => "ALTER APPEND"
+      case AlterLayoutRe() => "ALTER LAYOUT (no-op)"
       case CreateRe(t, _, _, _) => if (t != null) "CREATE TEMP TABLE" else "CREATE TABLE"
       case DeleteUsingRe(_, _, _, _) => "DELETE USING"
       case DeleteRe(_, _) => "DELETE"
@@ -361,22 +551,65 @@ object RedshiftScript {
     *                    already exist in the session catalog
     * @param currentDate pin `current_date` to this ISO date for
     *                    deterministic reruns (None = wall clock)
+    * @param stopOnError stop executing at the first failed statement
+    *                    (Redshift/psql default; later auto-commit verbs
+    *                    must not keep mutating tables after a failure)
+    * @param copyPaths   source path per lowercase table name for COPY
+    *                    statements written without a FROM clause (the
+    *                    reference's orchestration injects the S3 path)
+    * @param remapPath   rewrite a COPY FROM path (s3:// → a local
+    *                    fixture dir in tests)
     */
   final class Runner(
       spark: SparkSession,
       layoutRoot: String,
-      currentDate: Option[String] = None) {
+      currentDate: Option[String] = None,
+      stopOnError: Boolean = true,
+      copyPaths: Map[String, String] = Map.empty,
+      remapPath: String => String = identity) {
 
     // transaction-local new state per mutated table
     private val overlay = mutable.LinkedHashMap[String, DataFrame]()
     private var inTxn = false
+    private var txnAborted = false
     private var lastSelect: Option[DataFrame] = None
 
-    private def tr(sql: String): String = translate(sql, currentDate)
+    private def tr(sql: String): String = resolveOverlays(translate(sql, currentDate))
+
+    /** Read-your-writes for raw SQL: rewrite references to overlaid
+      * tables into overlay-backed temp views, so a SELECT / INSERT body /
+      * CTAS reading a table mutated earlier in the SAME transaction sees
+      * the staged mutation (Redshift semantics), not the pre-transaction
+      * files. Views are (re)registered here and dropped when the overlay
+      * clears at COMMIT/ROLLBACK.
+      */
+    private def resolveOverlays(sql: String): String =
+      overlay.foldLeft(sql) { case (s, (name, df)) =>
+        val view = overlayView(name)
+        df.createOrReplaceTempView(view)
+        RedshiftScript.rewriteOutsideStrings(
+          s, s"(?i)(?<![\\w.])${java.util.regex.Pattern.quote(name)}(?![\\w.])", view)
+      }
+
+    private def overlayView(name: String): String = "__ov_" + name.replace('.', '_')
+
+    private def clearOverlay(): Unit = {
+      overlay.keys.foreach(n => spark.catalog.dropTempView(overlayView(n)))
+      overlay.clear()
+    }
+
+    /** Strip Redshift `"identifier"` quoting from a table name. */
+    private def norm(name: String): String = name.replaceAll("\"", "")
+
+    /** Backtick-quote every part for generated Spark SQL / catalog calls —
+      * a reference table named `master."order"` must survive the parser.
+      */
+    private def bq(name: String): String =
+      norm(name).split("\\.").map(p => s"`$p`").mkString(".")
 
     private def tablePath(name: String): String = {
-      val parts = name.split("\\.")
-      if (spark.catalog.tableExists(name))
+      val parts = norm(name).split("\\.")
+      if (spark.catalog.tableExists(bq(name)))
         spark.sessionState.catalog
           .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
             parts.last, if (parts.length > 1) Some(parts.head) else None))
@@ -385,19 +618,19 @@ object RedshiftScript {
     }
 
     private def currentState(name: String): DataFrame =
-      overlay.getOrElse(name.toLowerCase, spark.table(name))
+      overlay.getOrElse(norm(name).toLowerCase, spark.table(bq(name)))
 
     private def isTempView(name: String): Boolean =
-      spark.sessionState.catalog.isTempView(name.split("\\.").toIndexedSeq)
+      spark.sessionState.catalog.isTempView(norm(name).split("\\.").toIndexedSeq)
 
     private def stage(name: String, df: DataFrame): Unit = {
       // DML/DDL on a TEMP table (the reference ALTERs and INSERTs into its
       // staging temps) just re-registers the view — `df` captured the old
       // view's resolved plan, so self-reference is safe; temp tables are
       // session-local and outside transaction semantics
-      if (isTempView(name)) df.createOrReplaceTempView(name)
+      if (isTempView(name)) df.createOrReplaceTempView(norm(name))
       else {
-        overlay(name.toLowerCase) = df
+        overlay(norm(name).toLowerCase) = df
         if (!inTxn) commit()
       }
     }
@@ -445,17 +678,17 @@ object RedshiftScript {
       }
       staged.foreach { case (name, path, tmp) =>
         Writers.atomicSwap(spark, tmp, path)
-        if (spark.catalog.tableExists(name)) spark.sql(s"REFRESH TABLE $name")
+        if (spark.catalog.tableExists(bq(name))) spark.sql(s"REFRESH TABLE ${bq(name)}")
         else registerExternal(name, path)
       }
-      overlay.clear()
+      clearOverlay()
     }
 
     private def registerExternal(name: String, path: String): Unit = {
-      val parts = name.split("\\.")
-      if (parts.length > 1) spark.sql(s"CREATE DATABASE IF NOT EXISTS ${parts.head}")
-      spark.sql(s"DROP TABLE IF EXISTS $name")
-      spark.sql(s"CREATE TABLE $name USING parquet LOCATION '$path'")
+      val parts = norm(name).split("\\.")
+      if (parts.length > 1) spark.sql(s"CREATE DATABASE IF NOT EXISTS `${parts.head}`")
+      spark.sql(s"DROP TABLE IF EXISTS ${bq(name)}")
+      spark.sql(s"CREATE TABLE ${bq(name)} USING parquet LOCATION '$path'")
     }
 
     /** Positional column alignment for INSERT INTO t [(cols)] SELECT …:
@@ -483,6 +716,60 @@ object RedshiftScript {
       }
     }
 
+    /** Execute the read side of a COPY: resolve the source path (explicit
+      * FROM clause remapped via `remapPath`, else the registered
+      * `copyPaths` entry — the reference's affiliate staging scripts omit
+      * FROM and let the orchestration inject the S3 location), read with
+      * the statement's format options through [[graft.io.Readers.csv]] /
+      * parquet, and align positionally to the target schema. Credential/
+      * maintenance options (IAM_ROLE, REGION, MAXERROR, COMPUPDATE …)
+      * are accepted and ignored — they configure the warehouse, not the
+      * load semantics.
+      */
+    private def copyInto(
+        name: String, colList: Option[String], optsRaw: String): DataFrame = {
+      def strOpt(kw: String): Option[String] =
+        ("(?is)\\b" + kw + "\\s+(?:AS\\s+)?'([^']*)'").r
+          .findFirstMatchIn(optsRaw).map(_.group(1))
+      val path = strOpt("FROM").map(remapPath)
+        .orElse(copyPaths.get(name.toLowerCase))
+        .getOrElse(throw new IllegalArgumentException(
+          s"COPY $name: no FROM '<path>' and no registered copy source"))
+      // keyword detection on the text with quoted values blanked — a path
+      // like '…/file.parquet' must not flip the format
+      val optsKw = optsRaw.replaceAll("'[^']*'", "''")
+      val fmt = "(?is)\\bFORMAT\\s+(?:AS\\s+)?(\\w+)".r
+        .findFirstMatchIn(optsKw).map(_.group(1).toUpperCase)
+        .orElse("(?i)\\bPARQUET\\b".r.findFirstIn(optsKw).map(_ => "PARQUET"))
+        .orElse("(?i)\\bJSON\\b".r.findFirstIn(optsKw).map(_ => "JSON"))
+        .getOrElse("CSV")
+      val target = currentState(name)
+      val cols = colList.map(_.stripPrefix("(").stripSuffix(")").split(",")
+        .map(_.trim.replaceAll("\"", "")).filter(_.nonEmpty).toSeq).filter(_.nonEmpty)
+      val readSchema = cols match {
+        case None => target.schema
+        case Some(cs) => org.apache.spark.sql.types.StructType(
+          cs.map(c => target.schema(target.schema.fieldIndex(c))))
+      }
+      val incoming = fmt match {
+        case "PARQUET" => spark.read.parquet(path)
+        case "JSON" => spark.read.schema(readSchema).json(path)
+        case "CSV" =>
+          // Redshift defaults: '|' delimiter (',' under the CSV keyword),
+          // no header unless IGNOREHEADER
+          val delim = strOpt("DELIMITER").getOrElse(
+            if ("(?i)\\bCSV\\b".r.findFirstIn(optsKw).isDefined) "," else "|")
+          val header = "(?is)\\bIGNOREHEADER\\s+(?:AS\\s+)?(\\d+)".r
+            .findFirstMatchIn(optsKw).exists(_.group(1).toInt > 0)
+          val emptyAsNull = "(?i)\\bEMPTYASNULL\\b".r.findFirstIn(optsKw).isDefined
+          graft.io.Readers.csv(spark, path, delimiter = delim, header = header,
+            emptyAsNull = emptyAsNull, schema = Some(readSchema))
+        case other =>
+          throw new IllegalArgumentException(s"COPY format not supported: $other")
+      }
+      alignTo(target, cols, incoming)
+    }
+
     /** Split `a = e1, b = e2` at top-level commas (parens/quotes aware). */
     private def splitAssignments(s: String): Seq[(String, String)] = {
       val parts = mutable.ListBuffer.empty[String]
@@ -508,30 +795,47 @@ object RedshiftScript {
         StatementReport(verb, target, ok = true, (System.nanoTime() - t0) / 1e9, None)
       try {
         val upper = stmt.toUpperCase.replaceAll("\\s+", " ")
+        // Redshift abort semantics: after a failed statement inside a
+        // transaction, everything but COMMIT/END/ROLLBACK fails until the
+        // transaction block closes
+        if (txnAborted && !Seq("COMMIT", "END", "ROLLBACK").exists(upper.startsWith))
+          throw new IllegalStateException(
+            "current transaction is aborted — statements ignored until COMMIT or ROLLBACK")
         stmt match {
           case _ if upper.startsWith("BEGIN") || upper.startsWith("START TRANSACTION") =>
-            inTxn = true; report("BEGIN")
+            inTxn = true; txnAborted = false; report("BEGIN")
           case _ if upper.startsWith("COMMIT") || upper.startsWith("END") =>
-            commit(); inTxn = false; report("COMMIT")
+            if (txnAborted) {
+              // COMMIT of an aborted transaction rolls back (Redshift) and
+              // surfaces the failure — committing the partial overlay here
+              // would silently corrupt the target (e.g. doubled snapshot
+              // rows when the DELETE of a DELETE+INSERT pair failed)
+              clearOverlay(); inTxn = false; txnAborted = false
+              StatementReport("COMMIT", None, ok = false,
+                (System.nanoTime() - t0) / 1e9,
+                Some("transaction aborted by an earlier failed statement — rolled back"))
+            } else { commit(); inTxn = false; report("COMMIT") }
           case _ if upper.startsWith("ROLLBACK") =>
-            overlay.clear(); inTxn = false; report("ROLLBACK")
+            clearOverlay(); inTxn = false; txnAborted = false; report("ROLLBACK")
           case DropCreateRe(dropPart, createPart) =>
             // missing semicolon between DROP and CREATE — two statements
             val r1 = runStatement(dropPart)
             if (!r1.ok) r1 else runStatement(createPart)
           case DropRe(name) =>
-            if (spark.catalog.tableExists(name) &&
-                !spark.sessionState.catalog.isTempView(name.split("\\."))) {
+            if (spark.catalog.tableExists(bq(name)) && !isTempView(name)) {
               val path = tablePath(name)
-              spark.sql(s"DROP TABLE IF EXISTS $name")
+              spark.sql(s"DROP TABLE IF EXISTS ${bq(name)}")
               if (path.startsWith(layoutRoot)) {
                 val fs = org.apache.hadoop.fs.FileSystem.get(
                   new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
                 fs.delete(new org.apache.hadoop.fs.Path(path), true)
               }
-            } else spark.catalog.dropTempView(name)
-            overlay.remove(name.toLowerCase)
+            } else spark.catalog.dropTempView(norm(name))
+            overlay.remove(norm(name).toLowerCase)
             report("DROP", Some(name))
+          case DropViewRe(name) =>
+            spark.sql(s"DROP VIEW IF EXISTS ${bq(name)}")
+            report("DROP VIEW", Some(name))
           case CreateRe(temp, name, options, body) =>
             val (_, distkey) = stripTableOptions(options)
             var df = spark.sql(tr(body))
@@ -615,10 +919,44 @@ object RedshiftScript {
           case TruncateRe(name) =>
             stage(name, currentState(name).limit(0))
             report("TRUNCATE", Some(name))
+          case CopyRe(name, colList, optsRaw) =>
+            stage(name, currentState(name).unionByName(
+              copyInto(name, Option(colList), optsRaw)))
+            report("COPY", Some(name))
           case MergeRe(tgtName, srcName, aliasOpt, onCond, setClause, insertVals) =>
             stage(tgtName, mergeInto(tgtName, srcName, Option(aliasOpt),
               onCond, setClause, insertVals))
             report("MERGE", Some(tgtName))
+          case AlterAppendRe(tgt, src, fillTarget) =>
+            // Redshift ALTER APPEND moves the source's rows to the target:
+            // append + empty the source, both in one transaction overlay.
+            // FILLTARGET nulls target columns the source lacks.
+            val appended = currentState(tgt).unionByName(
+              currentState(src), allowMissingColumns = fillTarget != null)
+            stage(tgt, appended)
+            stage(src, currentState(src).limit(0))
+            report("ALTER APPEND", Some(tgt))
+          case AlterLayoutRe() =>
+            report("ALTER LAYOUT (no-op)")
+          case UnloadRe(query, optsRaw) =>
+            val optsKw = optsRaw.replaceAll("'[^']*'", "''")
+            val to = "(?is)\\bTO\\s+'([^']*)'".r.findFirstMatchIn(optsRaw)
+              .map(m => remapPath(m.group(1)))
+              .getOrElse(throw new IllegalArgumentException(
+                "UNLOAD: no TO '<path>' (the reference's orchestration injects it — pass a TO clause)"))
+            val df = spark.sql(tr(query.replaceAll("''", "'")))
+            val single = "(?i)\\bPARALLEL\\s+(?:OFF|FALSE)\\b".r.findFirstIn(optsKw).isDefined
+            val out = if (single) df.coalesce(1) else df
+            if ("(?i)\\bPARQUET\\b".r.findFirstIn(optsKw).isDefined)
+              out.write.mode("overwrite").parquet(to)
+            else {
+              val delim = "(?is)\\bDELIMITER\\s+(?:AS\\s+)?'([^']*)'".r
+                .findFirstMatchIn(optsRaw).map(_.group(1)).getOrElse("|")
+              out.write.mode("overwrite").option("delimiter", delim)
+                .option("header", "(?i)\\bHEADER\\b".r.findFirstIn(optsKw).isDefined.toString)
+                .csv(to)
+            }
+            report("UNLOAD")
           case AlterOwnerRe() =>
             report("ALTER OWNER (no-op)")
           case AlterConstraintRe(_, _) =>
@@ -670,6 +1008,7 @@ object RedshiftScript {
         }
       } catch {
         case e: Exception =>
+          if (inTxn) txnAborted = true
           StatementReport(
             stmt.split("\\s+").headOption.getOrElse("?").toUpperCase,
             None, ok = false, (System.nanoTime() - t0) / 1e9,
@@ -704,7 +1043,6 @@ object RedshiftScript {
       def rewriteSrcRefs(e: String): String =
         RedshiftScript.rewriteOutsideStrings(e,
           s"(?i)\\b(?:${java.util.regex.Pattern.quote(alias)}|${java.util.regex.Pattern.quote(srcName)})\\.\"?(\\w+)\"?", "__s_$1")
-      val sPref = s.select(s.columns.map(c => col(c).as(s"__s_$c")) :+ lit(true).as("__s_present"): _*)
       val tPref = t.withColumn("__t_present", lit(true))
       val keyPairs = onCond.split("(?i)\\bAND\\b").toSeq.map { eq =>
         val Array(l, r) = eq.split("=", 2).map(unq)
@@ -713,9 +1051,16 @@ object RedshiftScript {
           l.toLowerCase.startsWith(srcName.toLowerCase + ".")
         if (lIsSrc) (base(r), base(l)) else (base(l), base(r))
       }
-      require(s.groupBy(keyPairs.map(p => col(p._2)): _*).count()
-        .filter(col("count") > 1).isEmpty,
-        s"MERGE source $srcName is not unique on ${keyPairs.map(_._2).mkString(",")}")
+      // source key-uniqueness guard folded into the join pass: a window
+      // count over the merge keys rides the same shuffle the join needs —
+      // no separate eager aggregation job over the source (a full extra
+      // pass per statement at scale). The raise_error fires during the
+      // commit write if any key matches more than once.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyPairs.map(p => col(s"__s_${p._2}")): _*)
+      val sPref = s
+        .select(s.columns.map(c => col(c).as(s"__s_$c")) :+ lit(true).as("__s_present"): _*)
+        .withColumn("__s_dupcnt", count(lit(1)).over(w))
       val joinCond = keyPairs.map { case (tk, sk) => col(tk) === col(s"__s_$sk") }.reduce(_ && _)
       val joined = tPref.join(sPref, joinCond, "full_outer")
       val assigns = splitAssignments(setClause)
@@ -723,12 +1068,20 @@ object RedshiftScript {
       val inserts = splitTop(insertVals).map(v => expr(tr(rewriteSrcRefs(v))))
       require(inserts.size == t.schema.size,
         s"MERGE INSERT arity ${inserts.size} != table arity ${t.schema.size}")
+      val dupMsg = s"MERGE source $srcName is not unique on ${keyPairs.map(_._2).mkString(",")}"
       val out = t.schema.fields.zipWithIndex.map { case (f, i) =>
-        when(col("__t_present").isNotNull && col("__s_present").isNotNull,
+        val merged = when(col("__t_present").isNotNull && col("__s_present").isNotNull,
           assigns.getOrElse(f.name.toLowerCase, col(f.name)))
           .when(col("__t_present").isNotNull, col(f.name))
           .otherwise(inserts(i))
-          .cast(f.dataType).as(f.name)
+          .cast(f.dataType)
+        // the guard lives on a kept output column — a standalone check
+        // column would be pruned away unevaluated
+        val guarded =
+          if (i == 0) when(coalesce(col("__s_dupcnt"), lit(0L)) > 1L,
+            raise_error(lit(dupMsg)).cast(f.dataType)).otherwise(merged)
+          else merged
+        guarded.as(f.name)
       }
       joined.select(out.toIndexedSeq: _*)
     }
@@ -753,16 +1106,18 @@ object RedshiftScript {
       val tView = s"__upd_t_$updSeq"
       val tBase = name.split("\\.").last
       val tAlias = tAliasOpt.map(_.trim).filter(_.nonEmpty).getOrElse(tBase)
-      // FROM source: `(subquery) alias` | `table [AS] alias` | `table`
+      // FROM source: `(subquery) alias` | `table [AS] alias` | `table` —
+      // the source text routes through tr() for dialect rewrites and
+      // read-your-writes against transaction overlays
       val (srcSql, srcAlias) = {
         val t = fromSrc.trim
         val TableAlias = "(?s)^([\\w.]+)\\s+(?:(?i:AS)\\s+)?(\\w+)$".r
         val SubqueryAlias = "(?s)^(\\(.*\\))\\s*(?:(?i:AS)\\s+)?(\\w+)?$".r
         t match {
-          case TableAlias(tbl, a) => (s"SELECT * FROM $tbl", a)
+          case TableAlias(tbl, a) => (s"SELECT * FROM ${tr(tbl)}", a)
           case SubqueryAlias(sub, a) =>
-            (s"SELECT * FROM $sub __src", Option(a).getOrElse("__src"))
-          case tbl => (s"SELECT * FROM $tbl", tbl.split("\\.").last)
+            (s"SELECT * FROM ${tr(sub)} __src", Option(a).getOrElse("__src"))
+          case tbl => (s"SELECT * FROM ${tr(tbl)}", tbl.split("\\.").last)
         }
       }
       def retarget(e: String): String = Seq(
@@ -817,11 +1172,22 @@ object RedshiftScript {
     }
 
     def run(script: String): ScriptResult = {
-      val reports = splitStatements(script).map(runStatement)
+      val reports = mutable.ListBuffer.empty[StatementReport]
+      val it = splitStatements(script).iterator
+      var halted = false
+      while (it.hasNext && !halted) {
+        val r = runStatement(it.next())
+        reports += r
+        // stop at the first failure (Redshift/psql behavior): later
+        // auto-commit verbs must not keep mutating tables, and a later
+        // SELECT must not silently read state the failed statement was
+        // supposed to refresh
+        if (!r.ok && stopOnError) halted = true
+      }
       // a script that ends mid-transaction commits on exit (Redshift
       // auto-commits a clean session end; a FAILED statement does not)
       if (inTxn && reports.forall(_.ok)) { commit(); inTxn = false }
-      ScriptResult(reports, lastSelect)
+      ScriptResult(reports.toSeq, lastSelect)
     }
   }
 }

@@ -304,13 +304,15 @@ class RedshiftScriptSpec extends SparkSpec {
       .collect()(0).getDouble(1) === 10.0)
   }
 
-  test("transaction where a later statement reads a table mutated earlier commits consistently") {
+  test("read-your-writes: a later statement in a transaction sees earlier mutations") {
     import sqlImplicits._
     Catalog.replaceTable(Seq((1, "keep"), (2, "drop")).toDF("id", "s"), "rs_txn", "a")
     Catalog.replaceTable(Seq((99, "old")).toDF("id", "s"), "rs_txn", "b")
     // b's INSERT reads table a, which the same transaction already
-    // mutated: the two-phase commit must write b against a's PRE-commit
-    // files (swapping a first would yank b's input files mid-commit)
+    // mutated: the raw-SQL body resolves a through its overlay view
+    // (read-your-writes, as Redshift), while the two-phase commit still
+    // writes b against a's pre-commit FILES (swapping a first would yank
+    // b's input files mid-commit)
     val r = new RedshiftScript.Runner(spark, root()).run(
       """BEGIN;
         |DELETE FROM rs_txn.a WHERE s = 'drop';
@@ -318,8 +320,201 @@ class RedshiftScriptSpec extends SparkSpec {
         |COMMIT;""".stripMargin)
     assert(r.ok, r.reports.mkString("; "))
     assert(spark.table("rs_txn.a").count() === 1)
-    // b gets a's pre-transaction rows (documented snapshot semantics)
-    assert(spark.table("rs_txn.b").count() === 3) // old + both pre-txn rows of a
+    // b gets a's POST-delete rows: old + the one surviving row of a
+    assert(spark.table("rs_txn.b").count() === 2)
+    val kept = spark.table("rs_txn.b").orderBy("id")
+      .collect().map(x => (x.getInt(0), x.getString(1))).toSeq
+    assert(kept === Seq((1, "keep"), (99, "old")))
+    // a SELECT inside the next transaction also sees the staged state
+    val r2 = new RedshiftScript.Runner(spark, root(), stopOnError = false).run(
+      """BEGIN;
+        |DELETE FROM rs_txn.b WHERE id = 99;
+        |SELECT COUNT(*) AS n FROM rs_txn.b;
+        |ROLLBACK;""".stripMargin)
+    assert(r2.ok, r2.reports.mkString("; "))
+    assert(r2.lastSelect.get.collect()(0).getLong(0) === 1) // staged delete visible
+    assert(spark.table("rs_txn.b").count() === 2)           // rolled back on disk
+  }
+
+  test("a failed statement aborts the transaction: COMMIT rolls back (Redshift semantics)") {
+    import sqlImplicits._
+    Catalog.replaceTable(Seq((1, "x"), (2, "y")).toDF("id", "s"), "rs_abort", "t")
+    // the DELETE fails (unknown column); the INSERT after it must NOT
+    // execute and COMMIT must roll the overlay back — committing the
+    // partial transaction would double rows on the reference's
+    // DELETE-yesterday + INSERT-yesterday daily scripts
+    val script =
+      """BEGIN;
+        |DELETE FROM rs_abort.t WHERE no_such_column = 1;
+        |INSERT INTO rs_abort.t SELECT id + 10, s FROM rs_abort.t;
+        |COMMIT;""".stripMargin
+    val r = new RedshiftScript.Runner(spark, root(), stopOnError = false).run(script)
+    assert(!r.ok)
+    val byVerb = r.reports.map(x => x.verb -> x.ok)
+    assert(byVerb(0) === ("BEGIN", true))
+    assert(!byVerb(1)._2)                       // DELETE failed
+    assert(!byVerb(2)._2)                       // INSERT refused: txn aborted
+    assert(r.reports(2).error.get.contains("aborted"))
+    assert(byVerb(3)._1 === "COMMIT" && !byVerb(3)._2) // COMMIT rolled back
+    assert(r.reports(3).error.get.contains("rolled back"))
+    assert(spark.table("rs_abort.t").count() === 2) // unchanged
+    // default stopOnError: execution halts at the failure instead
+    val r2 = new RedshiftScript.Runner(spark, root()).run(script)
+    assert(!r2.ok && r2.reports.size === 2)
+    assert(spark.table("rs_abort.t").count() === 2)
+  }
+
+  test("translate leaves dialect tokens inside string literals and comments verbatim") {
+    val in =
+      "SELECT 'report as of current_date', 'call to_char(x)', -- current_date here\n" +
+        "datediff(day, a, current_date) /* sysdate too */ FROM t"
+    val t = RedshiftScript.translate(in, currentDate = Some("2024-06-01"))
+    assert(t.contains("'report as of current_date'"))
+    assert(t.contains("'call to_char(x)'"))
+    assert(t.contains("-- current_date here"))
+    assert(t.contains("/* sysdate too */"))
+    assert(t.contains("datediff_rs('day', a, DATE '2024-06-01')"))
+  }
+
+  test("QUALIFY rewrites to a ranked subquery and executes (verbatim reference shapes)") {
+    Catalog.replaceTable(Tables.read(spark, sfDir, "events"), "rs_q", "events")
+    // shape of 4_dwh_b2b/b2b_po_voucher.sql:14 — no space before Over,
+    // mixed case, top-level QUALIFY
+    val r1 = new RedshiftScript.Runner(spark, root()).run(
+      """SELECT user_id, event_id, ts FROM rs_q.events
+        |QUALIFY ROW_NUMBER()Over(PARTITION BY user_id ORDER BY ts DESC)=1;""".stripMargin)
+    assert(r1.ok, r1.reports.mkString("; "))
+    val top = r1.lastSelect.get
+    assert(top.columns.toSeq === Seq("user_id", "event_id", "ts"))
+    assert(top.count() === 15) // one row per user
+    // shape of 1_ods_core/00_allocation.sql:78 — QUALIFY inside a CTE,
+    // spaces inside row_number (), lowercase
+    val r2 = new RedshiftScript.Runner(spark, root()).run(
+      """WITH latest AS (
+        |  SELECT user_id, event_type, ts FROM rs_q.events
+        |  qualify row_number () over (partition by user_id order by ts desc) = 1
+        |)
+        |SELECT COUNT(*) AS n FROM latest;""".stripMargin)
+    assert(r2.ok, r2.reports.mkString("; "))
+    assert(r2.lastSelect.get.collect()(0).getLong(0) === 15)
+    // shape of lost_report_historical_losses.sql:34 — LEAD … IS NULL with
+    // a trailing line comment, then ORDER BY after the predicate
+    val r3 = new RedshiftScript.Runner(spark, root()).run(
+      """SELECT user_id, ts FROM rs_q.events
+        |QUALIFY LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts ASC) IS NULL -- last event per user
+        |ORDER BY user_id;""".stripMargin)
+    assert(r3.ok, r3.reports.mkString("; "))
+    assert(r3.lastSelect.get.count() === 15)
+    // DISTINCT moves outside: filter first, then de-duplicate
+    val r4 = new RedshiftScript.Runner(spark, root()).run(
+      """SELECT DISTINCT user_id FROM rs_q.events
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts) = 1;""".stripMargin)
+    assert(r4.ok, r4.reports.mkString("; "))
+    assert(r4.lastSelect.get.columns.toSeq === Seq("user_id"))
+    assert(r4.lastSelect.get.count() === 15)
+  }
+
+  test("COPY: the VERBATIM affiliate staging script loads a fixture CSV") {
+    // affiliate_everflow_staging.sql writes its COPY without a FROM clause
+    // (the orchestration injects the S3 path) — the Runner takes the
+    // source path via copyPaths, keyed by target table
+    val path = java.nio.file.Paths.get(
+      "/root/reference/Datawarehouse-ETL/11_marketing_reporting/Affiliate_Automation/affiliate_everflow_staging.sql")
+    assume(java.nio.file.Files.exists(path))
+    val script = java.nio.file.Files.readString(path)
+    val csv = Files.createTempDirectory("graft-copy").resolve("everflow.csv")
+    Files.writeString(csv,
+      """conversion_id;conversion_unix_timestamp;sub1;status;revenue;country;device_type;event;transaction_id;click_unix_timestamp;sale_amount;coupon_code;order_id;url;currency_id
+        |c1;1717200000;s1;approved;12.5;DE;mobile;sale;t1;1717100000;100.0;CODE1;o1;https://x.example/a;EUR
+        |c2;1717200001;;pending;0;NL;desktop;sale;t2;1717100001;55.5;;o2;https://x.example/b;EUR
+        |""".stripMargin)
+    Catalog.ensureDatabase(spark, "staging")
+    spark.sql("DROP TABLE IF EXISTS staging.everflow")
+    val r = new RedshiftScript.Runner(spark, root(),
+      copyPaths = Map("staging.everflow" -> csv.toString)).run(script)
+    assert(r.ok, r.reports.filterNot(_.ok).mkString("; "))
+    assert(r.reports.map(_.verb) === Seq("DROP", "CREATE TABLE (DDL)", "COPY"))
+    val out = spark.table("staging.everflow")
+    assert(out.count() === 2)
+    val r2 = out.orderBy("conversion_id").collect()
+    assert(r2(0).getAs[String]("conversion_id") === "c1")
+    assert(r2(0).getAs[String]("sale_amount") === "100.0")
+    // EMPTYASNULL: the empty sub1/coupon_code fields land as NULL
+    assert(r2(1).getAs[String]("sub1") == null)
+    assert(r2(1).getAs[String]("coupon_code") == null)
+  }
+
+  test("COPY FROM '<path>' FORMAT AS PARQUET with path remapping") {
+    import sqlImplicits._
+    Catalog.replaceTable(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s").limit(0), "rs_copy", "pq")
+    val dir = Files.createTempDirectory("graft-copy-pq").toString
+    Seq((10L, "x"), (11L, "y")).toDF("id", "s").write.mode("overwrite").parquet(dir)
+    // shape of catman/sql/copy_pricing_data.sql:5-8 (s3:// path remapped)
+    val r = new RedshiftScript.Runner(spark, root(),
+      remapPath = p => p.replace("s3://fixture-bucket/pricing", dir)).run(
+      s"""COPY rs_copy.pq
+         |FROM 's3://fixture-bucket/pricing'
+         |IAM_ROLE 'arn:aws:iam::000000000000:role/ignored'
+         |FORMAT AS PARQUET;""".stripMargin)
+    assert(r.ok, r.reports.mkString("; "))
+    assert(spark.table("rs_copy.pq").orderBy("id").collect().map(_.getLong(0)).toSeq
+      === Seq(10L, 11L))
+  }
+
+  test("DROP VIEW, ALTER APPEND [FILLTARGET], UNLOAD, quoted \"order\" identifiers") {
+    import sqlImplicits._
+    // quoted table name that is also a SQL keyword (`master."order"` in
+    // the reference's order.sql)
+    Catalog.replaceTable(Seq((1L, "a")).toDF("id", "s"), "rs_quot", "order")
+    val r0 = new RedshiftScript.Runner(spark, root()).run(
+      """TRUNCATE TABLE rs_quot."order";
+        |INSERT INTO rs_quot."order" SELECT 7, 'z';""".stripMargin)
+    assert(r0.ok, r0.reports.mkString("; "))
+    assert(spark.table("rs_quot.`order`").collect().map(_.getLong(0)).toSeq === Seq(7L))
+    // DROP VIEW IF EXISTS (~120 statements in the reference corpus)
+    Catalog.ensureDatabase(spark, "rs_vw")
+    val r1 = new RedshiftScript.Runner(spark, root()).run(
+      """CREATE OR REPLACE VIEW rs_vw.v_top AS(SELECT id FROM rs_quot."order");
+        |DROP VIEW IF EXISTS rs_vw.v_top;
+        |DROP VIEW IF EXISTS rs_vw.v_never_existed;""".stripMargin)
+    assert(r1.ok, r1.reports.mkString("; "))
+    assert(r1.reports.map(_.verb) === Seq("CREATE VIEW", "DROP VIEW", "DROP VIEW"))
+    // ALTER APPEND moves rows (the *_on_failure.sql recovery scripts);
+    // FILLTARGET nulls the missing column
+    Catalog.replaceTable(Seq((1L, "x", 5.0)).toDF("id", "s", "extra"), "rs_app", "tgt")
+    Catalog.replaceTable(Seq((2L, "y")).toDF("id", "s"), "rs_app", "old")
+    val r2 = new RedshiftScript.Runner(spark, root()).run(
+      "ALTER TABLE rs_app.tgt APPEND FROM rs_app.old FILLTARGET;")
+    assert(r2.ok, r2.reports.mkString("; "))
+    val app = spark.table("rs_app.tgt").orderBy("id").collect()
+    assert(app.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(app(1).isNullAt(2)) // filled
+    assert(spark.table("rs_app.old").count() === 0) // source emptied
+    // UNLOAD (sku_market_valuation.sql shape, TO injected)
+    val out = Files.createTempDirectory("graft-unload").toString + "/export"
+    val r3 = new RedshiftScript.Runner(spark, root()).run(
+      s"""UNLOAD ('SELECT id, s FROM rs_app.tgt')
+         |TO '$out'
+         |IAM_ROLE 'arn:aws:iam::000000000000:role/ignored'
+         |PARALLEL OFF ALLOWOVERWRITE FORMAT AS PARQUET MAXFILESIZE 2048 MB;""".stripMargin)
+    assert(r3.ok, r3.reports.mkString("; "))
+    assert(spark.read.parquet(out).count() === 2)
+  }
+
+  test("MERGE with a non-unique source fails instead of multiplying rows") {
+    import sqlImplicits._
+    Catalog.replaceTable(
+      Seq((1L, "t1")).toDF("k", "v"), "rs_mdup", "tgt")
+    Catalog.replaceTable(
+      Seq((1L, "s1"), (1L, "s2")).toDF("k", "v"), "rs_mdup", "src")
+    val r = new RedshiftScript.Runner(spark, root()).run(
+      """MERGE INTO rs_mdup.tgt USING rs_mdup.src s ON rs_mdup.tgt.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT VALUES (s.k, s.v);""".stripMargin)
+    assert(!r.ok)
+    assert(r.reports.head.error.get.contains("not unique"))
+    assert(spark.table("rs_mdup.tgt").count() === 1) // target untouched
   }
 
   test("UPDATE edge cases: _from columns, commented FROM, string literals, unknown columns") {
@@ -376,22 +571,29 @@ class RedshiftScriptSpec extends SparkSpec {
       .toSeq
     assert(files.size > 900) // the reference's ~1,300 scripts
     val verbs = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    val samples = scala.collection.mutable.ListBuffer.empty[String]
     var total = 0
     files.foreach { f =>
       val txt = new String(java.nio.file.Files.readAllBytes(f), java.nio.charset.StandardCharsets.UTF_8)
       RedshiftScript.splitStatements(txt).foreach { st =>
         total += 1
-        verbs(RedshiftScript.classify(st)) += 1
+        val v = RedshiftScript.classify(st)
+        verbs(v) += 1
+        if (v.startsWith("UNSUPPORTED") && samples.count(_.startsWith(s"[$v]")) < 4)
+          samples += s"[$v] ${f.getFileName}: " +
+            RedshiftScript.stripLeadingComments(st).replaceAll("\\s+", " ").take(300)
       }
     }
+    samples.foreach(info(_))
     val unsupported = verbs.filter(_._1.startsWith("UNSUPPORTED")).values.sum
     val rate = 1.0 - unsupported.toDouble / total
     info(f"statements=$total recognized=${(rate * 100)}%.1f%%")
     verbs.toSeq.sortBy(-_._2).foreach { case (v, n) => info(f"  $v%-28s $n") }
-    // the interpreter must recognize ≥95% of the reference's real
-    // statements (remainder: COPY-from-S3, stored procedures — external
-    // integrations out of engine scope)
-    assert(rate >= 0.95, f"recognition rate ${rate * 100}%.1f%%")
+    // the interpreter must recognize ≥98% of the reference's real
+    // statements (the remaining ~0.4% are fragment files — bare WHERE/AND
+    // continuation lines the orchestration string-concatenates — and a
+    // handful of malformed statements like `DELETE FROM WHERE …`)
+    assert(rate >= 0.98, f"recognition rate ${rate * 100}%.1f%%")
   }
 
   test("runSqlDir routes a multi-statement file through the interpreter") {

@@ -79,4 +79,40 @@ class ScriptParserPropertySpec extends AnyFunSuite {
     assert(RedshiftScript.stripLeadingComments(
       "--a\n--b\n/* c */ \n-- d\nSELECT 1") === "SELECT 1")
   }
+
+  private val dialectToken: Gen[String] = Gen.oneOf(
+    "current_date", "sysdate", "to_char(x)", "datediff(day, a, b)",
+    "dateadd(month, 1, c)", "current_date - 1", "date_part(dow, d)")
+
+  test("translate: dialect tokens inside string literals and comments survive verbatim") {
+    forAll2(dialectToken, Gen.alphaNumStr.map(_.take(8))) { (tok, pad) =>
+      val lit = s"'$pad $tok $pad'"
+      val lc = s"-- $tok\n"
+      val bc = s"/* $tok */"
+      val sql = s"SELECT $lit, col $bc FROM t $lc WHERE d < $tok"
+      val out = RedshiftScript.translate(sql, currentDate = Some("2024-06-01"))
+      // the literal and both comments are byte-identical in the output
+      assert(out.contains(lit), s"literal corrupted: $out")
+      assert(out.contains(lc.trim), s"line comment corrupted: $out")
+      assert(out.contains(bc), s"block comment corrupted: $out")
+      // while the SAME token outside them was rewritten
+      assert(!out.endsWith(tok), s"un-rewritten tail: $out")
+    }
+  }
+
+  test("rewriteQualify: no-op without QUALIFY, removes every QUALIFY keyword with it") {
+    forAll(script) { s =>
+      if (!s.toUpperCase.contains("QUALIFY"))
+        assert(RedshiftScript.rewriteQualify(s) === s)
+    }
+    val in =
+      """WITH a AS (SELECT x FROM t QUALIFY row_number() over (order by x) = 1)
+        |SELECT * FROM a QUALIFY rank() over (order by x) = 1""".stripMargin
+    val out = RedshiftScript.rewriteQualify(in)
+    assert(!out.toUpperCase.contains("QUALIFY "))
+    assert(out.contains("EXCEPT(__qualify_0)") && out.contains("EXCEPT(__qualify_1)"))
+    // a QUALIFY inside a string literal is data, not syntax
+    val lit = "SELECT 'use QUALIFY here' FROM t"
+    assert(RedshiftScript.rewriteQualify(lit) === lit)
+  }
 }
