@@ -264,6 +264,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VectorL2].getName, "graft_l2"),
       (children: Seq[Expression]) => VectorL2(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSig].getName, "graft_hyperplane_sig"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "graft_hyperplane_sig(vec, numBits, dim)")
+        val Seq(bits, dim) = children.tail.map {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"numBits/dim must be integer literals, got $other")
+        }
+        HyperplaneSig(children.head, bits, dim)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_lang_id"),
       new ExpressionInfo(classOf[LangId].getName, "graft_lang_id"),
       (children: Seq[Expression]) => LangId(children.head)))

@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -185,4 +185,66 @@ case class VectorL2(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): VectorL2 =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "graft_l2"
+}
+
+/** Random-hyperplane LSH signature in one compiled pass: bit i of the
+  * result is sign(v · r_i) for the deterministic seed-42 gaussian planes
+  * from [[graft.functions.Vectors.hyperplanes]] — the SAME planes the
+  * DuckDB oracle embeds as literals (`SparkEntry` q48), so results are
+  * bit-identical to the Column-tree form this replaces. That form
+  * expanded to numBits × dim `element_at` nodes (512 for 8×64) evaluated
+  * interpreted per row on BOTH sides of the LSH self-join — the last
+  * interpreted-class hot path in the suite.
+  *
+  * The vector is decoded once into a primitive array, then each plane is
+  * a tight double-multiply loop. Elements promote to double before the
+  * multiply, matching `element_at(vec, j) * lit(w)` Cast semantics for
+  * both float and double arrays.
+  */
+case class HyperplaneSig(child: Expression, numBits: Int, dim: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_hyperplane_sig expects array<float|double>, got ${other.sql}")
+  }
+
+  @transient private lazy val planes: Array[Array[Double]] =
+    graft.functions.Vectors.hyperplanes(numBits, dim).toArray
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    require(arr.numElements() >= dim,
+      s"graft_hyperplane_sig: vector has ${arr.numElements()} elements, expected >= $dim")
+    val v = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      // a null element poisons every dot product: all bits fall to the
+      // `otherwise(0)` branch of the Column-tree form → signature 0
+      if (arr.isNullAt(j)) return 0L
+      v(j) = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+      j += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < numBits) {
+      val plane = planes(i)
+      var acc = 0.0
+      j = 0
+      while (j < dim) { acc += v(j) * plane(j); j += 1 }
+      if (acc >= 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+  override def prettyName: String = "graft_hyperplane_sig"
 }

@@ -49,9 +49,16 @@ object Vectors {
   /** Random-hyperplane LSH bit signature for cosine similarity: bit i is
     * sign(v · r_i) with r_i a deterministic pseudo-random hyperplane derived
     * from a fixed seed and the element index. Vectors with high cosine
-    * similarity agree on most bits.
+    * similarity agree on most bits. Evaluated by the native
+    * [[graft.expressions.HyperplaneSig]] (one compiled loop; the
+    * Column-tree form it replaced expanded to numBits×dim interpreted
+    * `element_at` nodes — the 3.4 s/2k-rows hot spot of round 2's q48).
     */
-  def hyperplaneLshSignature(vec: Column, numBits: Int, dim: Int): Column = {
+  def hyperplaneLshSignature(vec: Column, numBits: Int, dim: Int): Column =
+    call_function("graft_hyperplane_sig", vec, lit(numBits), lit(dim))
+
+  /** Column-tree reference implementation — parity-test oracle only. */
+  private[graft] def hyperplaneLshSignatureTree(vec: Column, numBits: Int, dim: Int): Column = {
     val planes = hyperplanes(numBits, dim)
     val bits = planes.zipWithIndex.map { case (plane, i) =>
       val d = dotConst(vec, plane)

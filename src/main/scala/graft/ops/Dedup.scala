@@ -207,10 +207,15 @@ object Dedup {
       threshold: Double,
       numBits: Int,
       dim: Int): DataFrame = {
+    // localCheckpoint: same REQUIRED barrier as the minhash path — the
+    // signature frame feeds BOTH aliases of the self-join; without the
+    // barrier the per-row signature is computed twice (and the plan
+    // re-derives it under each join child)
     val v = docs
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .withColumn("sig", graft.functions.Vectors.hyperplaneLshSignature(col("v"), numBits, dim))
+      .localCheckpoint()
     val l = v.alias("l")
     val r = v.alias("r")
     l.join(r, col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))

@@ -58,11 +58,15 @@ object Similarity {
       k: Int,
       numBits: Int,
       dim: Int): DataFrame = {
+    // localCheckpoint both sides: corpus and queries are usually the same
+    // table (self-search) — without the barrier the signature subtree is
+    // duplicated under each join child and computed twice per row
     val sig = (df: DataFrame, id: String, v: String) =>
       df.select(
         col(idCol).as(id),
         col(vecCol).as(v),
         Vectors.hyperplaneLshSignature(col(vecCol), numBits, dim).as(s"${id}_sig"))
+        .localCheckpoint()
     val c = sig(corpus, "corpus_id", "cvec")
     val q = sig(queries, "query_id", "qvec")
     val scored = q

@@ -193,4 +193,28 @@ class NativeExpressionParitySpec extends SparkSpec {
       "SELECT graft_jaccard(array('a','b'), array('b','c'))").collect()(0).getDouble(0)
     assert(math.abs(j - 1.0 / 3.0) < 1e-12)
   }
+
+  test("native hyperplane signature == Column-tree form on the embeddings fixture") {
+    val emb = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    // both the float fixture column and its double cast — the two input
+    // types the dedup/ANN paths feed it
+    for (castTo <- Seq("array<float>", "array<double>")) {
+      val rows = emb
+        .select(
+          col("vec_id"),
+          graft.functions.Vectors
+            .hyperplaneLshSignature(col("embedding").cast(castTo), 8, 64).as("native"),
+          graft.functions.Vectors
+            .hyperplaneLshSignatureTree(col("embedding").cast(castTo), 8, 64).as("tree"))
+        .collect()
+      assert(rows.length > 400)
+      rows.foreach { r =>
+        assert(r.getLong(1) === r.getLong(2), s"sig mismatch doc_id=${r.get(0)} [$castTo]")
+      }
+    }
+    // SQL registration
+    val s = spark.sql(
+      "SELECT graft_hyperplane_sig(array(1.0D, -2.0D), 4, 2)").collect()(0).getLong(0)
+    assert(s >= 0L && s < 16L)
+  }
 }
