@@ -23,7 +23,9 @@ object HttpSink {
       batchSize: Int = 75, // the reference chunks Braze posts at 75
       maxRetries: Int = 3,
       initialBackoffMs: Long = 100,
-      headers: Map[String, String] = Map.empty)
+      headers: Map[String, String] = Map.empty,
+      connectTimeoutMs: Long = 5000,
+      requestTimeoutMs: Long = 30000)
 
   /** POST the DataFrame as JSON-array batches. Returns nothing; failures
     * after `maxRetries` attempts throw, failing the Spark task (which
@@ -32,8 +34,12 @@ object HttpSink {
   def postJsonBatches(df: DataFrame, config: Config): Unit = {
     val conf = config // serialize the case class, not the enclosing object
     df.toJSON.foreachPartition { (rows: Iterator[String]) =>
-      // per-partition client init (the once-per-partition codec shape)
-      val client = java.net.http.HttpClient.newHttpClient()
+      // per-partition client init (the once-per-partition codec shape);
+      // connect + per-request timeouts so a hung endpoint fails the task
+      // (bounded) instead of stalling the executor thread forever
+      val client = java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(conf.connectTimeoutMs))
+        .build()
       rows.grouped(conf.batchSize).foreach { chunk =>
         val body = chunk.mkString("[", ",", "]")
         postWithRetry(client, conf, body)
@@ -50,17 +56,28 @@ object HttpSink {
     var done = false
     while (!done) {
       attempt += 1
+      // retry policy: 5xx and transport errors (timeouts, resets) are
+      // transient — retry with backoff; any other non-2xx (4xx: bad
+      // payload/auth) can never succeed on retry — fail immediately
       val ok =
         try {
           val builder = java.net.http.HttpRequest.newBuilder()
             .uri(java.net.URI.create(conf.url))
+            .timeout(java.time.Duration.ofMillis(conf.requestTimeoutMs))
             .header("Content-Type", "application/json")
             .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
           conf.headers.foreach { case (k, v) => builder.header(k, v) }
           val resp = client.send(
             builder.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
-          resp.statusCode() >= 200 && resp.statusCode() < 300
-        } catch { case _: java.io.IOException => false }
+          val code = resp.statusCode()
+          if (code >= 200 && code < 300) true
+          else if (code >= 500) false // retryable
+          else throw new IllegalStateException(
+            s"POST ${conf.url} rejected with non-retryable status $code: " +
+              resp.body().take(200))
+        } catch {
+          case _: java.io.IOException => false // incl. HttpTimeoutException
+        }
       if (ok) done = true
       else if (attempt > conf.maxRetries)
         throw new java.io.IOException(

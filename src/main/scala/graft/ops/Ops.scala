@@ -213,19 +213,32 @@ object Ops {
   }
 
   /** Exact interpolated variant (matches SQL PERCENTILE_CONT semantics).
-    * Exact percentile buffers the group's values — use only when group
-    * cardinality is bounded; at 100 TB prefer [[withGroupPercentile]].
+    * Exact percentile buffers the group's values in memory — a single fat
+    * group at 100× data is a straight executor OOM. `maxGroupSize` guards
+    * that: when set, a cheap partial-aggregable count runs first, and if
+    * any group exceeds the bound the call falls back to
+    * [[withGroupPercentile]] (t-digest approx, bounded memory) instead of
+    * buffering. Leave it None only when group sizes are bounded by
+    * construction; at 100 TB prefer [[withGroupPercentile]] outright.
     */
   def withGroupPercentileExact(
       df: DataFrame,
       keys: Seq[String],
       valueCol: String,
       p: Double,
-      outName: String): DataFrame = {
-    val agg = df
-      .groupBy(keys.map(col): _*)
-      .agg(expr(s"percentile($valueCol, $p)").as(outName))
-    df.join(agg, keys, "left")
+      outName: String,
+      maxGroupSize: Option[Long] = None): DataFrame = {
+    val overflows = maxGroupSize.exists { limit =>
+      !df.groupBy(keys.map(col): _*).count()
+        .filter(col("count") > limit).isEmpty
+    }
+    if (overflows) withGroupPercentile(df, keys, col(valueCol), p, outName)
+    else {
+      val agg = df
+        .groupBy(keys.map(col): _*)
+        .agg(expr(s"percentile($valueCol, $p)").as(outName))
+      df.join(agg, keys, "left")
+    }
   }
 
   /** Per-group IQR outlier fence — the reference's staged pricing

@@ -77,8 +77,12 @@ object Ingest {
       if (touched.nonEmpty) {
         val existing =
           try {
+            // null-safe equality: a malformed record with null event time
+            // lands in the null partition — plain === never matches null,
+            // so its existing rows would be clobbered by the overwrite
+            // (the exact late-event loss mode this merge prevents)
             val touchedFilter = touched
-              .map(r => col("date") === lit(r.get(0)) && col("hour") === lit(r.get(1)))
+              .map(r => col("date") <=> lit(r.get(0)) && col("hour") <=> lit(r.get(1)))
               .reduce(_ || _)
             spark.read
               .schema(b.schema)

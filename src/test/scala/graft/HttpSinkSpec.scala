@@ -81,4 +81,51 @@ class HttpSinkSpec extends SparkSpec {
       assert(e.getMessage.contains("failed") || e.getCause != null)
     }
   }
+
+  test("a 4xx response fails immediately — no pointless retries of a rejected payload") {
+    val attempts = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/upsert", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        attempts.incrementAndGet()
+        ex.sendResponseHeaders(422, -1); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/upsert"
+      val df = Seq((1, "u1")).toDF("id", "external_id").coalesce(1)
+      val e = intercept[org.apache.spark.SparkException] {
+        HttpSink.postJsonBatches(df,
+          HttpSink.Config(url, maxRetries = 5, initialBackoffMs = 5))
+      }
+      assert(e.getMessage.contains("422") ||
+        Option(e.getCause).exists(_.getMessage.contains("422")))
+      assert(attempts.get() === 1) // exactly one attempt — 4xx is final
+    } finally server.stop(0)
+  }
+
+  test("a hung endpoint trips the request timeout instead of stalling the executor") {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/upsert", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        Thread.sleep(5000) // far beyond the 500 ms request timeout
+        ex.sendResponseHeaders(200, -1); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/upsert"
+      val df = Seq((1, "u1")).toDF("id", "external_id").coalesce(1)
+      val t0 = System.nanoTime()
+      val e = intercept[org.apache.spark.SparkException] {
+        HttpSink.postJsonBatches(df,
+          HttpSink.Config(url, maxRetries = 1, initialBackoffMs = 5,
+            requestTimeoutMs = 500))
+      }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      assert(e.getMessage.contains("failed") || e.getCause != null)
+      assert(elapsed < 30, s"timeout did not bound the hang: ${elapsed}s")
+    } finally server.stop(0)
+  }
 }

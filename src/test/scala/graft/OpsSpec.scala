@@ -105,6 +105,21 @@ class OpsSpec extends SparkSpec {
     assert(out === 6.0) // (2+10)/2
   }
 
+  test("withGroupPercentileExact maxGroupSize guard falls back to approx on fat groups") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 10.0), ("a", 20.0)).toDF("g", "v")
+    // groups within bound: still the exact interpolated value
+    val exact = Ops.withGroupPercentileExact(df, Seq("g"), "v", 0.5, "med",
+      maxGroupSize = Some(10L))
+      .select("med").distinct().collect()(0).getDouble(0)
+    assert(exact === 6.0)
+    // a group over the bound: the approx path (bounded memory) kicks in —
+    // percentile_approx returns an OBSERVED value, never an interpolation
+    val approx = Ops.withGroupPercentileExact(df, Seq("g"), "v", 0.5, "med",
+      maxGroupSize = Some(3L))
+      .select("med").distinct().collect()(0).getDouble(0)
+    assert(Seq(1.0, 2.0, 10.0, 20.0).contains(approx), s"approx=$approx")
+  }
+
   test("changedRows captures rows missing from the last export") {
     val cur = Seq((1, "a"), (2, "b")).toDF("k", "v")
     val last = Seq((2, "b")).toDF("k", "v")

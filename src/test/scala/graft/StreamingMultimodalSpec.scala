@@ -61,6 +61,35 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(out.count() === 4)
   }
 
+  test("null-timestamp rows land in the null partition and survive later merges") {
+    val base = Files.createTempDirectory("graft-stream-nullts").toString
+    val src = s"$base/src"; val tgt = s"$base/tgt"; val chk = s"$base/chk"
+    new java.io.File(src).mkdirs()
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("ts", TimestampType),
+      StructField("v", IntegerType)))
+    // run 1: a malformed record (null ts → null date/hour partition)
+    Files.writeString(java.nio.file.Paths.get(s"$src/batch1.json"),
+      """{"id":"ok1","ts":"2024-01-01T10:00:00.000Z","v":1}
+        |{"id":"bad1","ts":null,"v":9}
+        |""".stripMargin)
+    Ingest.jsonLinesToPartitionedParquet(
+      spark, src, schema, tgt, chk, idCol = "id", tsCol = "ts").awaitTermination(60000)
+    assert(spark.read.parquet(tgt).count() === 2)
+    // run 2: ANOTHER malformed record touches the null partition — with a
+    // plain === touched-filter the null partition's existing rows are not
+    // read back and the dynamic overwrite deletes bad1
+    Files.writeString(java.nio.file.Paths.get(s"$src/batch2.json"),
+      """{"id":"bad2","ts":null,"v":8}
+        |""".stripMargin)
+    Ingest.jsonLinesToPartitionedParquet(
+      spark, src, schema, tgt, chk, idCol = "id", tsCol = "ts").awaitTermination(60000)
+    val out = spark.read.parquet(tgt)
+    assert(out.filter(col("date").isNull).select("id")
+      .collect().map(_.getString(0)).sorted.toSeq === Seq("bad1", "bad2"))
+    assert(out.count() === 3)
+  }
+
   test("windowedCounts groups into tumbling event-time windows") {
     import sqlImplicits._
     val events = Seq(
