@@ -138,7 +138,62 @@ object RedshiftScript {
     * break the quoting).
     */
   def translate(sql: String, currentDate: Option[String] = None): String = {
+    // Two pre-passes run as plain rewrites over the WHOLE text because
+    // their match spans string literals the segment-aware rewriter will
+    // not enter: (1) quoted date units — `DATEADD('month', …)` — are
+    // unquoted so the segment rules see the bare-unit form; (2) Redshift's
+    // in-argument null handling — `last_value(x IGNORE NULLS)` — moves
+    // outside the call (`last_value(x) IGNORE NULLS`), Spark's syntax.
+    // Both patterns are specific enough that a literal containing them is
+    // vanishingly unlikely (and would be doubled-quoted in Redshift).
+    val pre0 = sql
+      .replaceAll(
+        s"(?i)\\b(datediff|dateadd|date_part|date_diff|date_add)\\s*\\(\\s*'($Units|dows?|doys?|epoch)'\\s*,",
+        "$1($2,")
+      .replaceAll(
+        "(?i)\\b(first_value|last_value|lag|lead|nth_value)\\s*\\(((?:[^()']|'[^']*'|\\((?:[^()']|'[^']*')*\\))*?)\\s+(ignore|respect)\\s+nulls\\s*\\)",
+        "$1($2) $3 nulls")
+    // SQL regex match: `x [NOT] SIMILAR TO 'p'` → rlike with SQL wildcards
+    // mapped (% → .*, _ → .), anchored like SIMILAR TO requires
+    val pre1 = "(?i)\\b(not\\s+)?similar\\s+to\\s+'([^']*)'".r.replaceAllIn(pre0, m => {
+      val not = if (m.group(1) != null) "not " else ""
+      val p = m.group(2).replace("%", ".*").replace("_", ".")
+      java.util.regex.Matcher.quoteReplacement(s"${not}rlike '^(?:$p)$$'")
+    })
+    // Redshift epoch arithmetic base: `timestamp 'epoch' + n * interval …`
+    val pre = pre1.replaceAll(
+      "(?i)\\b(?:timestamptz|timestamp)\\s+'epoch'", "timestamp '1970-01-01 00:00:00'")
     val rules = Seq(
+      // Redshift type spellings Spark's parser rejects
+      "(?i)\\bdouble\\s+precision\\b" -> "double",
+      "(?i)\\bcharacter\\s+varying\\s*\\(" -> "varchar(",
+      "(?i)\\bcharacter\\s+varying\\b" -> "string",
+      "(?i)::\\s*text\\b" -> "::string",
+      "(?i)::\\s*varchar\\b(?!\\s*\\()" -> "::string",
+      "(?i)::\\s*int8\\b" -> "::bigint",
+      "(?i)::\\s*int4\\b" -> "::int",
+      "(?i)::\\s*int2\\b" -> "::smallint",
+      "(?i)::\\s*float8\\b" -> "::double",
+      "(?i)::\\s*float4\\b" -> "::float",
+      "(?i)(\\bas\\s+)text(\\s*\\))" -> "$1string$2",
+      "(?i)(\\bas\\s+)varchar(\\s*\\))" -> "$1string$2",
+      "(?i)(\\bas\\s+)datetime(\\s*\\))" -> "$1timestamp$2",
+      "(?i)\\btimestamptz\\b" -> "timestamp",
+      // Presto/Athena date forms some airflow scripts use (unit unquoted
+      // by the pre-pass above)
+      s"(?i)\\bdate_diff\\s*\\(\\s*($Units)\\s*," -> "datediff_rs('$1',",
+      s"(?i)\\bdate_add\\s*\\(\\s*($Units)\\s*," -> "dateadd_rs('$1',",
+      // POSIX regex / LIKE operator spellings (longest first)
+      "!~~\\*" -> " not ilike ",
+      "~~\\*" -> " ilike ",
+      "!~~" -> " not like ",
+      "~~" -> " like ",
+      "!~\\*" -> " not rlike ",
+      "~\\*" -> " rlike ",
+      "(?<![!~<>=|*])~(?![~*=])" -> " rlike ",
+      // Redshift late-binding view clause — no Spark analogue, semantics
+      // are ours anyway (views resolve at read)
+      "(?i)\\bwith\\s+no\\s+schema\\s+binding\\b" -> "",
       // date arithmetic first (current_date - 1), so the pin below still
       // sees a plain function argument
       "(?i)\\bcurrent_date\\s*-\\s*(\\d+)" -> "date_sub(current_date, $1)",
@@ -156,7 +211,7 @@ object RedshiftScript {
       "\"([^\"]+)\"" -> "`$1`") ++
       // the pin runs LAST so the DATE '…' it splices in is never re-matched
       currentDate.map(d => "(?i)\\bcurrent_date\\b" -> s"DATE '$d'").toSeq
-    rewriteOutsideStrings(rewriteQualify(sql), rules)
+    rewriteOutsideStrings(rewriteQualify(pre), rules)
   }
 
   /** Rewrite `QUALIFY <pred>` (Redshift/Snowflake window filter — Spark's
@@ -233,7 +288,10 @@ object RedshiftScript {
         j += 1
       }
     }
-    require(selStart >= 0, s"QUALIFY without an enclosing SELECT: ${sql.take(80)}")
+    // malformed input (QUALIFY with no reachable SELECT) passes through
+    // untouched: the downstream parser reports it — better than throwing
+    // from a text rewrite
+    if (selStart < 0) return sql
     // the predicate runs to the first depth-0 ORDER/LIMIT/set-op keyword,
     // the region's closing paren, or end of text
     var predEnd = sql.length
@@ -267,15 +325,21 @@ object RedshiftScript {
     }
     val sel = sql.substring(selStart, qPos)
     val pred = sql.substring(qPos + 7, predEnd)
-    val SelHead = "(?is)^SELECT\\s+(DISTINCT|ALL)?(.*)$".r
-    val (distinct, rest) = sel.trim match {
-      case SelHead(d, r) if d != null && !r.isEmpty && !isWord(r.charAt(0)) =>
-        (d.toUpperCase + " ", r)
-      case SelHead(_, r) => ("", sel.trim.substring(6))
-      case _ => throw new IllegalArgumentException(s"unparseable SELECT head: ${sel.take(60)}")
-    }
+    val selTrim = sel.trim
+    if (selTrim.length < 6 || !selTrim.substring(0, 6).equalsIgnoreCase("SELECT")) return sql
+    // `SELECT` may be followed directly by a comment (`SELECT----note`);
+    // DISTINCT/ALL detection needs the comment-stripped view
+    val rawRest = selTrim.substring(6)
+    val rn = stripLeadingComments(rawRest)
+    val rnUp = rn.toUpperCase
+    val (distinct, rest) =
+      if (rnUp.startsWith("DISTINCT") && (rn.length == 8 || !isWord(rn.charAt(8))))
+        ("DISTINCT ", rn.substring(8))
+      else if (rnUp.startsWith("ALL") && (rn.length == 3 || !isWord(rn.charAt(3))))
+        ("", rn.substring(3))
+      else ("", rawRest)
     val (list, fromRest) = splitTopKeyword(rest, "FROM")
-    require(fromRest.isDefined, s"QUALIFY on a SELECT without FROM: ${sel.take(60)}")
+    if (fromRest.isEmpty) return sql
     val q = s"__qualify_$n"
     // trailing newlines guard against a predicate / FROM-tail that ends in
     // a line comment swallowing the inserted syntax
@@ -294,13 +358,13 @@ object RedshiftScript {
     s"(?is)^DROP\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?($Nm)\\s*(?:CASCADE\\s*)?$$".r
   private[pipeline] val DropViewRe =
     s"(?is)^DROP\\s+(?:MATERIALIZED\\s+)?VIEW\\s+(?:IF\\s+EXISTS\\s+)?($Nm)\\s*(?:CASCADE\\s*)?$$".r
-  private[pipeline] val CreateRe =
+  private[graft] val CreateRe =
     s"(?is)^CREATE\\s+(TEMP|TEMPORARY\\s+)?\\s*TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?($Nm)(.*?)\\bAS\\b(.*)$$".r
   private[pipeline] val DeleteUsingRe =
     s"(?is)^DELETE\\s+FROM\\s+($Nm)\\s+USING\\s+($Nm)\\s*(?:AS\\s+)?(\\w+)?\\s+WHERE\\s+(.*)$$".r
   private[pipeline] val DeleteRe =
     s"(?is)^DELETE\\s+FROM\\s+($Nm)(?:\\s+WHERE\\s+(.*))?$$".r
-  private[pipeline] val InsertRe =
+  private[graft] val InsertRe =
     s"(?is)^INSERT\\s+INTO\\s+($Nm)\\s*(\\([^)]*\\))?\\s*(.*)$$".r
   // one head pattern for both UPDATE forms; the SET remainder is routed
   // by a depth-and-string-aware scan for a top-level FROM (a scalar
@@ -425,9 +489,9 @@ object RedshiftScript {
     "(?is)^ALTER\\s+TABLE\\s+([\\w.]+)\\s+RENAME\\s+TO\\s+([\\w.]+)\\s*$".r
   private[pipeline] val CreateDdlRe =
     "(?is)^CREATE\\s+(TEMP|TEMPORARY\\s+)?\\s*TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)\\s*\\((.*)\\)[\\s\\w()]*$".r
-  private[pipeline] val CreateViewRe =
+  private[graft] val CreateViewRe =
     s"(?is)^CREATE\\s+(?:OR\\s+REPLACE\\s+)?VIEW\\s+($Nm)\\s+AS\\b\\s*(.*)$$".r
-  private[pipeline] val CreateMvRe =
+  private[graft] val CreateMvRe =
     "(?is)^CREATE\\s+MATERIALIZED\\s+VIEW\\s+([\\w.]+)(?:\\s+\\w+\\s+\\w+)*?\\s+AS\\s+(.*)$".r
   private[pipeline] val CreateSchemaRe =
     "(?is)^CREATE\\s+SCHEMA\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([\\w]+)\\s*$".r
@@ -511,7 +575,7 @@ object RedshiftScript {
     * parenthesized group is actually the query, fold it back into the
     * body. Returns (explicit column list, normalized query SQL or "").
     */
-  private[pipeline] def parseInsert(
+  private[graft] def parseInsert(
       colList: String, body: String): (Option[Seq[String]], String) = {
     val clOpt = Option(colList)
     val clIsQuery = clOpt.exists { cl =>
