@@ -141,15 +141,27 @@ object QueriesLLM {
   // Multimodal (synthetic media table; stub decoder)
   // =================================================================
 
-  /** Binary-column plumbing: metadata pruning + per-partition feature
-    * extraction over opaque payloads (rows-only: stub decoder hash).
+  /** Binary-column plumbing over a fixture-derived media table: payload
+    * bytes, type/format mapping, per-partition feature extraction (only
+    * the feature DIMENSION is asserted — the values are the stub
+    * decoder's), resize arithmetic, and video frame-sampling counts.
+    * Everything in the output is doc_id/text arithmetic → DuckDB oracle.
     */
   def q38_multimodal(spark: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.synthetic(spark, 300)
-    Multimodal.extractFeatures(media, dim = 16)
-      .select(
-        col("media_id"), col("media_type"), col("format"),
-        round(Vectors.norm(col("features")), 4).as("feature_norm"))
+    val media = Multimodal.fromDocuments(t(spark, dir, "documents"))
+    val feats = Multimodal.extractFeatures(media, dim = 16)
+      .select(col("media_id"), size(col("features")).cast("int").as("feature_dim"))
+    val resized = Multimodal.resizeImages(media, maxDim = 512)
+      .select(col("media_id"),
+        col("width").as("resized_w"), col("height").as("resized_h"))
+    val frames = Multimodal.sampleFrames(media, everyNth = 5)
+      .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
+    media
+      .select(col("media_id"), col("media_type"), col("format"),
+        length(col("content")).cast("long").as("payload_bytes"))
+      .join(feats, Seq("media_id"))
+      .join(resized, Seq("media_id"))
+      .join(frames, Seq("media_id"), "left")
   }
 
   // =================================================================

@@ -552,6 +552,23 @@ object SparkEntry {
         |INTERSECT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
     "q48_embed_dup_lsh" -> q48Oracle,
+    // q38: the media table is pure doc_id/text arithmetic (Multimodal.
+    // fromDocuments), so payload size, type/format mapping, resize
+    // arithmetic (truncating like Scala's .toInt) and frame-sample
+    // counts all replicate in SQL; only the stub decoder's feature
+    // VALUES stay out of the oracle (the dimension is asserted)
+    "q38_multimodal" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS format,
+        |  octet_length(encode(text)) AS payload_bytes,
+        |  16 AS feature_dim,
+        |  CASE WHEN doc_id % 3 = 0 THEN GREATEST(1, CAST(FLOOR((100 + doc_id % 1200) *
+        |    LEAST(1.0, 512.0 / GREATEST(100 + doc_id % 1200, 100 + doc_id % 800))) AS INT)) END AS resized_w,
+        |  CASE WHEN doc_id % 3 = 0 THEN GREATEST(1, CAST(FLOOR((100 + doc_id % 800) *
+        |    LEAST(1.0, 512.0 / GREATEST(100 + doc_id % 1200, 100 + doc_id % 800))) AS INT)) END AS resized_h,
+        |  CASE WHEN doc_id % 3 = 2 THEN (doc_id % 120) // 5 + 1 END AS n_frames
+        |FROM documents""".stripMargin,
     "q51_json_payload" ->
       """WITH payloads AS (SELECT JSON_OBJECT(
         |    'order_id', o_orderkey, 'customer_id', o_custkey, 'status', o_orderstatus,

@@ -127,6 +127,27 @@ object Multimodal {
       .select("media_id", "frame_idx", "frame_ts_ms", "frame", "format")
   }
 
+  /** Derive a media table deterministically from the documents fixture:
+    * the payload is the document's UTF-8 bytes and every metadata column
+    * is doc_id arithmetic — which makes the WHOLE pipeline except the
+    * stub feature values replicable in a SQL oracle (payload size, type/
+    * format mapping, resize arithmetic, frame-sampling counts), closing
+    * most of q38's oracle gap while the decode itself stays an honest
+    * stub.
+    */
+  def fromDocuments(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val kind = id % 3 // 0 image, 1 audio, 2 video
+    docs.select(
+      id.as("media_id"),
+      when(kind === 0, "image").when(kind === 1, "audio").otherwise("video").as("media_type"),
+      col("text").cast("binary").as("content"),
+      when(kind === 0, (lit(100) + id % 1200).cast("int")).as("width"),
+      when(kind === 0, (lit(100) + id % 800).cast("int")).as("height"),
+      when(kind =!= 0, (lit(1000L) * (lit(1) + id % 120)).cast("long")).as("duration_ms"),
+      when(kind === 0, "png").when(kind === 1, "wav").otherwise("mp4").as("format"))
+  }
+
   /** Deterministic synthetic media table for tests (a LocalRelation, not
     * an RDD source, so downstream plans contain no ExistingRDD at all).
     */

@@ -14,9 +14,11 @@ class SparkEntrySpec extends SparkSpec {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracle keys without query: ${o -- q}")
+    // only the two xxhash64 sketches remain rows-only (not DuckDB-
+    // replicable); q38 gained an oracle in round 3 via the fixture-
+    // derived media table
     val rowsOnly = q -- o
-    assert(rowsOnly === Set(
-      "q31_minhash_pairs", "q32_simhash_pairs", "q38_multimodal"),
+    assert(rowsOnly === Set("q31_minhash_pairs", "q32_simhash_pairs"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 
