@@ -238,7 +238,10 @@ case class HyperplaneSig(child: Expression, numBits: Int, dim: Int)
       var acc = 0.0
       j = 0
       while (j < dim) { acc += v(j) * plane(j); j += 1 }
-      if (acc >= 0) sig |= (1L << i)
+      // Spark SQL's `>=` orders NaN above every number, so the Column-tree
+      // form sets the bit on a NaN dot product — Scala's `acc >= 0` would
+      // not; replicate explicitly to keep bit-identity
+      if (acc >= 0 || java.lang.Double.isNaN(acc)) sig |= (1L << i)
       i += 1
     }
     sig

@@ -71,7 +71,9 @@ object HttpSink {
             builder.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
           val code = resp.statusCode()
           if (code >= 200 && code < 300) true
-          else if (code >= 500) false // retryable
+          // 5xx, 429 (rate limit — the normal Braze-style backpressure
+          // signal) and 408 are transient; other 4xx can never succeed
+          else if (code >= 500 || code == 429 || code == 408) false
           else throw new IllegalStateException(
             s"POST ${conf.url} rejected with non-retryable status $code: " +
               resp.body().take(200))

@@ -148,16 +148,25 @@ object RedshiftScript {
     // vanishingly unlikely (and would be doubled-quoted in Redshift).
     val pre0 = sql
       .replaceAll(
-        s"(?i)\\b(datediff|dateadd|date_part|date_diff|date_add)\\s*\\(\\s*'($Units|dows?|doys?|epoch)'\\s*,",
+        s"(?i)\\b(datediff|dateadd|date_part)\\s*\\(\\s*'($Units|dows?|doys?|epoch)'\\s*,",
         "$1($2,")
+      // Presto/Athena forms map only in their QUOTED-unit spelling —
+      // Spark's own 2-arg date_add(col, n) with a column named like a
+      // unit (d, days, …) must never be rewritten
+      .replaceAll(s"(?i)\\bdate_diff\\s*\\(\\s*'($Units)'\\s*,", "datediff_rs('$1',")
+      .replaceAll(s"(?i)\\bdate_add\\s*\\(\\s*'($Units)'\\s*,", "dateadd_rs('$1',")
       .replaceAll(
         "(?i)\\b(first_value|last_value|lag|lead|nth_value)\\s*\\(((?:[^()']|'[^']*'|\\((?:[^()']|'[^']*')*\\))*?)\\s+(ignore|respect)\\s+nulls\\s*\\)",
         "$1($2) $3 nulls")
-    // SQL regex match: `x [NOT] SIMILAR TO 'p'` → rlike with SQL wildcards
-    // mapped (% → .*, _ → .), anchored like SIMILAR TO requires
+    // SQL regex match: `x [NOT] SIMILAR TO 'p'` → anchored rlike. SQL
+    // wildcards map (% → .*, _ → .); characters that are regex-meta but
+    // SIMILAR-TO-literal (. ^ $) are escaped first — SIMILAR TO's own
+    // metacharacters (| * + ? ( ) [ ] { }) pass through unchanged.
     val pre1 = "(?i)\\b(not\\s+)?similar\\s+to\\s+'([^']*)'".r.replaceAllIn(pre0, m => {
       val not = if (m.group(1) != null) "not " else ""
-      val p = m.group(2).replace("%", ".*").replace("_", ".")
+      val p = m.group(2)
+        .replace(".", "\\.").replace("^", "\\^").replace("$", "\\$")
+        .replace("%", ".*").replace("_", ".")
       java.util.regex.Matcher.quoteReplacement(s"${not}rlike '^(?:$p)$$'")
     })
     // Redshift epoch arithmetic base: `timestamp 'epoch' + n * interval …`
@@ -179,10 +188,6 @@ object RedshiftScript {
       "(?i)(\\bas\\s+)varchar(\\s*\\))" -> "$1string$2",
       "(?i)(\\bas\\s+)datetime(\\s*\\))" -> "$1timestamp$2",
       "(?i)\\btimestamptz\\b" -> "timestamp",
-      // Presto/Athena date forms some airflow scripts use (unit unquoted
-      // by the pre-pass above)
-      s"(?i)\\bdate_diff\\s*\\(\\s*($Units)\\s*," -> "datediff_rs('$1',",
-      s"(?i)\\bdate_add\\s*\\(\\s*($Units)\\s*," -> "dateadd_rs('$1',",
       // POSIX regex / LIKE operator spellings (longest first)
       "!~~\\*" -> " not ilike ",
       "~~\\*" -> " ilike ",
@@ -386,8 +391,10 @@ object RedshiftScript {
     s"(?is)^ALTER\\s+TABLE\\s+$Nm\\s+(?:ADD\\s+SORT_?KEY|ALTER\\s+(?:COMPOUND\\s+)?SORTKEY|ALTER\\s+DISTKEY|ALTER\\s+DISTSTYLE)\\b.*".r
   // `UNLOAD ('query') [TO 'path'] <options>` — export; the reference omits
   // TO and lets the orchestration inject it (`4_dwh_risk/sku_market_valuation.sql:146-148`)
+  // the query capture respects '' escapes — a literal as the last arg of
+  // a function (`nvl(x, '')`) must not truncate the match
   private[pipeline] val UnloadRe =
-    "(?is)^UNLOAD\\s*\\(\\s*'(.*?)'\\s*\\)\\s*(.*)$".r
+    "(?is)^UNLOAD\\s*\\(\\s*'((?:[^']|'')*)'\\s*\\)\\s*(.*)$".r
   // permission/statistics/maintenance/session verbs Spark has no analogue
   // for: recorded, not failed (754 GRANTs across the reference scripts)
   private[pipeline] val NoopRe =
@@ -395,7 +402,7 @@ object RedshiftScript {
   // a common reference idiom: DROP and CREATE with a missing semicolon
   // between them, parsed as one statement (124 occurrences)
   private[pipeline] val DropCreateRe =
-    "(?is)^(DROP\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?[\\w.]+)\\s+(CREATE\\s+.*)$".r
+    s"(?is)^(DROP\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?$Nm)\\s+(CREATE\\s+.*)$$".r
   // Redshift bulk load: `COPY tbl [(cols)] [FROM 'path'] <options>`
   // (`11_marketing_reporting/Affiliate_Automation/affiliate_everflow_staging.sql:22-27`
   // omits FROM — the orchestration injects it; `catman/sql/copy_pricing_data.sql:5-8`
@@ -644,21 +651,42 @@ object RedshiftScript {
       * tables into overlay-backed temp views, so a SELECT / INSERT body /
       * CTAS reading a table mutated earlier in the SAME transaction sees
       * the staged mutation (Redshift semantics), not the pre-transaction
-      * files. Views are (re)registered here and dropped when the overlay
-      * clears at COMMIT/ROLLBACK.
+      * files. The view is registered under the table's BASE name, so
+      * base-qualified column references (`FROM db.t … t.x`) and existing
+      * `FROM db.t alias` forms keep resolving after the rewrite, and bare
+      * `FROM t` references are shadowed by the temp view with no rewrite
+      * at all. When the base name is unusable (already a user temp view,
+      * shared by two overlaid tables, or a reserved word the view API
+      * rejects) that table falls back to a `__ov_db_t` view — qualified
+      * refs to it then fail analysis loudly rather than read stale data.
+      * Views are dropped when the overlay clears at COMMIT/ROLLBACK.
       */
+    private val ovViews = mutable.LinkedHashMap[String, String]() // overlay key -> view
     private def resolveOverlays(sql: String): String =
-      overlay.foldLeft(sql) { case (s, (name, df)) =>
-        val view = overlayView(name)
-        df.createOrReplaceTempView(view)
+      overlay.foldLeft(sql) { case (s, (key, df)) =>
+        val view = ovViews.getOrElseUpdate(key, {
+          val base = key.split("\\.").last
+          val clash =
+            overlay.keys.count(_.split("\\.").last == base) > 1 ||
+              (isTempView(base) && !ovViews.valuesIterator.contains(base))
+          if (clash) "__ov_" + key.replace('.', '_') else base
+        })
+        val registered =
+          try { df.createOrReplaceTempView(view); view }
+          catch {
+            case _: Exception => // e.g. reserved-word base name
+              val fb = "__ov_" + key.replace('.', '_')
+              ovViews(key) = fb
+              df.createOrReplaceTempView(fb)
+              fb
+          }
         RedshiftScript.rewriteOutsideStrings(
-          s, s"(?i)(?<![\\w.])${java.util.regex.Pattern.quote(name)}(?![\\w.])", view)
+          s, s"(?i)(?<![\\w.])${java.util.regex.Pattern.quote(key)}(?![\\w.])", registered)
       }
 
-    private def overlayView(name: String): String = "__ov_" + name.replace('.', '_')
-
     private def clearOverlay(): Unit = {
-      overlay.keys.foreach(n => spark.catalog.dropTempView(overlayView(n)))
+      ovViews.values.foreach(spark.catalog.dropTempView)
+      ovViews.clear()
       overlay.clear()
     }
 
@@ -695,7 +723,14 @@ object RedshiftScript {
       if (isTempView(name)) df.createOrReplaceTempView(norm(name))
       else {
         overlay(norm(name).toLowerCase) = df
-        if (!inTxn) commit()
+        // auto-commit failure (e.g. the MERGE uniqueness raise_error
+        // firing during the staged write) must not leave the poisoned
+        // frame in the overlay — later statements would re-trigger it
+        // through read-your-writes and every subsequent commit
+        if (!inTxn) {
+          try commit()
+          catch { case e: Exception => clearOverlay(); throw e }
+        }
       }
     }
 
@@ -813,7 +848,11 @@ object RedshiftScript {
       val readSchema = cols match {
         case None => target.schema
         case Some(cs) => org.apache.spark.sql.types.StructType(
-          cs.map(c => target.schema(target.schema.fieldIndex(c))))
+          // case-insensitive, like Redshift identifiers (and like the
+          // alignTo half of this statement)
+          cs.map(c => target.schema.fields.find(_.name.equalsIgnoreCase(c))
+            .getOrElse(throw new IllegalArgumentException(
+              s"COPY $name: unknown column $c"))))
       }
       val incoming = fmt match {
         case "PARQUET" => spark.read.parquet(path)
@@ -904,15 +943,15 @@ object RedshiftScript {
             val (_, distkey) = stripTableOptions(options)
             var df = spark.sql(tr(body))
             distkey.foreach(k => df = df.repartition(col(k)))
-            if (temp != null) df.createOrReplaceTempView(name)
+            if (temp != null) df.createOrReplaceTempView(norm(name))
             else stage(name, df)
             report(if (temp != null) "CREATE TEMP TABLE" else "CREATE TABLE", Some(name))
           case DeleteUsingRe(name, srcName, aliasOpt, cond) =>
             // DELETE FROM t USING s WHERE t.k = s.k → anti-join: keep the
             // target rows with NO matching source row
             val alias = Option(aliasOpt).map(_.trim).filter(_.nonEmpty)
-              .getOrElse(srcName.split("\\.").last)
-            val tBase = name.split("\\.").last
+              .getOrElse(norm(srcName).split("\\.").last)
+            val tBase = norm(name).split("\\.").last
             val condRewritten = Seq(
               (s"(?i)\\b${java.util.regex.Pattern.quote(name)}\\.", "__t."),
               (s"(?i)\\b${java.util.regex.Pattern.quote(tBase)}\\.", "__t."),
@@ -1099,7 +1138,7 @@ object RedshiftScript {
         setClause: String,
         insertVals: String): DataFrame = {
       val alias = aliasOpt.map(_.trim).filter(_.nonEmpty)
-        .getOrElse(srcName.split("\\.").last)
+        .getOrElse(norm(srcName).split("\\.").last)
       val t = currentState(tgtName)
       val s = currentState(srcName)
       def unq(x: String) = x.replaceAll("\"", "").trim
@@ -1168,7 +1207,7 @@ object RedshiftScript {
         cond: Option[String]): DataFrame = {
       updSeq += 1
       val tView = s"__upd_t_$updSeq"
-      val tBase = name.split("\\.").last
+      val tBase = norm(name).split("\\.").last
       val tAlias = tAliasOpt.map(_.trim).filter(_.nonEmpty).getOrElse(tBase)
       // FROM source: `(subquery) alias` | `table [AS] alias` | `table` —
       // the source text routes through tr() for dialect rewrites and
@@ -1249,8 +1288,10 @@ object RedshiftScript {
         if (!r.ok && stopOnError) halted = true
       }
       // a script that ends mid-transaction commits on exit (Redshift
-      // auto-commits a clean session end; a FAILED statement does not)
-      if (inTxn && reports.forall(_.ok)) { commit(); inTxn = false }
+      // auto-commits a clean session end). The gate is the TRANSACTION's
+      // own state — an unrelated earlier failure outside it (reachable
+      // with stopOnError=false) must not discard a clean open overlay.
+      if (inTxn && !txnAborted) { commit(); inTxn = false }
       ScriptResult(reports.toSeq, lastSelect)
     }
   }

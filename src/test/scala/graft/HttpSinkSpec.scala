@@ -82,6 +82,25 @@ class HttpSinkSpec extends SparkSpec {
     }
   }
 
+  test("429 rate-limit responses retry with backoff like 5xx (Braze-style backpressure)") {
+    val attempts = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/upsert", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val code = if (attempts.incrementAndGet() <= 2) 429 else 200
+        ex.sendResponseHeaders(code, -1); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/upsert"
+      val df = Seq((1, "u1")).toDF("id", "external_id").coalesce(1)
+      HttpSink.postJsonBatches(df,
+        HttpSink.Config(url, maxRetries = 4, initialBackoffMs = 5))
+      assert(attempts.get() === 3) // two 429s retried, delivered on the third
+    } finally server.stop(0)
+  }
+
   test("a 4xx response fails immediately — no pointless retries of a rejected payload") {
     val attempts = new AtomicInteger(0)
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)

@@ -216,5 +216,15 @@ class NativeExpressionParitySpec extends SparkSpec {
     val s = spark.sql(
       "SELECT graft_hyperplane_sig(array(1.0D, -2.0D), 4, 2)").collect()(0).getLong(0)
     assert(s >= 0L && s < 16L)
+    // NaN components: Spark SQL's >= orders NaN above every number, so
+    // the tree form sets every bit — the native loop must agree
+    val nan = spark.sql(
+      """SELECT graft_hyperplane_sig(array(cast('NaN' as double), 1.0D), 4, 2)""")
+      .collect()(0).getLong(0)
+    val nanTree = Seq(Tuple1(Seq(Double.NaN, 1.0))).toDF("v")
+      .select(graft.functions.Vectors
+        .hyperplaneLshSignatureTree(col("v"), 4, 2).as("sig"))
+      .collect()(0).getLong(0)
+    assert(nan === nanTree, s"NaN parity: native=$nan tree=$nanTree")
   }
 }

@@ -313,10 +313,12 @@ class RedshiftScriptSpec extends SparkSpec {
     // (read-your-writes, as Redshift), while the two-phase commit still
     // writes b against a's pre-commit FILES (swapping a first would yank
     // b's input files mid-commit)
+    // the SELECT base-qualifies columns (`a.id`) — the overlay view is
+    // registered under the BASE name so such references keep resolving
     val r = new RedshiftScript.Runner(spark, root()).run(
       """BEGIN;
         |DELETE FROM rs_txn.a WHERE s = 'drop';
-        |INSERT INTO rs_txn.b SELECT id, s FROM rs_txn.a;
+        |INSERT INTO rs_txn.b SELECT a.id, a.s FROM rs_txn.a;
         |COMMIT;""".stripMargin)
     assert(r.ok, r.reports.mkString("; "))
     assert(spark.table("rs_txn.a").count() === 1)
@@ -362,6 +364,36 @@ class RedshiftScriptSpec extends SparkSpec {
     val r2 = new RedshiftScript.Runner(spark, root()).run(script)
     assert(!r2.ok && r2.reports.size === 2)
     assert(spark.table("rs_abort.t").count() === 2)
+  }
+
+  test("a clean trailing transaction commits despite an earlier unrelated failure") {
+    import sqlImplicits._
+    Catalog.replaceTable(Seq((1, "x"), (2, "y")).toDF("id", "s"), "rs_tail", "t")
+    // the bad statement fails OUTSIDE any transaction; the later clean
+    // open transaction must still auto-commit at end-of-script (the gate
+    // is the transaction's own aborted state, not the whole script's)
+    val r = new RedshiftScript.Runner(spark, root(), stopOnError = false).run(
+      """UPDATE rs_tail.t SET no_such = 1;
+        |BEGIN;
+        |DELETE FROM rs_tail.t WHERE id = 2;""".stripMargin)
+    assert(!r.ok) // the first statement did fail
+    assert(spark.table("rs_tail.t").collect().map(_.getInt(0)).toSeq === Seq(1))
+  }
+
+  test("translate dialect conversions: SIMILAR TO, operators, types, Presto dates") {
+    val t = RedshiftScript.translate(
+      "SELECT a FROM t WHERE ean SIMILAR TO 'a.c%' AND x ~ '^[0-9]+$' AND y ~~ '%z%' " +
+        "AND b::text = c::character varying AND d = date_add(d, 7) " +
+        "AND e < date_diff('day', f, g) AND lv = last_value(v ignore nulls) " +
+        "AND ts > timestamp 'epoch'")
+    assert(t.contains("rlike '^(?:a\\.c.*)$'"), t)            // . literal, % mapped
+    assert(t.matches("(?s).*\\brlike\\s+'\\^\\[0-9]\\+\\$'.*"), t) // ~ operator
+    assert(t.matches("(?s).*\\blike\\s+'%z%'.*"), t)          // ~~ operator
+    assert(t.contains("b::string") && t.contains("c::string"), t)
+    assert(t.contains("date_add(d, 7)"), t)                 // 2-arg Spark form untouched
+    assert(t.contains("datediff_rs('day', f, g)"), t)       // quoted Presto form mapped
+    assert(t.contains("last_value(v) ignore nulls"), t)
+    assert(t.contains("timestamp '1970-01-01 00:00:00'"), t)
   }
 
   test("translate leaves dialect tokens inside string literals and comments verbatim") {
@@ -493,8 +525,10 @@ class RedshiftScriptSpec extends SparkSpec {
     assert(spark.table("rs_app.old").count() === 0) // source emptied
     // UNLOAD (sku_market_valuation.sql shape, TO injected)
     val out = Files.createTempDirectory("graft-unload").toString + "/export"
+    // the query ends in an ''-escaped literal — the UNLOAD capture must
+    // not truncate at the escaped quote before the closing paren
     val r3 = new RedshiftScript.Runner(spark, root()).run(
-      s"""UNLOAD ('SELECT id, s FROM rs_app.tgt')
+      s"""UNLOAD ('SELECT id, coalesce(s, '''') AS s FROM rs_app.tgt')
          |TO '$out'
          |IAM_ROLE 'arn:aws:iam::000000000000:role/ignored'
          |PARALLEL OFF ALLOWOVERWRITE FORMAT AS PARQUET MAXFILESIZE 2048 MB;""".stripMargin)
