@@ -446,6 +446,76 @@ class RedshiftScriptSpec extends SparkSpec {
     assert(r4.lastSelect.get.count() === 15)
   }
 
+  test("a VERBATIM QUALIFY-bearing reference script runs end-to-end (00_billing_invoices_clerk.sql)") {
+    // two QUALIFYs: one inside a CTE after WHERE TRUE, one top-level
+    // after a join with alias-qualified COALESCE partition keys — the
+    // exact shapes the rewrite has to get right, byte-for-byte from the
+    // reference repo
+    val path = java.nio.file.Paths.get(
+      "/root/reference/Datawarehouse-ETL/1_ods_finance/00_billing_invoices_clerk.sql")
+    assume(java.nio.file.Files.exists(path))
+    val script = java.nio.file.Files.readString(path)
+    val o = Tables.read(spark, sfDir, "orders").limit(200)
+    val inv = o.select(
+      col("o_orderkey").as("id"),
+      concat(lit("N-"), col("o_orderkey")).as("number"),
+      (col("o_orderkey") % 5).as("number_sequence"),
+      when(col("o_orderkey") % 3 === 0, col("o_custkey")).as("payment_group_id"),
+      when(col("o_orderkey") % 3 === 1, col("o_orderkey") * 2).as("movement_id"),
+      col("o_orderdate").cast("timestamp").as("created_at"),
+      when(col("o_orderkey") % 10 === 0, lit("CREDIT NOTE"))
+        .otherwise(lit("INVOICE")).as("type"))
+    Catalog.replaceTable(inv, "oltp_clerk", "invoice")
+    val p0 = o.select(
+      col("o_orderkey").as("invoice_id"),
+      when(col("o_orderkey") % 4 === 0, col("o_orderkey") + 1000000).as("payments_id"),
+      concat(lit("INV-"), col("o_orderkey")).as("invoice_number"),
+      col("o_orderdate").as("invoice_date"),
+      concat(lit("https://pdf/"), col("o_orderkey")).as("public_url"),
+      col("o_orderkey").cast("string").as("order_number"),
+      date_add(col("o_orderdate"), 14).as("invoice_due_date"),
+      col("o_custkey").as("customer_id"),
+      col("o_orderdate").as("invoice_start"),
+      date_add(col("o_orderdate"), 30).as("invoice_end"),
+      col("o_totalprice").as("amount_total"),
+      col("o_orderdate").cast("timestamp").as("created_at"))
+    // a stale and a fresh pdf row per invoice: the CTE QUALIFY must keep
+    // only the fresh (/v2) one
+    val pdfAll = p0.unionByName(p0
+      .withColumn("created_at", col("created_at") + expr("INTERVAL 1 DAY"))
+      .withColumn("public_url", concat(col("public_url"), lit("/v2"))))
+    Catalog.replaceTable(pdfAll, "oltp_clerk", "invoice_pdf")
+
+    val r = new RedshiftScript.Runner(spark, root()).run(script)
+    assert(r.ok, r.reports.filterNot(_.ok).mkString("; "))
+    assert(r.reports.map(_.verb) === Seq("DROP", "CREATE TABLE"))
+    val out = spark.table("ods_production.billing_invoices_clerk")
+    assert(out.columns.toSeq === Seq(
+      "invoice_id", "number_", "invoice_sequence", "invoice_number_pdf",
+      "invoice_date", "invoice_url", "order_id", "due_date", "payment_id",
+      "payment_group_id", "movement_id", "customer_id",
+      "billing_period_start", "billing_period_end", "total_invoice_amount"))
+    // every surviving pdf row is the fresh one
+    assert(out.filter(!col("invoice_url").endsWith("/v2")).count() === 0)
+    // CREDIT NOTEs excluded
+    assert(out.filter(col("invoice_id") % 10 === 0).count() === 0)
+    // final QUALIFY keeps exactly one row per COALESCE key (NULL keys
+    // form one window partition, as in Redshift)
+    import org.apache.spark.sql.expressions.Window
+    val lastPdf = pdfAll
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(coalesce(col("payments_id"), col("invoice_id")))
+          .orderBy(col("created_at").desc)))
+      .filter(col("rn") === 1).drop("rn")
+    val joined = inv.alias("i")
+      .join(lastPdf.alias("pdf"), col("i.id") === col("pdf.invoice_id"))
+      .filter(col("i.type") =!= "CREDIT NOTE")
+    val expectedRows = joined.select(
+      coalesce(col("i.payment_group_id"), col("i.movement_id"), col("pdf.payments_id")).as("k"))
+      .distinct().count()
+    assert(out.count() === expectedRows)
+  }
+
   test("COPY: the VERBATIM affiliate staging script loads a fixture CSV") {
     // affiliate_everflow_staging.sql writes its COPY without a FROM clause
     // (the orchestration injects the S3 path) — the Runner takes the
