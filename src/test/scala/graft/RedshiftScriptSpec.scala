@@ -546,6 +546,52 @@ class RedshiftScriptSpec extends SparkSpec {
     assert(r2(1).getAs[String]("coupon_code") == null)
   }
 
+  test("every VERBATIM affiliate/partnership staging script (DDL + COPY) loads a fixture CSV") {
+    val mk = "/root/reference/Datawarehouse-ETL/11_marketing_reporting"
+    val scripts = Seq(
+      s"$mk/Affiliate_Automation/affiliate_daisycon_staging.sql" -> "staging.daisycon",
+      s"$mk/Affiliate_Automation/affiliate_tradedoubler_staging.sql" -> "staging.tradedoubler",
+      s"$mk/Affiliate_Automation/affiliate_cj_staging.sql" -> "staging.cj_orders",
+      s"$mk/Partnership_Automation/partnership_everflow_staging.sql" -> "staging.partnership_everflow")
+    // top-level comma count inside the DDL's column list = column arity,
+    // used to generate a matching fixture CSV for each script
+    def arity(ddl: String): Int = {
+      val body = ddl.substring(ddl.indexOf('(') + 1, ddl.lastIndexOf(')'))
+      var depth = 0; var inStr = false; var n = 1
+      body.foreach {
+        case '\'' => inStr = !inStr
+        case '(' if !inStr => depth += 1
+        case ')' if !inStr => depth -= 1
+        case ',' if !inStr && depth == 0 => n += 1
+        case _ => ()
+      }
+      n
+    }
+    Catalog.ensureDatabase(spark, "staging")
+    scripts.foreach { case (p, table) =>
+      val path = java.nio.file.Paths.get(p)
+      assume(java.nio.file.Files.exists(path))
+      val script = java.nio.file.Files.readString(path)
+      val ddl = RedshiftScript.splitStatements(script)
+        .find(s => RedshiftScript.classify(s) == "CREATE TABLE (DDL)")
+        .getOrElse(fail(s"no DDL statement in $p"))
+      val n = arity(ddl)
+      assert(n >= 5, s"$table arity $n") // cj_orders is the smallest at 5
+      val csv = Files.createTempDirectory("graft-copy-all").resolve("data.csv")
+      val header = (1 to n).map(i => s"c$i").mkString(";")
+      val rows = (1 to 3).map(r => (1 to n).map(i => s"v${r}_$i").mkString(";"))
+      Files.writeString(csv, (header +: rows).mkString("", "\n", "\n"))
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val r = new RedshiftScript.Runner(spark, root(),
+        copyPaths = Map(table -> csv.toString)).run(script)
+      assert(r.ok, s"$table: " + r.reports.filterNot(_.ok).mkString("; "))
+      assert(r.reports.map(_.verb).count(_ == "COPY") === 1, s"$table verbs: ${r.reports.map(_.verb)}")
+      val out = spark.table(table)
+      assert(out.count() === 3, table)
+      assert(out.columns.length === n, table)
+    }
+  }
+
   test("COPY FROM '<path>' FORMAT AS PARQUET with path remapping") {
     import sqlImplicits._
     Catalog.replaceTable(
