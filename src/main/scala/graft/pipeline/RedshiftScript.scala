@@ -164,8 +164,10 @@ object RedshiftScript {
     // metacharacters (| * + ? ( ) [ ] { }) pass through unchanged.
     val pre1 = "(?i)\\b(not\\s+)?similar\\s+to\\s+'([^']*)'".r.replaceAllIn(pre0, m => {
       val not = if (m.group(1) != null) "not " else ""
+      // '^' stays meaningful as bracket negation `[^…]` — escape it only
+      // outside that position; '.' and '$' are always SIMILAR-TO-literal
       val p = m.group(2)
-        .replace(".", "\\.").replace("^", "\\^").replace("$", "\\$")
+        .replace(".", "\\.").replaceAll("(?<!\\[)\\^", "\\\\^").replace("$", "\\$")
         .replace("%", ".*").replace("_", ".")
       java.util.regex.Matcher.quoteReplacement(s"${not}rlike '^(?:$p)$$'")
     })
@@ -662,26 +664,48 @@ object RedshiftScript {
       * Views are dropped when the overlay clears at COMMIT/ROLLBACK.
       */
     private val ovViews = mutable.LinkedHashMap[String, String]() // overlay key -> view
+    private def fallbackView(key: String): String = "__ov_" + key.replace('.', '_')
+
     private def resolveOverlays(sql: String): String =
       overlay.foldLeft(sql) { case (s, (key, df)) =>
         val view = ovViews.getOrElseUpdate(key, {
           val base = key.split("\\.").last
+          // the base name must shadow only the OVERLAID table: a
+          // different same-base temp view or catalog table in the
+          // current database would be silently shadowed for bare
+          // references — those cases (and two overlaid tables sharing a
+          // base) fall back to the unreachable __ov_ name
+          val sameTable = key == base ||
+            key.equalsIgnoreCase(s"${spark.catalog.currentDatabase}.$base")
           val clash =
             overlay.keys.count(_.split("\\.").last == base) > 1 ||
-              (isTempView(base) && !ovViews.valuesIterator.contains(base))
-          if (clash) "__ov_" + key.replace('.', '_') else base
+              (isTempView(base) && !ovViews.valuesIterator.contains(base)) ||
+              (!sameTable && spark.catalog.tableExists(base))
+          if (clash) fallbackView(key) else base
         })
         val registered =
           try { df.createOrReplaceTempView(view); view }
           catch {
             case _: Exception => // e.g. reserved-word base name
-              val fb = "__ov_" + key.replace('.', '_')
+              val fb = fallbackView(key)
               ovViews(key) = fb
               df.createOrReplaceTempView(fb)
               fb
           }
         RedshiftScript.rewriteOutsideStrings(
           s, s"(?i)(?<![\\w.])${java.util.regex.Pattern.quote(key)}(?![\\w.])", registered)
+      }
+
+    /** A CREATE TEMP TABLE (or temp-table DML) claiming a name an overlay
+      * view currently holds wins it: the overlay remaps to its __ov_
+      * fallback so the user's temp table is neither clobbered on the next
+      * resolution nor dropped at COMMIT.
+      */
+    private def reclaimViewName(base: String): Unit =
+      ovViews.find(_._2.equalsIgnoreCase(base)).foreach { case (key, _) =>
+        val fb = fallbackView(key)
+        overlay.get(key).foreach(_.createOrReplaceTempView(fb))
+        ovViews(key) = fb
       }
 
     private def clearOverlay(): Unit = {
@@ -716,13 +740,17 @@ object RedshiftScript {
       spark.sessionState.catalog.isTempView(norm(name).split("\\.").toIndexedSeq)
 
     private def stage(name: String, df: DataFrame): Unit = {
+      // a bare-name target that currently resolves to an overlay view is
+      // DML on the OVERLAID table — route it to that table's overlay key
+      // (writing the view would lose the mutation at COMMIT)
+      val ovKey = ovViews.find(_._2.equalsIgnoreCase(norm(name))).map(_._1)
       // DML/DDL on a TEMP table (the reference ALTERs and INSERTs into its
       // staging temps) just re-registers the view — `df` captured the old
       // view's resolved plan, so self-reference is safe; temp tables are
       // session-local and outside transaction semantics
-      if (isTempView(name)) df.createOrReplaceTempView(norm(name))
+      if (ovKey.isEmpty && isTempView(name)) df.createOrReplaceTempView(norm(name))
       else {
-        overlay(norm(name).toLowerCase) = df
+        overlay(ovKey.getOrElse(norm(name).toLowerCase)) = df
         // auto-commit failure (e.g. the MERGE uniqueness raise_error
         // firing during the staged write) must not leave the poisoned
         // frame in the overlay — later statements would re-trigger it
@@ -935,6 +963,9 @@ object RedshiftScript {
               }
             } else spark.catalog.dropTempView(norm(name))
             overlay.remove(norm(name).toLowerCase)
+            // the dropped table's overlay view must go with it — a stale
+            // base-name view would keep the table readable after DROP
+            ovViews.remove(norm(name).toLowerCase).foreach(spark.catalog.dropTempView)
             report("DROP", Some(name))
           case DropViewRe(name) =>
             spark.sql(s"DROP VIEW IF EXISTS ${bq(name)}")
@@ -943,8 +974,10 @@ object RedshiftScript {
             val (_, distkey) = stripTableOptions(options)
             var df = spark.sql(tr(body))
             distkey.foreach(k => df = df.repartition(col(k)))
-            if (temp != null) df.createOrReplaceTempView(norm(name))
-            else stage(name, df)
+            if (temp != null) {
+              reclaimViewName(norm(name)) // a temp table wins its name
+              df.createOrReplaceTempView(norm(name))
+            } else stage(name, df)
             report(if (temp != null) "CREATE TEMP TABLE" else "CREATE TABLE", Some(name))
           case DeleteUsingRe(name, srcName, aliasOpt, cond) =>
             // DELETE FROM t USING s WHERE t.k = s.k → anti-join: keep the
@@ -1097,7 +1130,10 @@ object RedshiftScript {
             val empty = spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               org.apache.spark.sql.types.StructType(fields))
-            if (temp != null) empty.createOrReplaceTempView(name)
+            if (temp != null) {
+              reclaimViewName(norm(name))
+              empty.createOrReplaceTempView(norm(name))
+            }
             else if (ifNotExists != null && spark.catalog.tableExists(name)) ()
             else stage(name, empty)
             report("CREATE TABLE (DDL)", Some(name))

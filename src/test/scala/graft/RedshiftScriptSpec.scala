@@ -338,6 +338,45 @@ class RedshiftScriptSpec extends SparkSpec {
     assert(spark.table("rs_txn.b").count() === 2)           // rolled back on disk
   }
 
+  test("a temp table claiming an overlay view's base name wins it (reclaim)") {
+    import sqlImplicits._
+    Catalog.replaceTable(Seq((1, "keep"), (2, "drop")).toDF("id", "s"), "rs_rc", "t")
+    // the DELETE registers overlay view 't' (a later same-txn statement
+    // resolves it); the CREATE TEMP TABLE then claims that name — the
+    // INSERT's bare `FROM t` must read the USER's temp table, and COMMIT
+    // must not drop it. The INSERT's target goes through the overlay, so
+    // the final table proves both the reclaim and read-your-writes.
+    val r = new RedshiftScript.Runner(spark, root()).run(
+      """BEGIN;
+        |DELETE FROM rs_rc.t WHERE s = 'drop';
+        |CREATE TEMP TABLE t AS SELECT 99 AS id, 'tmp' AS s;
+        |INSERT INTO rs_rc.t SELECT id, s FROM t;
+        |COMMIT;""".stripMargin)
+    assert(r.ok, r.reports.mkString("; "))
+    val rows = spark.table("rs_rc.t").orderBy("id")
+      .collect().map(x => (x.getInt(0), x.getString(1))).toSeq
+    assert(rows === Seq((1, "keep"), (99, "tmp")))
+    // the user's temp table survived COMMIT's view cleanup
+    assert(spark.sessionState.catalog.isTempView(Seq("t")))
+    spark.catalog.dropTempView("t")
+  }
+
+  test("DROP of an overlaid table also removes its base-name overlay view") {
+    import sqlImplicits._
+    Catalog.replaceTable(Seq((1, "x"), (2, "y")).toDF("id", "s"), "rs_dv", "t2")
+    val runner = new RedshiftScript.Runner(spark, root(), stopOnError = false)
+    assert(runner.runStatement("BEGIN").ok)
+    assert(runner.runStatement("DELETE FROM rs_dv.t2 WHERE id = 1").ok)
+    // a later statement's resolution registers the base-name view …
+    assert(runner.runStatement("SELECT COUNT(*) AS n FROM rs_dv.t2").ok)
+    assert(spark.sessionState.catalog.isTempView(Seq("t2")))
+    // … and DROP removes it with the table (a stale view would keep the
+    // dropped table readable)
+    assert(runner.runStatement("DROP TABLE rs_dv.t2").ok)
+    assert(!spark.sessionState.catalog.isTempView(Seq("t2")))
+    assert(runner.runStatement("ROLLBACK").ok)
+  }
+
   test("a failed statement aborts the transaction: COMMIT rolls back (Redshift semantics)") {
     import sqlImplicits._
     Catalog.replaceTable(Seq((1, "x"), (2, "y")).toDF("id", "s"), "rs_abort", "t")
@@ -387,6 +426,10 @@ class RedshiftScriptSpec extends SparkSpec {
         "AND e < date_diff('day', f, g) AND lv = last_value(v ignore nulls) " +
         "AND ts > timestamp 'epoch'")
     assert(t.contains("rlike '^(?:a\\.c.*)$'"), t)            // . literal, % mapped
+    // '^' escapes as a literal EXCEPT in bracket negation
+    val neg = RedshiftScript.translate("SELECT 1 WHERE x SIMILAR TO '[^0-9]%' AND y SIMILAR TO 'a^b'")
+    assert(neg.contains("rlike '^(?:[^0-9].*)$'"), neg)
+    assert(neg.contains("rlike '^(?:a\\^b)$'"), neg)
     assert(t.matches("(?s).*\\brlike\\s+'\\^\\[0-9]\\+\\$'.*"), t) // ~ operator
     assert(t.matches("(?s).*\\blike\\s+'%z%'.*"), t)          // ~~ operator
     assert(t.contains("b::string") && t.contains("c::string"), t)
