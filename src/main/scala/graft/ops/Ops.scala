@@ -252,16 +252,18 @@ object Ops {
       keys: Seq[String],
       valueCol: String,
       k: Double = 1.5): DataFrame = {
+    // one percentile buffer per group, not two: the array form sorts the
+    // group's values once for both quantiles
     val fences = df
       .groupBy(keys.map(col): _*)
-      .agg(
-        expr(s"percentile($valueCol, 0.25)").as("__p25"),
-        expr(s"percentile($valueCol, 0.75)").as("__p75"))
+      .agg(expr(s"percentile($valueCol, array(0.25, 0.75))").as("__pq"))
+      .withColumn("__p25", col("__pq").getItem(0))
+      .withColumn("__p75", col("__pq").getItem(1))
       .withColumn("__lo", col("__p25") - (col("__p75") - col("__p25")) * k)
       .withColumn("__hi", col("__p75") + (col("__p75") - col("__p25")) * k)
     df.join(fences, keys, "left")
       .filter(col(valueCol) >= col("__lo") && col(valueCol) <= col("__hi"))
-      .drop("__p25", "__p75", "__lo", "__hi")
+      .drop("__pq", "__p25", "__p75", "__lo", "__hi")
   }
 
   /** FULL OUTER JOIN ... USING(k1..kn) semantics: coalesce the key columns

@@ -56,6 +56,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"), p)
   }
 
+  test("q48: hyperplane signatures compute once behind the checkpoint barrier") {
+    // the signature frame is localCheckpoint-ed before the self-join, so
+    // the executed plan must read the materialized RDD — a
+    // graft_hyperplane_sig call in the plan would mean the expression
+    // re-evaluates (on both join sides, the round-2 hot spot)
+    val p = plan("q48_embed_dup_lsh")
+    assert(!p.contains("graft_hyperplane_sig"), p)
+    assert(p.contains("LocalTableScan") || p.contains("Scan ExistingRDD"), p)
+  }
+
   test("q17/q53: global percent_rank plans have NO single-partition window") {
     // `Window.orderBy(x)` (no partitionBy) plans an Exchange SinglePartition
     // under WindowExec — the whole table onto one core. The distributed
