@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   *     broadcast.
   *   - [[lshTopK]]: random-hyperplane LSH buckets bound the candidate join;
   *     recall traded via number of bucket bits / probes.
-  *   - [[ivfTopK]]: IVF-style coarse quantizer (k-means-ish centroids picked
-  *     deterministically), search restricted to nProbe nearest cells —
-  *     the 100 TB path: the fan-out is |Q| × nProbe × cellSize.
+  *   - [[ivfTopK]]: IVF-style coarse quantizer (deterministic seed
+  *     centroids — SQL-oracle-replicable), search restricted to nProbe
+  *     nearest cells — the 100 TB path: fan-out is |Q| × nProbe × cellSize.
+  *   - [[ivfTopKKMeans]]: the same topology with Lloyd-trained centroids
+  *     (seeded MLlib KMeans over a bounded fit sample).
   */
 object Similarity {
 
@@ -97,13 +99,63 @@ object Similarity {
       k: Int,
       nCells: Int,
       nProbe: Int = 1): DataFrame = {
-    require(nProbe >= 1 && nProbe <= nCells, "1 <= nProbe <= nCells")
-    // deterministic centroid pick: lowest ids (a real impl would k-means;
-    // the join topology — the part that matters at scale — is identical)
+    // deterministic centroid pick: lowest ids — oracle-replicable in SQL;
+    // [[ivfTopKKMeans]] swaps in trained centroids over the same topology
     val centroids = corpus
       .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
       .orderBy(col("cell_id"))
       .limit(nCells)
+    ivfTopKWith(centroids, corpus, queries, idCol, vecCol, k, nCells, nProbe)
+  }
+
+  /** IVF with Lloyd-trained centroids (MLlib KMeans, fixed seed): the
+    * honest coarse quantizer — cells reflect the embedding distribution,
+    * so cell-local search finds true neighbors more often than the
+    * deterministic seed pick at equal nProbe. At 100 TB the fit runs on a
+    * sample (`fitSampleRows` caps the training set; Lloyd converges on a
+    * sketch of the distribution) while assignment still streams the full
+    * corpus map-side. Search topology is identical to [[ivfTopK]].
+    */
+  def ivfTopKKMeans(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int,
+      nProbe: Int = 1,
+      maxIter: Int = 5,
+      fitSampleRows: Long = 100000L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    val total = corpus.count()
+    val fitInput = (if (total > fitSampleRows)
+      corpus.sample(withReplacement = false, fitSampleRows.toDouble / total, seed = 42L)
+    else corpus)
+      .select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(maxIter)
+      .fit(fitInput)
+    val centers = model.clusterCenters.toSeq.zipWithIndex.map { case (c, i) =>
+      (i.toLong, c.toArray.toSeq)
+    }
+    import spark.implicits._
+    val centroids = centers.toDF("cell_id", "centroid")
+      .select(col("cell_id"), col("centroid").cast(
+        corpus.schema(vecCol).dataType.simpleString).as("centroid"))
+    ivfTopKWith(centroids, corpus, queries, idCol, vecCol, k, nCells, nProbe)
+  }
+
+  private def ivfTopKWith(
+      centroids: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int,
+      nProbe: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells, "1 <= nProbe <= nCells")
 
     def assign(df: DataFrame, id: String, v: String, probes: Int): DataFrame = {
       val scored = df

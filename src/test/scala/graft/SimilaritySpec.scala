@@ -75,6 +75,20 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.ivfTopK(vecs, queries, "vec_id", "embedding", k = 3, nCells = 4, nProbe = 9)
     }
+    // Lloyd-trained centroids (seeded KMeans) at the same nProbe budget:
+    // cells follow the data distribution, so recall must not regress vs
+    // the naive lowest-id seed pick and must stay well above chance
+    def recallKm(nProbe: Int): Double = {
+      val got = Similarity
+        .ivfTopKKMeans(vecs, queries, "vec_id", "embedding", k = 3, nCells = 6,
+          nProbe = nProbe, maxIter = 5)
+        .select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val km2 = recallKm(2)
+    assert(km2 >= r2 - 0.05, s"kmeans recall(2)=$km2 vs naive $r2")
+    assert(km2 > 0.6, s"kmeans recall(2)=$km2")
   }
 
   test("embedding dedup finds a planted near-duplicate vector and drops it") {
