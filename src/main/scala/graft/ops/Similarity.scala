@@ -108,13 +108,18 @@ object Similarity {
     ivfTopKWith(centroids, corpus, queries, idCol, vecCol, k, nCells, nProbe)
   }
 
-  /** IVF with Lloyd-trained centroids (MLlib KMeans, fixed seed): the
-    * honest coarse quantizer — cells reflect the embedding distribution,
-    * so cell-local search finds true neighbors more often than the
-    * deterministic seed pick at equal nProbe. At 100 TB the fit runs on a
-    * sample (`fitSampleRows` caps the training set; Lloyd converges on a
-    * sketch of the distribution) while assignment still streams the full
-    * corpus map-side. Search topology is identical to [[ivfTopK]].
+  /** IVF with Lloyd-trained centroids (MLlib KMeans, cosine distance to
+    * match the assignment metric, seeded): the honest coarse quantizer —
+    * cells reflect the embedding distribution, so cell-local search finds
+    * true neighbors more often than the deterministic seed pick at equal
+    * nProbe. At 100 TB pass `fitSampleFraction` (e.g. 1e-4) so the fit
+    * runs on a sketch of the distribution — no extra full pass is made
+    * here — while assignment still streams the full corpus map-side.
+    * Search topology is identical to [[ivfTopK]]. Note: seeded k-means||
+    * init is deterministic only for a fixed partitioning of the fit
+    * input. If the (sampled) fit data has fewer distinct points than
+    * nCells, MLlib returns fewer centers — the nProbe bound validates
+    * against the EFFECTIVE cell count.
     */
   def ivfTopKKMeans(
       corpus: DataFrame,
@@ -125,25 +130,28 @@ object Similarity {
       nCells: Int,
       nProbe: Int = 1,
       maxIter: Int = 5,
-      fitSampleRows: Long = 100000L): DataFrame = {
+      fitSampleFraction: Option[Double] = None): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells, "1 <= nProbe <= nCells")
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
-    val total = corpus.count()
-    val fitInput = (if (total > fitSampleRows)
-      corpus.sample(withReplacement = false, fitSampleRows.toDouble / total, seed = 42L)
-    else corpus)
+    val fitInput = fitSampleFraction
+      .map(f => corpus.sample(withReplacement = false, f, seed = 42L))
+      .getOrElse(corpus)
+      .filter(col(vecCol).isNotNull) // a null embedding would fail the fit
       .select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
     val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(maxIter)
+      .setDistanceMeasure("cosine")
       .fit(fitInput)
     val centers = model.clusterCenters.toSeq.zipWithIndex.map { case (c, i) =>
       (i.toLong, c.toArray.toSeq)
     }
     import spark.implicits._
     val centroids = centers.toDF("cell_id", "centroid")
-      .select(col("cell_id"), col("centroid").cast(
-        corpus.schema(vecCol).dataType.simpleString).as("centroid"))
-    ivfTopKWith(centroids, corpus, queries, idCol, vecCol, k, nCells, nProbe)
+      .select(col("cell_id"),
+        col("centroid").cast(corpus.schema(vecCol).dataType).as("centroid"))
+    ivfTopKWith(centroids, corpus, queries, idCol, vecCol, k,
+      nCells = centers.size, nProbe = nProbe min centers.size)
   }
 
   private def ivfTopKWith(
