@@ -128,6 +128,17 @@ object RedshiftScript {
 
   // ------------------------------------------------------------ translation
 
+  // Redshift's in-argument null handling (`first_value(x IGNORE NULLS)`)
+  // relocated outside the call. The argument group tolerates string
+  // literals and TWO levels of nested parens (`case when (a in (…)) …`,
+  // the deepest shape in the reference corpus).
+  private val IgnoreNullsRe: String = {
+    val lit = "'[^']*'"
+    val l1 = s"\\((?:[^()']|$lit)*\\)"
+    val l2 = s"\\((?:[^()']|$lit|$l1)*\\)"
+    s"(?i)\\b(first_value|last_value|lag|lead|nth_value)\\s*\\(((?:[^()']|$lit|$l2)*?)\\s+(ignore|respect)\\s+nulls\\s*\\)"
+  }
+
   private val Units =
     "(?:years?|yrs?|quarters?|qtr|months?|mons?|weeks?|wks?|w|days?|d|hours?|hrs?|h|minutes?|mins?|m|seconds?|secs?|s)"
 
@@ -155,9 +166,7 @@ object RedshiftScript {
       // unit (d, days, …) must never be rewritten
       .replaceAll(s"(?i)\\bdate_diff\\s*\\(\\s*'($Units)'\\s*,", "datediff_rs('$1',")
       .replaceAll(s"(?i)\\bdate_add\\s*\\(\\s*'($Units)'\\s*,", "dateadd_rs('$1',")
-      .replaceAll(
-        "(?i)\\b(first_value|last_value|lag|lead|nth_value)\\s*\\(((?:[^()']|'[^']*'|\\((?:[^()']|'[^']*')*\\))*?)\\s+(ignore|respect)\\s+nulls\\s*\\)",
-        "$1($2) $3 nulls")
+      .replaceAll(IgnoreNullsRe, "$1($2) $3 nulls")
     // SQL regex match: `x [NOT] SIMILAR TO 'p'` → anchored rlike. SQL
     // wildcards map (% → .*, _ → .); characters that are regex-meta but
     // SIMILAR-TO-literal (. ^ $) are escaped first — SIMILAR TO's own
