@@ -464,6 +464,56 @@ object QueriesLLM {
       .select(col("doc_id"), col("lang_pred"), col("quality_score"))
   }
 
+  /** J5: right-outer join — preserve every customer row even when the
+    * filtered order side has no match (the mirror of the reference's
+    * pervasive LEFT JOINs, e.g. `4_dwh_core/daily_kpi_report_main_tables
+    * .sql:209` flips sides in its USING chain). COUNT(o_orderkey) skips
+    * the null-extended rows, so no-big-order customers report 0.
+    */
+  def q57_right_outer(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_totalprice") > 100000)
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"), "right_outer")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        count(col("o_orderkey")).as("n_big_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("big_order_rev"))
+
+  /** W10: NTILE quartiles + CUME_DIST over a per-customer price ordering
+    * (the reference's scoring tiers, `dm_marketing/rfm_segmentation.sql`
+    * family uses the same bucketing shape). Ties broken by o_orderkey so
+    * both engines see one deterministic ordering.
+    */
+  def q58_ntile_cume(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .filter(col("o_custkey") < 200)
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        ntile(4).over(w).as("price_quartile"),
+        round(cume_dist().over(w), 6).as("price_cume"))
+  }
+
+  /** A11: approximate COUNT(DISTINCT) — HLL++ via approx_count_distinct.
+    * The sketch estimate is engine-specific, so the oracle checks the
+    * CONTRACT instead of the value: exact cardinality plus a boolean
+    * asserting the estimate landed within 5% (rsd=0.01 makes the expected
+    * error ~1%). At 100 TB this replaces the exact-distinct shuffle with a
+    * fixed-size mergeable sketch per group.
+    */
+  def q59_approx_distinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        countDistinct(col("o_custkey")).as("exact_custkeys"),
+        approx_count_distinct(col("o_custkey"), 0.01).as("approx_est"))
+      .select(
+        col("o_orderstatus"), col("exact_custkeys"),
+        (abs(col("approx_est") - col("exact_custkeys")) <=
+          col("exact_custkeys") * 0.05).as("approx_within_5pct"))
+
   /** §2.8 TO_NUMBER EU-locale money parse round-trip
     * (`1_ods_grover_card/01_grover_card_transactions.sql:30`).
     */

@@ -74,7 +74,10 @@ object SparkEntry {
     "q53_rfm_segmentation" -> (QueriesLLM.q53_rfm_segmentation _),
     "q54_script_subscription" -> (QueriesLLM.q54_script_subscription _),
     "q55_script_historical" -> (QueriesLLM.q55_script_historical _),
-    "q56_corpus_clean" -> (QueriesLLM.q56_corpus_clean _)
+    "q56_corpus_clean" -> (QueriesLLM.q56_corpus_clean _),
+    "q57_right_outer" -> (QueriesLLM.q57_right_outer _),
+    "q58_ntile_cume" -> (QueriesLLM.q58_ntile_cume _),
+    "q59_approx_distinct" -> (QueriesLLM.q59_approx_distinct _)
   )
 
   /** Shared DuckDB fragment: Text.normalizeForDedup equivalent. */
@@ -639,6 +642,22 @@ object SparkEntry {
     "q55_script_historical" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, DATE '1998-11-30' AS date
         |FROM orders WHERE o_orderdate < TIMESTAMP '1998-12-01'""".stripMargin,
-    "q56_corpus_clean" -> q56Oracle
+    "q56_corpus_clean" -> q56Oracle,
+    "q57_right_outer" ->
+      """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_big_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS big_order_rev
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 100000) o
+        |RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q58_ntile_cume" ->
+      """SELECT o_orderkey, o_custkey,
+        |  NTILE(4) OVER w AS price_quartile,
+        |  ROUND(CUME_DIST() OVER w, 6) AS price_cume
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+    "q59_approx_distinct" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS exact_custkeys,
+        |  TRUE AS approx_within_5pct
+        |FROM orders GROUP BY 1""".stripMargin
   )
 }
