@@ -504,10 +504,18 @@ object QueriesLLM {
     * fixed-size mergeable sketch per group.
     */
   def q59_approx_distinct(spark: SparkSession, dir: String): DataFrame =
+    // Dedup (status, custkey) pairs BEFORE aggregating: a combined
+    // countDistinct + approx_count_distinct agg makes Spark key the
+    // partial HLL++ buffer (2^14 registers = 1,639 longs at rsd 0.01) by
+    // the distinct column itself — a buffer per CUSTOMER shuffled twice.
+    // HLL is duplicate-insensitive, so running it over the distinct pairs
+    // gives the identical estimate with buffers only per status group.
     t(spark, dir, "orders")
+      .select(col("o_orderstatus"), col("o_custkey"))
+      .distinct()
       .groupBy(col("o_orderstatus"))
       .agg(
-        countDistinct(col("o_custkey")).as("exact_custkeys"),
+        count(lit(1)).as("exact_custkeys"),
         approx_count_distinct(col("o_custkey"), 0.01).as("approx_est"))
       .select(
         col("o_orderstatus"), col("exact_custkeys"),
