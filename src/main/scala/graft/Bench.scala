@@ -37,25 +37,37 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     // warm-up: prime parquet footers, codegen, JIT
     try force(names.head) catch { case _: Throwable => () }
+    // settle: let warm-up GC/JIT churn and any residual machine load
+    // (e.g. a just-finished test JVM) quiesce before the timed section —
+    // round-3 numbers needed adjudication against a controlled rerun
+    System.gc()
+    Thread.sleep(sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_MS", "3000").toLong)
 
     val wall0 = System.nanoTime()
     val results = names.map { name =>
+      var failed = false
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { force(name) } catch {
           case e: Throwable =>
+            failed = true
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times(times.size / 2)
+      (name, times(times.size / 2), failed)
     }
     val wall = (System.nanoTime() - wall0) / 1e9
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // a failed query's (near-zero) time must not masquerade as a fast
+    // success: report "failed" in its slot, exclude it from the total,
+    // and list it explicitly
+    val qs = results.map { case (k, v, f) =>
+      "\"" + k + "\":" + (if (f) "\"failed\"" else v.toString)
+    }.mkString("{", ",", "}")
+    val failedList = results.filter(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val total = results.filterNot(_._3).map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"wall":$wall}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedList,"sf":"$sfDir","runs":$runs,"wall":$wall}""")
     spark.stop()
   }
 }

@@ -206,7 +206,16 @@ object RedshiftScript {
       "~~" -> " like ",
       "!~\\*" -> " not rlike ",
       "~\\*" -> " rlike ",
-      "(?<![!~<>=|*])~(?![~*=])" -> " rlike ",
+      // POSIX regex-match `x ~ 'p'` vs unary bitwise NOT `~x`: the binary
+      // operator requires a LEFT OPERAND — a word / closing-bracket /
+      // quote character within bounded lookbehind distance. `a & ~b` and
+      // `SELECT ~flags` keep their `~`. A segment that STARTS with `~`
+      // follows a string literal (the rewriter flushes segments at
+      // quotes), i.e. `'lit' ~ x` — also the binary form.
+      "(?<=[\\w)\\]`\"]\\s{0,12})!~(?![~*=])" -> " not rlike ",
+      "(?<=[\\w)\\]`\"]\\s{0,12})~(?![~*=])" -> " rlike ",
+      "^(\\s{0,12})!~(?![~*=])" -> "$1 not rlike ",
+      "^(\\s{0,12})~(?![~*=])" -> "$1 rlike ",
       // Redshift late-binding view clause — no Spark analogue, semantics
       // are ours anyway (views resolve at read)
       "(?i)\\bwith\\s+no\\s+schema\\s+binding\\b" -> "",
@@ -701,8 +710,17 @@ object RedshiftScript {
               df.createOrReplaceTempView(fb)
               fb
           }
+        // the overlay key is quote-stripped (`master.order`) but the
+        // post-translate SQL may spell any part backticked (Redshift
+        // `"order"` became `` `order` ``) — match every quoting mix of
+        // each name part, or quoted-identifier tables silently miss the
+        // overlay and read the pre-transaction snapshot
+        val keyPat = key.split("\\.").map { p =>
+          val q = java.util.regex.Pattern.quote(p)
+          s"(?:$q|`$q`)"
+        }.mkString("\\.")
         RedshiftScript.rewriteOutsideStrings(
-          s, s"(?i)(?<![\\w.])${java.util.regex.Pattern.quote(key)}(?![\\w.])", registered)
+          s, s"(?i)(?<![\\w.`])$keyPat(?![\\w.`])", registered)
       }
 
     /** A CREATE TEMP TABLE (or temp-table DML) claiming a name an overlay
@@ -805,12 +823,36 @@ object RedshiftScript {
       * format with a shared log (out of parquet's reach — the reference's
       * Redshift COMMIT is the analogue of the swap phase here).
       */
+    private def deletePath(path: String): Unit = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    }
+
     private def commit(): Unit = {
-      val staged = overlay.toSeq.map { case (name, df) =>
-        val path = tablePath(name)
-        val tmp = path + "__txn"
-        df.write.mode("overwrite").parquet(tmp)
-        (name, path, tmp)
+      // phase 1 may fail mid-way (e.g. a deferred MERGE raise_error
+      // firing at materialization — note the failure then attributes to
+      // COMMIT in the report, with the originating statement named in
+      // the error message): staging dirs already written for OTHER
+      // overlays must not be left as orphans next to their tables
+      val staged = mutable.ListBuffer.empty[(String, String, String)]
+      try {
+        overlay.foreach { case (name, df) =>
+          val path = tablePath(name)
+          val tmp = path + "__txn"
+          df.write.mode("overwrite").parquet(tmp)
+          staged += ((name, path, tmp))
+        }
+      } catch {
+        case e: Exception =>
+          staged.foreach { case (_, _, tmp) =>
+            try deletePath(tmp) catch { case _: Exception => () }
+          }
+          // the failing write's own partial dir (not yet in `staged`)
+          try overlay.keys.toSeq.drop(staged.size).headOption
+            .foreach(n => deletePath(tablePath(n) + "__txn"))
+          catch { case _: Exception => () }
+          throw e
       }
       staged.foreach { case (name, path, tmp) =>
         Writers.atomicSwap(spark, tmp, path)
@@ -1336,7 +1378,14 @@ object RedshiftScript {
       // auto-commits a clean session end). The gate is the TRANSACTION's
       // own state — an unrelated earlier failure outside it (reachable
       // with stopOnError=false) must not discard a clean open overlay.
+      // An ABORTED open transaction instead rolls back on exit: leaving
+      // the overlay registered would let its base-name temp views shadow
+      // the real tables for later queries on the shared session, and a
+      // reused Runner's next BEGIN resets txnAborted but not the overlay
+      // — a subsequent COMMIT would then commit this script's aborted
+      // staged mutations.
       if (inTxn && !txnAborted) { commit(); inTxn = false }
+      else if (inTxn) { clearOverlay(); inTxn = false; txnAborted = false }
       ScriptResult(reports.toSeq, lastSelect)
     }
   }

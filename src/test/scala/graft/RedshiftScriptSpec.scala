@@ -419,6 +419,86 @@ class RedshiftScriptSpec extends SparkSpec {
     assert(spark.table("rs_tail.t").collect().map(_.getInt(0)).toSeq === Seq(1))
   }
 
+  test("an aborted OPEN transaction at script end rolls back and clears overlay views") {
+    import sqlImplicits._
+    Catalog.replaceTable(Seq((1, "x"), (2, "y")).toDF("id", "s"), "rs_ab2", "t")
+    val runner = new RedshiftScript.Runner(spark, root(), stopOnError = false)
+    // DELETE stages an overlay, the SELECT registers its base-name view,
+    // then a failure aborts the txn and the script ENDS without
+    // COMMIT/ROLLBACK
+    val r = runner.run(
+      """BEGIN;
+        |DELETE FROM rs_ab2.t WHERE id = 1;
+        |SELECT COUNT(*) AS n FROM rs_ab2.t;
+        |UPDATE rs_ab2.t SET no_such = 1;""".stripMargin)
+    assert(!r.ok)
+    // the overlay's base-name temp view must NOT survive the script: it
+    // would shadow the real table for later queries on the shared session
+    assert(!spark.sessionState.catalog.isTempView(Seq("t")))
+    assert(spark.table("rs_ab2.t").count() === 2) // rolled back
+    // a REUSED runner starts clean: its next transaction must not
+    // resurrect the aborted script's staged DELETE at COMMIT
+    val r2 = runner.run(
+      "BEGIN;\nINSERT INTO rs_ab2.t SELECT 3, 'z';\nCOMMIT;")
+    assert(r2.ok, r2.reports.mkString("; "))
+    assert(spark.table("rs_ab2.t").count() === 3)
+  }
+
+  test("read-your-writes resolves quoted-identifier (backticked) table references") {
+    import sqlImplicits._
+    Catalog.replaceTable(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), "rs_byw", "order")
+    // post-translate the reference's `rs_byw."order"` spells as
+    // rs_byw.`order` — the overlay rewrite must match that spelling or
+    // the in-transaction read silently sees the pre-transaction snapshot
+    val r = new RedshiftScript.Runner(spark, root()).run(
+      """BEGIN;
+        |DELETE FROM rs_byw."order" WHERE id = 1;
+        |CREATE TEMP TABLE byw_check AS SELECT COUNT(*) AS n FROM rs_byw."order";
+        |COMMIT;""".stripMargin)
+    assert(r.ok, r.reports.mkString("; "))
+    assert(spark.table("byw_check").collect()(0).getLong(0) === 1L)
+    assert(spark.table("rs_byw.`order`").count() === 1)
+  }
+
+  test("a failed COMMIT write leaves no orphan __txn staging dirs") {
+    import sqlImplicits._
+    Catalog.replaceTable(Seq((1L, "x"), (2L, "y")).toDF("id", "s"), "rs_c1", "a")
+    Catalog.replaceTable(Seq((1L, "t1")).toDF("k", "v"), "rs_c1", "b")
+    Catalog.replaceTable(Seq((1L, "s1"), (1L, "s2")).toDF("k", "v"), "rs_c1", "dup")
+    def loc(t: String): String = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t, Some("rs_c1")))
+      .location.getPath
+    // overlay `a` stages cleanly; overlay `b` is poisoned (the MERGE
+    // uniqueness raise_error fires at materialization) — COMMIT's phase 1
+    // writes a's staging dir, then fails on b: BOTH tmp dirs must be
+    // cleaned up, not left as orphans next to the tables
+    val r = new RedshiftScript.Runner(spark, root(), stopOnError = false).run(
+      """BEGIN;
+        |DELETE FROM rs_c1.a WHERE id = 1;
+        |MERGE INTO rs_c1.b USING rs_c1.dup s ON rs_c1.b.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT VALUES (s.k, s.v);
+        |COMMIT;""".stripMargin)
+    assert(!r.ok)
+    val commitRep = r.reports.find(_.verb == "COMMIT").get
+    assert(!commitRep.ok)
+    assert(commitRep.error.get.contains("not unique")) // origin named
+    assert(!new java.io.File(loc("a") + "__txn").exists())
+    assert(!new java.io.File(loc("b") + "__txn").exists())
+    assert(spark.table("rs_c1.a").count() === 2) // untouched
+    assert(spark.table("rs_c1.b").count() === 1)
+  }
+
+  test("bare ~ rewrites only with a left operand (unary bitwise NOT survives)") {
+    val t = RedshiftScript.translate(
+      "SELECT a & ~b, ~flags, x ~ '^ab', 'lit' ~ y, z !~ '^c' FROM t")
+    assert(t.contains("a & ~b"), t)
+    assert(t.contains("~flags"), t)
+    assert(t.matches("(?s).*\\bx\\s+rlike\\s+'\\^ab'.*"), t)
+    assert(t.matches("(?s).*'lit'\\s+rlike\\s+y.*"), t)
+    assert(t.matches("(?s).*\\bz\\s+not rlike\\s+'\\^c'.*"), t)
+  }
+
   test("translate dialect conversions: SIMILAR TO, operators, types, Presto dates") {
     val t = RedshiftScript.translate(
       "SELECT a FROM t WHERE ean SIMILAR TO 'a.c%' AND x ~ '^[0-9]+$' AND y ~~ '%z%' " +
