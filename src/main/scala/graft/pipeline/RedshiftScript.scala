@@ -142,6 +142,16 @@ object RedshiftScript {
   private val Units =
     "(?:years?|yrs?|quarters?|qtr|months?|mons?|weeks?|wks?|w|days?|d|hours?|hrs?|h|minutes?|mins?|m|seconds?|secs?|s)"
 
+  /** Keywords that may directly precede a UNARY `~` (bitwise NOT). They
+    * end in a word character, so the binary-`~` operand lookbehind alone
+    * would read them as a left operand. `END` is deliberately absent:
+    * `CASE … END ~ 'p'` is a real binary regex match.
+    */
+  private val TildeKeywords =
+    "select|where|and|or|not|when|then|else|case|on|by|as|in|having|" +
+      "all|distinct|set|values|between|is|like|ilike|from|join|" +
+      "union|except|intersect|if|return|returning"
+
   /** Rewrite Redshift-dialect expression text into the engine dialect.
     * Every rewrite runs OUTSIDE string literals and comments — a literal
     * value containing `current_date` or `to_char(` must survive verbatim
@@ -208,12 +218,16 @@ object RedshiftScript {
       "~\\*" -> " rlike ",
       // POSIX regex-match `x ~ 'p'` vs unary bitwise NOT `~x`: the binary
       // operator requires a LEFT OPERAND — a word / closing-bracket /
-      // quote character within bounded lookbehind distance. `a & ~b` and
-      // `SELECT ~flags` keep their `~`. A segment that STARTS with `~`
-      // follows a string literal (the rewriter flushes segments at
-      // quotes), i.e. `'lit' ~ x` — also the binary form.
-      "(?<=[\\w)\\]`\"]\\s{0,12})!~(?![~*=])" -> " not rlike ",
-      "(?<=[\\w)\\]`\"]\\s{0,12})~(?![~*=])" -> " rlike ",
+      // quote character within bounded lookbehind distance, and that word
+      // must not itself be a SQL keyword (`SELECT ~flags`, `AND ~(f & 1)`
+      // are unary — the keyword's trailing letter would otherwise satisfy
+      // the word-char lookbehind and corrupt the `~` into `rlike`).
+      // `a & ~b` keeps its `~` (`&` is not in the operand class). A
+      // segment that STARTS with `~` follows a string literal (the
+      // rewriter flushes segments at quotes), i.e. `'lit' ~ x` — the
+      // binary form.
+      s"(?i)(?<=[\\w)\\]`\"]\\s{0,12})(?<!\\b(?:$TildeKeywords)\\s{0,12})!~(?![~*=])" -> " not rlike ",
+      s"(?i)(?<=[\\w)\\]`\"]\\s{0,12})(?<!\\b(?:$TildeKeywords)\\s{0,12})~(?![~*=])" -> " rlike ",
       "^(\\s{0,12})!~(?![~*=])" -> "$1 not rlike ",
       "^(\\s{0,12})~(?![~*=])" -> "$1 rlike ",
       // Redshift late-binding view clause — no Spark analogue, semantics
@@ -784,7 +798,7 @@ object RedshiftScript {
         // through read-your-writes and every subsequent commit
         if (!inTxn) {
           try commit()
-          catch { case e: Exception => clearOverlay(); throw e }
+          catch { case e: Throwable => clearOverlay(); throw e }
         }
       }
     }
@@ -844,7 +858,7 @@ object RedshiftScript {
           staged += ((name, path, tmp))
         }
       } catch {
-        case e: Exception =>
+        case e: Throwable =>
           staged.foreach { case (_, _, tmp) =>
             try deletePath(tmp) catch { case _: Exception => () }
           }
@@ -1384,7 +1398,24 @@ object RedshiftScript {
       // reused Runner's next BEGIN resets txnAborted but not the overlay
       // — a subsequent COMMIT would then commit this script's aborted
       // staged mutations.
-      if (inTxn && !txnAborted) { commit(); inTxn = false }
+      if (inTxn && !txnAborted) {
+        // mirror the explicit-COMMIT error path: a deferred
+        // materialization failure surfacing here (e.g. a MERGE
+        // uniqueness raise_error firing at the staged write) must not
+        // escape run() — that would leave the overlay registered and
+        // inTxn set, so a reused Runner's next script would commit this
+        // script's failed staged mutations. Report it as a failed
+        // implicit COMMIT instead and reset cleanly.
+        val t0 = System.nanoTime()
+        try { commit(); inTxn = false }
+        catch {
+          case e: Throwable =>
+            clearOverlay(); inTxn = false; txnAborted = false
+            reports += StatementReport("COMMIT", None, ok = false,
+              (System.nanoTime() - t0) / 1e9,
+              Some(s"end-of-script auto-commit failed: ${e.getMessage}"))
+        }
+      }
       else if (inTxn) { clearOverlay(); inTxn = false; txnAborted = false }
       ScriptResult(reports.toSeq, lastSelect)
     }

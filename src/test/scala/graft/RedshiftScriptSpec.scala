@@ -489,6 +489,32 @@ class RedshiftScriptSpec extends SparkSpec {
     assert(spark.table("rs_c1.b").count() === 1)
   }
 
+  test("a failed END-OF-SCRIPT auto-commit reports failure and resets the runner") {
+    import sqlImplicits._
+    Catalog.replaceTable(Seq((1L, "t1")).toDF("k", "v"), "rs_ac", "b")
+    Catalog.replaceTable(Seq((1L, "s1"), (1L, "s2")).toDF("k", "v"), "rs_ac", "dup")
+    val runner = new RedshiftScript.Runner(spark, root())
+    // the script ends mid-transaction with a poisoned overlay (the MERGE
+    // uniqueness raise_error defers to materialization) — the implicit
+    // session-end commit must not throw out of run(): that would leave
+    // the overlay registered and inTxn set on a reused runner
+    val r = runner.run(
+      """BEGIN;
+        |MERGE INTO rs_ac.b USING rs_ac.dup s ON rs_ac.b.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT VALUES (s.k, s.v);""".stripMargin)
+    assert(!r.ok)
+    val commitRep = r.reports.find(_.verb == "COMMIT").get
+    assert(!commitRep.ok)
+    assert(commitRep.error.get.contains("auto-commit"), commitRep.error.get)
+    assert(spark.table("rs_ac.b").count() === 1) // untouched
+    assert(!spark.sessionState.catalog.isTempView(Seq("b"))) // overlay gone
+    // the reused runner starts clean — no stale overlay, no open txn
+    val r2 = runner.run("BEGIN;\nINSERT INTO rs_ac.b SELECT 2, 'z';\nCOMMIT;")
+    assert(r2.ok, r2.reports.mkString("; "))
+    assert(spark.table("rs_ac.b").count() === 2)
+  }
+
   test("bare ~ rewrites only with a left operand (unary bitwise NOT survives)") {
     val t = RedshiftScript.translate(
       "SELECT a & ~b, ~flags, x ~ '^ab', 'lit' ~ y, z !~ '^c' FROM t")
@@ -497,6 +523,23 @@ class RedshiftScriptSpec extends SparkSpec {
     assert(t.matches("(?s).*\\bx\\s+rlike\\s+'\\^ab'.*"), t)
     assert(t.matches("(?s).*'lit'\\s+rlike\\s+y.*"), t)
     assert(t.matches("(?s).*\\bz\\s+not rlike\\s+'\\^c'.*"), t)
+  }
+
+  test("keyword-preceded bare ~ stays unary (SELECT/WHERE/AND/THEN)") {
+    // the keyword's trailing letter is a word char — without the keyword
+    // guard these corrupt to `select rlike flags` (wrong answers, no error)
+    val t = RedshiftScript.translate(
+      "SELECT ~flags, CASE WHEN ok THEN ~mask ELSE ~other END " +
+        "FROM t WHERE ~deleted AND ~(f & 1) OR ~g")
+    assert(!t.toLowerCase.contains("rlike"), t)
+    Seq("~flags", "~mask", "~other", "~deleted", "~(f & 1)", "~g")
+      .foreach(s => assert(t.contains(s), s"$s missing in: $t"))
+    // CASE … END is a real operand: END ~ 'p' is the binary regex match
+    val b = RedshiftScript.translate("SELECT CASE WHEN a THEN b ELSE c END ~ '^x' FROM t")
+    assert(b.matches("(?is).*\\bend\\s+rlike\\s+'\\^x'.*"), b)
+    // identifiers merely ENDING in a keyword are still operands
+    val i = RedshiftScript.translate("SELECT 1 FROM t WHERE colselect ~ '^y'")
+    assert(i.matches("(?s).*\\bcolselect\\s+rlike\\s+'\\^y'.*"), i)
   }
 
   test("translate dialect conversions: SIMILAR TO, operators, types, Presto dates") {
