@@ -1172,16 +1172,53 @@ object RedshiftScript {
             stage(name, currentState(name).withColumnRenamed(from, to))
             report("ALTER RENAME COLUMN", Some(name))
           case AlterRenameRe(from, to) =>
+            // Redshift RENAME TO takes an UNQUALIFIED new name and keeps
+            // the table in its schema (`ALTER TABLE master.x RENAME TO
+            // x_old` → master.x_old — the layer's ALTER APPEND then
+            // references it qualified)
+            val toName =
+              if (to.contains(".")) to
+              else norm(from).split("\\.").dropRight(1).toSeq match {
+                case Seq() => to
+                case dbParts => (dbParts :+ to).mkString(".")
+              }
             if (isTempView(from)) {
-              spark.table(from).createOrReplaceTempView(to)
+              spark.table(from).createOrReplaceTempView(toName.split("\\.").last)
               spark.catalog.dropTempView(from)
             } else {
-              // keep the files, move the catalog entry
               val path = tablePath(from)
-              spark.sql(s"DROP TABLE IF EXISTS $from")
-              registerExternal(to, path)
+              val ident = org.apache.spark.sql.catalyst.TableIdentifier(
+                norm(from).split("\\.").last,
+                norm(from).split("\\.").dropRight(1).headOption)
+              val managed = spark.sessionState.catalog.getTableMetadata(ident)
+                .tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED
+              val uriPath = (p: String) => new org.apache.hadoop.fs.Path(p).toUri.getPath
+              val atOwnLayoutPath = uriPath(path) ==
+                uriPath(s"$layoutRoot/${norm(from).split("\\.").mkString("/")}")
+              if (managed || atOwnLayoutPath) {
+                // move the directory with the name: a MANAGED drop deletes
+                // its files, and a layout-path table left in place would
+                // collide with a later CREATE of the ORIGINAL name (the
+                // rebuild idiom: RENAME TO old → CTAS fresh → APPEND FROM
+                // old). Directory move only — no data copy.
+                val dst = s"$layoutRoot/${norm(toName).split("\\.").mkString("/")}"
+                val conf = spark.sparkContext.hadoopConfiguration
+                val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf)
+                val dstPath = new org.apache.hadoop.fs.Path(dst)
+                fs.mkdirs(dstPath.getParent)
+                fs.delete(dstPath, true)
+                if (!fs.rename(new org.apache.hadoop.fs.Path(path), dstPath))
+                  throw new IllegalStateException(s"rename $path -> $dst failed")
+                spark.sql(s"DROP TABLE IF EXISTS ${bq(from)}")
+                registerExternal(toName, dst)
+              } else {
+                // external at a caller-owned location: keep the files,
+                // move only the catalog entry
+                spark.sql(s"DROP TABLE IF EXISTS ${bq(from)}")
+                registerExternal(toName, path)
+              }
             }
-            report("ALTER RENAME", Some(to))
+            report("ALTER RENAME", Some(toName))
           case NoopRe(verb) =>
             report(s"${verb.toUpperCase} (no-op)")
           case CreateDdlRe(temp, ifNotExists, name, colsDdl) =>
