@@ -142,6 +142,196 @@ object RedshiftScript {
   private val Units =
     "(?:years?|yrs?|quarters?|qtr|months?|mons?|weeks?|wks?|w|days?|d|hours?|hrs?|h|minutes?|mins?|m|seconds?|secs?|s)"
 
+  // Redshift tolerates IGNORE/RESPECT NULLS inside NULL-SKIPPING aggregate
+  // calls (`avg(x ignore nulls) over …`,
+  // `11_marketing_reporting/…/00_pricing_live_feed.sql`); the qualifier is
+  // a no-op there (these aggregates skip NULLs by definition) and Spark's
+  // analyzer rejects it — drop it. Same bounded argument group as
+  // [[IgnoreNullsRe]].
+  private val AggIgnoreNullsRe: String = {
+    val lit = "'[^']*'"
+    val l1 = s"\\((?:[^()']|$lit)*\\)"
+    val l2 = s"\\((?:[^()']|$lit|$l1)*\\)"
+    s"(?i)\\b(avg|sum|min|max|count)\\s*\\(((?:[^()']|$lit|$l2)*?)\\s+(?:ignore|respect)\\s+nulls\\s*\\)"
+  }
+
+  // `LISTAGG(DISTINCT x, 'sep') WITHIN GROUP (ORDER BY k)` where the order
+  // key is NOT the aggregated expression (`60_00_grover_card_identification
+  // .sql:17-18` orders distinct event names by their timestamps). Spark's
+  // native listagg requires the WITHIN GROUP keys to equal the DISTINCT
+  // argument, so this form is rewritten to sort-then-dedup:
+  // array_agg the (key, value) pairs, sort by key (struct ordering —
+  // first-field-major), dedup preserving first occurrence (= each value
+  // ordered by its MINIMUM key, Redshift's observable behavior), join.
+  private val ListaggDistinctRe =
+    ("(?is)\\blistagg\\s*\\(\\s*distinct\\s+([^,()]+?)\\s*,\\s*('(?:[^']|'')*')\\s*\\)\\s*" +
+      "within\\s+group\\s*\\(\\s*order\\s+by\\s+([^()]+?)\\s*\\)").r
+
+  private def rewriteListaggDistinct(sql: String): String =
+    ListaggDistinctRe.replaceAllIn(sql, m => {
+      val arg = m.group(1).trim
+      val sep = m.group(2)
+      val ordRaw = m.group(3).trim
+      val lower = ordRaw.toLowerCase
+      val (ord, desc) =
+        if (lower.endsWith(" desc")) (ordRaw.dropRight(4).trim, true)
+        else if (lower.endsWith(" asc")) (ordRaw.dropRight(3).trim, false)
+        else (ordRaw, false)
+      val out =
+        if (ord.replaceAll("\\s+", "").equalsIgnoreCase(arg.replaceAll("\\s+", "")))
+          m.matched // native listagg handles order-by-the-argument directly
+        else {
+          val sorted = s"array_sort(array_agg(struct(($ord) as __o, ($arg) as __v)))"
+          val dir = if (desc) s"reverse($sorted)" else sorted
+          s"array_join(array_distinct(transform($dir, __s -> __s.__v)), $sep)"
+        }
+      java.util.regex.Matcher.quoteReplacement(out)
+    })
+
+  // PartiQL/SUPER navigation (`30_segment_events/01_track_events_incremental
+  // .sql:42-50`): an alias bound as `JSON_PARSE(…) AS c` in the SAME
+  // statement is a SUPER value; `c."app"."build"::VARCHAR` navigates it.
+  // Spark-first mapping: SUPER stays the raw JSON string (JSON_PARSE is a
+  // pass-through) and navigation becomes get_json_object — one lazy parse
+  // per access, no schema declaration needed. Only dot-paths rooted at a
+  // JSON_PARSE-bound alias are rewritten, so quoted-identifier references
+  // (`master."order"`) never false-positive.
+  private val JsonParseAliasRe =
+    ("(?is)\\bjson_parse\\s*\\((?:[^()']|'[^']*'|\\((?:[^()']|'[^']*')*\\))*\\)" +
+      "(?:\\s+else\\s+null)?(?:\\s+end)?\\s+as\\s+(\\w+)").r
+
+  private def rewriteSuperPaths(sql: String): String = {
+    val aliases = JsonParseAliasRe.findAllMatchIn(sql).map(_.group(1)).toSet
+    val pathRewritten =
+      if (aliases.isEmpty) sql
+      else {
+        val alt = aliases.map(java.util.regex.Pattern.quote).mkString("|")
+        // an optional `tbl.` qualifier is consumed and dropped (`t.f."x"`
+        // qualifies the SUPER column by its table alias — the rewritten
+        // get_json_object takes the bare column); the path must START
+        // with a quoted part (that's what distinguishes navigation from
+        // a plain qualified column `t.f.y`), then quoted/unquoted/[n]
+        // segments may follow (`f."entryTitle".en`)
+        val pathRe = ("(?i)(?:\\b\\w+\\.)?\\b(" + alt + ")" +
+          "((?:\\.\"\\w+\")(?:\\.\"\\w+\"|\\.(?!\\d)\\w+\\b|\\[\\d+\\])*)").r
+        pathRe.replaceAllIn(sql, m => {
+          val path = m.group(2).replaceAll("\\.\"(\\w+)\"", ".$1")
+          java.util.regex.Matcher.quoteReplacement(
+            s"get_json_object(${m.group(1)}, '$$$path')")
+        })
+      }
+    // PartiQL array unnest (`FROM cte t LEFT JOIN t.f."pageContent".en AS
+    // items ON TRUE`, `4_dwh_catman/contentful_campaigns.sql:38`): after
+    // the path rewrite above the join target is a get_json_object call —
+    // map it to a lateral explode over the JSON array, each element the
+    // element's raw JSON text (from_json to array<string> preserves
+    // object subtrees verbatim), then rewrite the element alias's
+    // dot-paths (`items.sys.id`) to get_json_object on the element.
+    val UnnestRe =
+      "(?i)\\bLEFT\\s+JOIN\\s+(get_json_object\\(\\w+,\\s*'[^']+'\\))\\s+AS\\s+(\\w+)\\s+ON\\s+TRUE".r
+    val unnestAliases = UnnestRe.findAllMatchIn(pathRewritten).map(_.group(2)).toSet
+    val unnested = UnnestRe.replaceAllIn(pathRewritten, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"LATERAL VIEW OUTER explode(from_json(${m.group(1)}, 'array<string>')) __${m.group(2)} AS ${m.group(2)}"))
+    val elemRewritten =
+      if (unnestAliases.isEmpty) unnested
+      else {
+        val alt = unnestAliases.map(java.util.regex.Pattern.quote).mkString("|")
+        val elemRe = ("(?i)\\b(" + alt + ")((?:\\.(?!\\d)\\w+\\b)+)").r
+        elemRe.replaceAllIn(unnested, m =>
+          java.util.regex.Matcher.quoteReplacement(
+            s"get_json_object(${m.group(1)}, '$$${m.group(2)}')"))
+      }
+    // JSON_PARSE itself passes the (validated) JSON string through
+    elemRewritten.replaceAll("(?i)\\bjson_parse\\s*\\(", "(")
+  }
+
+  /** A GRANT glued to the previous statement by a missing semicolon
+    * (`13_finance_reporting/…/SPV Step 1 - EU.sql:93`): the verb is a
+    * warehouse-permission no-op here, and leaving it breaks the body.
+    * Strip from the first line-start GRANT that sits OUTSIDE strings,
+    * comments and parens (a commented-out GRANT block —
+    * `dm_commercial/v_commercial_cash_monthly_kpis_us.sql:5-9` — must
+    * survive untouched) to the end of the statement text.
+    */
+  private def stripGluedGrantTail(sql: String): String = {
+    var i = 0; var inStr = false; var inLc = false; var inBc = false
+    var depth = 0; var atLineStart = true
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      val next = if (i + 1 < sql.length) sql.charAt(i + 1) else ' '
+      if (inLc) { if (c == '\n') { inLc = false; atLineStart = true } }
+      else if (inBc) { if (c == '*' && next == '/') { inBc = false; i += 1 } }
+      else if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true; atLineStart = false
+        case '-' if next == '-' => inLc = true; i += 1
+        case '/' if next == '*' => inBc = true; i += 1
+        case '(' => depth += 1; atLineStart = false
+        case ')' => depth -= 1; atLineStart = false
+        case '\n' => atLineStart = true
+        case w if w.isWhitespace => () // line-start survives indentation
+        case _ =>
+          if (atLineStart && depth == 0 &&
+              sql.regionMatches(true, i, "GRANT", 0, 5) &&
+              (i + 5 >= sql.length || sql.charAt(i + 5).isWhitespace))
+            return sql.substring(0, i)
+          atLineStart = false
+      }
+      i += 1
+    }
+    sql
+  }
+
+  /** Remove a comma whose next significant token (skipping whitespace and
+    * comments) is `FROM` or a closing paren — a hand-edit artifact the
+    * reference corpus carries 15+ of (`SELECT a, b, --comment
+    * FROM t`, `luxco_reporting.sql:5-9`). Redshift rejects these too; the
+    * recovery is unambiguous (no valid SQL has `, FROM` or `,)` outside a
+    * string). String/comment aware.
+    */
+  private[pipeline] def dropDanglingCommas(sql: String): String = {
+    def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    val out = new StringBuilder
+    var i = 0; var inStr = false; var inLc = false; var inBc = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      val next = if (i + 1 < sql.length) sql.charAt(i + 1) else ' '
+      if (inStr) { out.append(c); if (c == '\'') inStr = false }
+      else if (inLc) { out.append(c); if (c == '\n') inLc = false }
+      else if (inBc) {
+        out.append(c)
+        if (c == '*' && next == '/') { out.append(next); i += 1; inBc = false }
+      } else c match {
+        case '\'' => inStr = true; out.append(c)
+        case '-' if next == '-' => inLc = true; out.append(c)
+        case '/' if next == '*' => inBc = true; out.append(c)
+        case ',' =>
+          var j = i + 1; var done = false; var drop = false
+          while (j < sql.length && !done) {
+            val cj = sql.charAt(j)
+            if (cj.isWhitespace) j += 1
+            else if (cj == '-' && j + 1 < sql.length && sql.charAt(j + 1) == '-') {
+              val nl = sql.indexOf('\n', j)
+              j = if (nl < 0) sql.length else nl + 1
+            } else if (cj == '/' && j + 1 < sql.length && sql.charAt(j + 1) == '*') {
+              val end = sql.indexOf("*/", j)
+              j = if (end < 0) sql.length else end + 2
+            } else {
+              drop = cj == ')' ||
+                (sql.regionMatches(true, j, "FROM", 0, 4) &&
+                  (j + 4 >= sql.length || !isWord(sql.charAt(j + 4))))
+              done = true
+            }
+          }
+          if (!drop) out.append(c)
+        case other => out.append(other)
+      }
+      i += 1
+    }
+    out.toString
+  }
+
   /** Keywords that may directly precede a UNARY `~` (bitwise NOT). They
     * end in a word character, so the binary-`~` operand lookbehind alone
     * would read them as a left operand. `END` is deliberately absent:
@@ -176,12 +366,23 @@ object RedshiftScript {
       // unit (d, days, …) must never be rewritten
       .replaceAll(s"(?i)\\bdate_diff\\s*\\(\\s*'($Units)'\\s*,", "datediff_rs('$1',")
       .replaceAll(s"(?i)\\bdate_add\\s*\\(\\s*'($Units)'\\s*,", "dateadd_rs('$1',")
+      // quoted EXTRACT unit (`extract('epoch' from ts)`,
+      // `1_ods_core/11_00_order_manual_review_rules.sql`) — Spark takes it bare
+      .replaceAll("(?i)\\bextract\\s*\\(\\s*'(\\w+)'\\s*(?=from\\b)", "extract($1 ")
+      // postfix `<ts> AT TIME ZONE 'tz'` → convert_timezone (Spark's
+      // 2-arg form: session tz → target tz); simple operands only — a
+      // word chain or a no-paren function call covers the corpus
+      .replaceAll(
+        "(?i)\\b(current_timestamp|current_date|sysdate|getdate\\(\\)|\\w+(?:\\.\\w+)*)\\s+at\\s+time\\s+zone\\s+'([^']+)'",
+        "convert_timezone('$2', $1)")
       .replaceAll(IgnoreNullsRe, "$1($2) $3 nulls")
+      .replaceAll(AggIgnoreNullsRe, "$1($2)")
+    val preListagg = rewriteSuperPaths(rewriteListaggDistinct(stripGluedGrantTail(pre0)))
     // SQL regex match: `x [NOT] SIMILAR TO 'p'` → anchored rlike. SQL
     // wildcards map (% → .*, _ → .); characters that are regex-meta but
     // SIMILAR-TO-literal (. ^ $) are escaped first — SIMILAR TO's own
     // metacharacters (| * + ? ( ) [ ] { }) pass through unchanged.
-    val pre1 = "(?i)\\b(not\\s+)?similar\\s+to\\s+'([^']*)'".r.replaceAllIn(pre0, m => {
+    val pre1 = "(?i)\\b(not\\s+)?similar\\s+to\\s+'([^']*)'".r.replaceAllIn(preListagg, m => {
       val not = if (m.group(1) != null) "not " else ""
       // '^' stays meaningful as bracket negation `[^…]` — escape it only
       // outside that position; '.' and '$' are always SIMILAR-TO-literal
@@ -200,15 +401,31 @@ object RedshiftScript {
       "(?i)\\bcharacter\\s+varying\\b" -> "string",
       "(?i)::\\s*text\\b" -> "::string",
       "(?i)::\\s*varchar\\b(?!\\s*\\()" -> "::string",
+      "(?i)\\bvarchar\\s*\\(\\s*max\\s*\\)" -> "string",
+      "(?i)::\\s*bpchar\\b" -> "::string",
       "(?i)::\\s*int8\\b" -> "::bigint",
       "(?i)::\\s*int4\\b" -> "::int",
       "(?i)::\\s*int2\\b" -> "::smallint",
       "(?i)::\\s*float8\\b" -> "::double",
       "(?i)::\\s*float4\\b" -> "::float",
+      "(?i)::\\s*bool\\b(?!ean)" -> "::boolean",
+      "(?i)::\\s*datetime\\b" -> "::timestamp",
       "(?i)(\\bas\\s+)text(\\s*\\))" -> "$1string$2",
       "(?i)(\\bas\\s+)varchar(\\s*\\))" -> "$1string$2",
       "(?i)(\\bas\\s+)datetime(\\s*\\))" -> "$1timestamp$2",
+      "(?i)(\\bas\\s+)bool(\\s*\\))" -> "$1boolean$2",
+      // cast precision/timezone decorations Spark's types don't carry
+      "(?i)::\\s*timestamp\\s*\\(\\s*\\d+\\s*\\)" -> "::timestamp",
+      "(?i)(\\bas\\s+)timestamp\\s*\\(\\s*\\d+\\s*\\)" -> "$1timestamp",
+      "(?i)\\btimestamp\\s+with(?:out)?\\s+time\\s+zone\\b" -> "timestamp",
       "(?i)\\btimestamptz\\b" -> "timestamp",
+      // postgres postfix null tests (`x isnull`) — never the function form
+      "(?i)\\bisnull\\b(?!\\s*\\()" -> " is null ",
+      "(?i)\\bnotnull\\b(?!\\s*\\()" -> " is not null ",
+      // Tableau-generated `(col as alias)` projection parens — the inner
+      // alias is dead (an outer AS names the column); `cast(x as t)` is
+      // excluded by the bounded lookbehind
+      "(?i)(?<!cast\\s{0,8})\\(\\s*([\\w.]+)\\s+as\\s+\\w+\\s*\\)" -> "($1)",
       // POSIX regex / LIKE operator spellings (longest first)
       "!~~\\*" -> " not ilike ",
       "~~\\*" -> " ilike ",
@@ -250,7 +467,7 @@ object RedshiftScript {
       "\"([^\"]+)\"" -> "`$1`") ++
       // the pin runs LAST so the DATE '…' it splices in is never re-matched
       currentDate.map(d => "(?i)\\bcurrent_date\\b" -> s"DATE '$d'").toSeq
-    rewriteOutsideStrings(rewriteQualify(pre), rules)
+    rewriteOutsideStrings(rewriteQualify(dropDanglingCommas(pre)), rules)
   }
 
   /** Rewrite `QUALIFY <pred>` (Redshift/Snowflake window filter — Spark's
@@ -401,6 +618,11 @@ object RedshiftScript {
     s"(?is)^CREATE\\s+(TEMP|TEMPORARY\\s+)?\\s*TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?($Nm)(.*?)\\bAS\\b(.*)$$".r
   private[pipeline] val DeleteUsingRe =
     s"(?is)^DELETE\\s+FROM\\s+($Nm)\\s+USING\\s+($Nm)\\s*(?:AS\\s+)?(\\w+)?\\s+WHERE\\s+(.*)$$".r
+  // postgres-style CTE-prefixed DELETE (`WITH dups AS (…) DELETE FROM t
+  // USING dups src WHERE …`, `staging/intercom_deleted_conversations.sql`):
+  // the USING source resolves against the CTE list
+  private[graft] val CteDeleteUsingRe =
+    s"(?is)^(WITH\\b.*?)\\bDELETE\\s+FROM\\s+($Nm)\\s+USING\\s+($Nm)\\s*(?:AS\\s+)?(\\w+)?\\s+WHERE\\s+(.*)$$".r
   private[pipeline] val DeleteRe =
     s"(?is)^DELETE\\s+FROM\\s+($Nm)(?:\\s+WHERE\\s+(.*))?$$".r
   private[graft] val InsertRe =
@@ -487,6 +709,10 @@ object RedshiftScript {
     val out = new StringBuilder
     val seg = new StringBuilder
     var i = 0; var inStr = false; var inLc = false; var inBc = false
+    // double-quoted IDENTIFIERS stay part of the segment (rules like the
+    // backtick conversion must see them) but suppress comment/string
+    // detection inside: `"1-->2"` contains no comment
+    var inDq = false
     def flush(): Unit = {
       var t = seg.toString
       rules.foreach { case (p, r) => t = t.replaceAll(p, r) }
@@ -500,7 +726,9 @@ object RedshiftScript {
       else if (inBc) {
         out.append(c)
         if (c == '*' && next == '/') { out.append(next); i += 1; inBc = false }
-      } else c match {
+      } else if (inDq) { seg.append(c); if (c == '"') inDq = false }
+      else c match {
+        case '"' => seg.append(c); inDq = true
         case '\'' => flush(); out.append(c); inStr = true
         case '-' if next == '-' => flush(); out.append(c); inLc = true
         case '/' if next == '*' => flush(); out.append(c); inBc = true
@@ -564,6 +792,7 @@ object RedshiftScript {
       case AlterAppendRe(_, _, _) => "ALTER APPEND"
       case AlterLayoutRe() => "ALTER LAYOUT (no-op)"
       case CreateRe(t, _, _, _) => if (t != null) "CREATE TEMP TABLE" else "CREATE TABLE"
+      case CteDeleteUsingRe(_, _, _, _, _) => "DELETE USING"
       case DeleteUsingRe(_, _, _, _) => "DELETE USING"
       case DeleteRe(_, _) => "DELETE"
       case InsertRe(_, cl, body) if parseInsert(cl, body)._2.nonEmpty => "INSERT"
@@ -1044,21 +1273,15 @@ object RedshiftScript {
               df.createOrReplaceTempView(norm(name))
             } else stage(name, df)
             report(if (temp != null) "CREATE TEMP TABLE" else "CREATE TABLE", Some(name))
+          case CteDeleteUsingRe(cte, name, srcName, aliasOpt, cond) =>
+            // CTE-prefixed DELETE: the USING source is a CTE — build it
+            // with the WITH list attached
+            val src = spark.sql(tr(s"$cte SELECT * FROM $srcName"))
+            stage(name, deleteUsing(name, srcName, src, Option(aliasOpt), cond))
+            report("DELETE USING", Some(name))
           case DeleteUsingRe(name, srcName, aliasOpt, cond) =>
-            // DELETE FROM t USING s WHERE t.k = s.k → anti-join: keep the
-            // target rows with NO matching source row
-            val alias = Option(aliasOpt).map(_.trim).filter(_.nonEmpty)
-              .getOrElse(norm(srcName).split("\\.").last)
-            val tBase = norm(name).split("\\.").last
-            val condRewritten = Seq(
-              (s"(?i)\\b${java.util.regex.Pattern.quote(name)}\\.", "__t."),
-              (s"(?i)\\b${java.util.regex.Pattern.quote(tBase)}\\.", "__t."),
-              (s"(?i)\\b${java.util.regex.Pattern.quote(srcName)}\\.", s"$alias."))
-              .foldLeft(tr(cond)) { case (acc, (pat, rep)) =>
-                RedshiftScript.rewriteOutsideStrings(acc, pat, rep)
-              }
-            stage(name, currentState(name).alias("__t")
-              .join(currentState(srcName).alias(alias), expr(condRewritten), "left_anti"))
+            stage(name,
+              deleteUsing(name, srcName, currentState(srcName), Option(aliasOpt), cond))
             report("DELETE USING", Some(name))
           case DeleteRe(name, cond) =>
             val df =
@@ -1325,6 +1548,29 @@ object RedshiftScript {
         guarded.as(f.name)
       }
       joined.select(out.toIndexedSeq: _*)
+    }
+
+    /** DELETE FROM t USING s WHERE t.k = s.k → anti-join: keep the target
+      * rows with NO matching source row.
+      */
+    private def deleteUsing(
+        name: String,
+        srcName: String,
+        src: DataFrame,
+        aliasOpt: Option[String],
+        cond: String): DataFrame = {
+      val alias = aliasOpt.map(_.trim).filter(_.nonEmpty)
+        .getOrElse(norm(srcName).split("\\.").last)
+      val tBase = norm(name).split("\\.").last
+      val condRewritten = Seq(
+        (s"(?i)\\b${java.util.regex.Pattern.quote(name)}\\.", "__t."),
+        (s"(?i)\\b${java.util.regex.Pattern.quote(tBase)}\\.", "__t."),
+        (s"(?i)\\b${java.util.regex.Pattern.quote(srcName)}\\.", s"$alias."))
+        .foldLeft(tr(cond)) { case (acc, (pat, rep)) =>
+          RedshiftScript.rewriteOutsideStrings(acc, pat, rep)
+        }
+      currentState(name).alias("__t")
+        .join(src.alias(alias), expr(condRewritten), "left_anti")
     }
 
     private var updSeq = 0

@@ -912,6 +912,136 @@ class RedshiftScriptSpec extends SparkSpec {
     assert(rate >= 0.98, f"recognition rate ${rate * 100}%.1f%%")
   }
 
+  test("translate: quoted EXTRACT unit, AT TIME ZONE, agg IGNORE NULLS, type spellings") {
+    val t = RedshiftScript.translate(
+      "SELECT extract('epoch' from ts), current_timestamp at time zone 'CET', " +
+        "avg(x ignore nulls) over (partition by k), a::bool, b::bpchar, " +
+        "c::timestamp(0), 'now'::text::timestamp with time zone, d::varchar(max), " +
+        "e isnull, f notnull FROM t")
+    assert(t.contains("extract(epoch from ts)"))
+    assert(t.contains("convert_timezone('CET', current_timestamp)"))
+    assert(t.contains("avg(x) over"))
+    assert(t.contains("a::boolean"))
+    assert(t.contains("b::string"))
+    assert(t.contains("c::timestamp,"))
+    assert(t.contains("'now'::string::timestamp,"))
+    assert(t.contains("d::string"))
+    assert(t.contains("e  is null "))
+    assert(t.contains("f  is not null "))
+    // multiline EXTRACT with the unit on its own line (18_dm_finance shape)
+    val m = RedshiftScript.translate("SELECT EXTRACT('Month'\nFROM\n  sh.date) + 1 FROM t")
+    assert(m.contains("extract(Month"))
+    // ::boolean must not double-rewrite
+    assert(RedshiftScript.translate("SELECT a::boolean FROM t").contains("a::boolean"))
+  }
+
+  test("translate: Tableau (col AS alias) parens, dangling commas, glued GRANT tail") {
+    val t = RedshiftScript.translate(
+      "SELECT (committed_sub_value as additional_committed) as committed, cast(x as int)")
+    assert(t.contains("(committed_sub_value) as committed"))
+    assert(t.contains("cast(x as int)")) // cast is NOT stripped
+    // dangling comma before FROM — also across a comment line
+    val d = RedshiftScript.translate(
+      "SELECT a, b, --total revenue net due\nFROM t")
+    assert(d.matches("(?s).*b,?\\s*--total revenue net due\\s*FROM t.*")
+      && !d.contains("b,"), d)
+    val d2 = RedshiftScript.translate("SELECT x, (SELECT max(y), FROM u) FROM t")
+    assert(!d2.contains("max(y),"))
+    // glued GRANT tail is stripped…
+    val g = RedshiftScript.translate(
+      "SELECT a FROM t\nGRANT SELECT ON schema.tbl TO tableau")
+    assert(!g.toLowerCase.contains("grant"))
+    // …but a commented-out GRANT block survives (and so does the text after)
+    val gc = RedshiftScript.translate(
+      "SELECT a FROM (\n/*\nGRANT SELECT ON x TO y;\n*/\nSELECT 1 AS a\n) s")
+    assert(gc.contains("GRANT SELECT ON x TO y"))
+    assert(gc.contains("SELECT 1"))
+  }
+
+  test("translate: double-quoted identifiers containing -- are not comments") {
+    val t = RedshiftScript.translate("""SELECT x AS "1-->2", y AS "a--b" FROM t""")
+    assert(t.contains("`1-->2`"))
+    assert(t.contains("`a--b`"))
+  }
+
+  test("LISTAGG DISTINCT ordered by another column rewrites and executes") {
+    // the native listagg only orders by the DISTINCT argument itself —
+    // the reference orders distinct event names by their timestamps
+    // (60_00_grover_card_identification.sql:17-18)
+    spark.sql("SELECT * FROM VALUES (1,'open','2024-01-03'), (1,'close','2024-01-01'), " +
+      "(1,'open','2024-01-05'), (1,'ship','2024-01-02') AS t(id, status, ts)")
+      .createOrReplaceTempView("la_src")
+    val sql = "SELECT id, listagg(distinct status, '->' ) " +
+      "within group (order by ts asc) AS journey FROM la_src GROUP BY id"
+    val out = spark.sql(RedshiftScript.translate(sql)).collect()
+    // each value ordered by its MINIMUM ts: close@01, ship@02, open@03
+    assert(out(0).getString(1) === "close->ship->open")
+    // …and the same-column form stays on the native listagg path
+    val native = RedshiftScript.translate(
+      "SELECT listagg(distinct v, ',') within group (order by v) FROM t GROUP BY 1")
+    assert(native.contains("listagg"))
+  }
+
+  test("SUPER/PartiQL dot paths: JSON_PARSE-bound aliases navigate via get_json_object") {
+    val t = RedshiftScript.translate(
+      """SELECT c."app"."build"::VARCHAR AS app_build,
+        |  COALESCE(c."page"."path", p."path")::VARCHAR AS page_path,
+        |  t2."arr"[0] AS first_el,
+        |  m."order".x AS mixed
+        |FROM (SELECT
+        |  CASE WHEN IS_VALID_JSON(ctx) THEN JSON_PARSE(ctx) ELSE NULL END AS c,
+        |  CASE WHEN IS_VALID_JSON(props) THEN JSON_PARSE(NULLIF(props,'nan')) ELSE NULL END AS p,
+        |  JSON_PARSE(arrcol) AS t2, JSON_PARSE(os) AS m
+        |FROM raw)""".stripMargin)
+    assert(t.contains("get_json_object(c, '$.app.build')::string"))
+    assert(t.contains("coalesce") || t.contains("COALESCE"))
+    assert(t.contains("get_json_object(p, '$.path')"))
+    assert(t.contains("get_json_object(t2, '$.arr[0]')"))
+    assert(t.contains("get_json_object(m, '$.order.x')"))
+    // JSON_PARSE passes the string through; a non-JSON alias is untouched
+    assert(!t.toLowerCase.contains("json_parse"))
+    assert(RedshiftScript.translate("""SELECT s."timestamp" FROM master.orders s""")
+      .contains("s.`timestamp`"))
+  }
+
+  test("PartiQL array unnest (LEFT JOIN alias.path AS items ON TRUE) explodes laterally") {
+    spark.sql("""SELECT * FROM VALUES
+      ('lp1', '{"pageContent": {"en": [{"sys":{"id":"e1"}},{"sys":{"id":"e2"}}]}}'),
+      ('lp2', '{"pageContent": {"en": [{"sys":{"id":"e3"}}]}}')
+      AS t(slug, fields)""").createOrReplaceTempView("contentful_src")
+    // the contentful_campaigns.sql:16-38 shape: json_parse alias + unnest join
+    val sql =
+      """WITH cte AS (
+        |  SELECT *, json_parse(fields) AS f FROM contentful_src
+        |)
+        |SELECT slug, items.sys.id::text AS link_entry_id
+        |FROM cte t
+        |LEFT JOIN t.f."pageContent".en AS items ON TRUE""".stripMargin
+    val out = spark.sql(RedshiftScript.translate(sql))
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(identity)
+    assert(out.toSeq === Seq(("lp1", "e1"), ("lp1", "e2"), ("lp2", "e3")))
+  }
+
+  test("CTE-prefixed DELETE USING resolves the source from the WITH list") {
+    Catalog.replaceTable(Tables.read(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("id"), col("o_totalprice").as("v")), "rs_cte", "tgt")
+    val before = spark.table("rs_cte.tgt").count()
+    val doomed = spark.table("rs_cte.tgt").filter(col("v") > 200000).count()
+    assert(doomed > 0)
+    val script =
+      """with cte_remove_dups as
+        |(
+        |select id from rs_cte.tgt where v > 200000 group by 1
+        |)
+        |DELETE FROM rs_cte.tgt
+        |USING  cte_remove_dups src
+        |WHERE  src.id  = rs_cte.tgt.id;""".stripMargin
+    val res = new RedshiftScript.Runner(spark, root()).run(script)
+    assert(res.ok, res.reports.mkString("; "))
+    assert(res.reports.head.verb === "DELETE USING")
+    assert(spark.table("rs_cte.tgt").count() === before - doomed)
+  }
+
   test("runSqlDir routes a multi-statement file through the interpreter") {
     Catalog.replaceTable(Tables.read(spark, sfDir, "orders"), "rs_dir", "orders_src")
     val dir = Files.createTempDirectory("graft-sqldir").toString
