@@ -605,6 +605,167 @@ object RedshiftScript {
       sql.substring(0, selStart) + replacement + sql.substring(predEnd), n + 1)
   }
 
+  /** Redshift lets a WHERE predicate reference the query's own select-list
+    * aliases (`SELECT o.order_id AS main_order_id … WHERE main_order_id !=
+    * related_order_id`, `1_ods_risk/order_manual_review_previous_order_
+    * history.sql:17`) — Spark resolves lateral aliases only inside the
+    * select list. Substitute each referenced alias's expression into the
+    * predicate, Redshift's own effective semantics. Used as a FALLBACK
+    * when analysis fails with an unresolved column: native resolution
+    * stays authoritative for the alias-shadows-a-real-column case.
+    */
+  private[graft] def substituteAliasesInWhere(sql: String): String = {
+    def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    val stops = Seq("GROUP", "ORDER", "LIMIT", "UNION", "INTERSECT", "EXCEPT",
+      "MINUS", "QUALIFY", "HAVING", "WINDOW")
+    val out = new StringBuilder(sql)
+    var searchFrom = 0
+    var guard = 0
+    while (guard < 64) {
+      guard += 1
+      val s = out.toString
+      val upper = s.toUpperCase
+      // next WHERE outside strings/comments, remembering its innermost '('
+      var i = searchFrom; var inStr = false; var inLc = false; var inBc = false
+      val openStack = mutable.Stack[Int]()
+      // scope state must reflect the PREFIX before searchFrom too
+      locally {
+        var j = 0
+        while (j < searchFrom) {
+          val c = s.charAt(j)
+          val next = if (j + 1 < s.length) s.charAt(j + 1) else ' '
+          if (inLc) { if (c == '\n') inLc = false }
+          else if (inBc) { if (c == '*' && next == '/') { inBc = false; j += 1 } }
+          else if (inStr) { if (c == '\'') inStr = false }
+          else c match {
+            case '\'' => inStr = true
+            case '-' if next == '-' => inLc = true; j += 1
+            case '/' if next == '*' => inBc = true; j += 1
+            case '(' => openStack.push(j)
+            case ')' => if (openStack.nonEmpty) openStack.pop()
+            case _ => ()
+          }
+          j += 1
+        }
+      }
+      var wPos = -1; var wOpen = -1
+      while (i < s.length && wPos < 0) {
+        val c = s.charAt(i)
+        val next = if (i + 1 < s.length) s.charAt(i + 1) else ' '
+        if (inLc) { if (c == '\n') inLc = false }
+        else if (inBc) { if (c == '*' && next == '/') { inBc = false; i += 1 } }
+        else if (inStr) { if (c == '\'') inStr = false }
+        else c match {
+          case '\'' => inStr = true
+          case '-' if next == '-' => inLc = true; i += 1
+          case '/' if next == '*' => inBc = true; i += 1
+          case '(' => openStack.push(i)
+          case ')' => if (openStack.nonEmpty) openStack.pop()
+          case _ =>
+            if (upper.startsWith("WHERE", i) &&
+                (i == 0 || !isWord(s.charAt(i - 1))) &&
+                (i + 5 >= s.length || !isWord(s.charAt(i + 5)))) {
+              wPos = i; wOpen = if (openStack.nonEmpty) openStack.top else -1
+            }
+        }
+        i += 1
+      }
+      if (wPos < 0) return out.toString
+      val regionStart = wOpen + 1
+      // enclosing SELECT: last region-depth-0 SELECT before the WHERE
+      var selStart = -1
+      locally {
+        var j = regionStart; var d = 0
+        var s2 = false; var lc2 = false; var bc2 = false
+        while (j < wPos) {
+          val c = s.charAt(j)
+          val next = if (j + 1 < s.length) s.charAt(j + 1) else ' '
+          if (lc2) { if (c == '\n') lc2 = false }
+          else if (bc2) { if (c == '*' && next == '/') { bc2 = false; j += 1 } }
+          else if (s2) { if (c == '\'') s2 = false }
+          else c match {
+            case '\'' => s2 = true
+            case '-' if next == '-' => lc2 = true; j += 1
+            case '/' if next == '*' => bc2 = true; j += 1
+            case '(' => d += 1
+            case ')' => d -= 1
+            case _ =>
+              if (d == 0 && upper.startsWith("SELECT", j) &&
+                  (j == 0 || !isWord(s.charAt(j - 1))) &&
+                  (j + 6 >= s.length || !isWord(s.charAt(j + 6))))
+                selStart = j
+          }
+          j += 1
+        }
+      }
+      // predicate end: first depth-0 stop keyword / closing paren / EOT
+      var predEnd = s.length
+      locally {
+        var j = wPos + 5; var d = 0
+        var s2 = false; var lc2 = false; var bc2 = false
+        var done = false
+        while (j < s.length && !done) {
+          val c = s.charAt(j)
+          val next = if (j + 1 < s.length) s.charAt(j + 1) else ' '
+          if (lc2) { if (c == '\n') lc2 = false }
+          else if (bc2) { if (c == '*' && next == '/') { bc2 = false; j += 1 } }
+          else if (s2) { if (c == '\'') s2 = false }
+          else c match {
+            case '\'' => s2 = true
+            case '-' if next == '-' => lc2 = true; j += 1
+            case '/' if next == '*' => bc2 = true; j += 1
+            case '(' => d += 1
+            case ')' => if (d == 0) { predEnd = j; done = true } else d -= 1
+            case _ =>
+              if (d == 0 && stops.exists(k => upper.startsWith(k, j) &&
+                  (j == 0 || !isWord(s.charAt(j - 1))) &&
+                  (j + k.length >= s.length || !isWord(s.charAt(j + k.length))))) {
+                predEnd = j; done = true
+              }
+          }
+          j += 1
+        }
+      }
+      if (selStart >= 0) {
+        val selBody = stripLeadingComments(s.substring(selStart + 6, wPos))
+        val listText = splitTopKeyword(
+          if (selBody.toUpperCase.startsWith("DISTINCT")) selBody.substring(8) else selBody,
+          "FROM")._1
+        val AliasRe = "(?is)^(.*\\S)\\s+as\\s+(\\w+)\\s*$".r
+        val aliases = splitTop(listText).flatMap {
+          case AliasRe(e, a) => Some(a -> e)
+          case _ => None
+        }
+        var pred = s.substring(wPos + 5, predEnd)
+        aliases.foreach { case (a, e) =>
+          val q = java.util.regex.Pattern.quote(a)
+          // bare references only — `tbl.alias` is a different column
+          pred = rewriteOutsideStrings(pred,
+            s"(?i)(?<![.\\w`\"])$q(?![\\w`\"])",
+            java.util.regex.Matcher.quoteReplacement(s"($e)"))
+        }
+        out.replace(wPos + 5, predEnd, pred)
+        searchFrom = wPos + 5 + pred.length
+      } else searchFrom = predEnd
+    }
+    out.toString
+  }
+
+  /** Split on top-level commas (parens/quotes aware). */
+  private[graft] def splitTop(s: String): Seq[String] = {
+    val parts = mutable.ListBuffer.empty[String]
+    var depth = 0; var inStr = false; val cur = new StringBuilder
+    s.foreach {
+      case '\'' => inStr = !inStr; cur.append('\'')
+      case '(' if !inStr => depth += 1; cur.append('(')
+      case ')' if !inStr => depth -= 1; cur.append(')')
+      case ',' if !inStr && depth == 0 => parts += cur.toString; cur.clear()
+      case c => cur.append(c)
+    }
+    parts += cur.toString
+    parts.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
   // --------------------------------------------------- statement patterns
 
   // table names: dotted identifiers, any part optionally "double-quoted"
@@ -909,6 +1070,21 @@ object RedshiftScript {
     private var lastSelect: Option[DataFrame] = None
 
     private def tr(sql: String): String = resolveOverlays(translate(sql, currentDate))
+
+    /** `spark.sql` with the Redshift alias-in-WHERE fallback: when
+      * analysis fails on an unresolved column, retry with the select-list
+      * aliases substituted into the WHERE predicates (native resolution
+      * first — an alias shadowing a real column keeps Spark's answer).
+      */
+    private def sqlBody(translated: String): DataFrame =
+      try spark.sql(translated)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getMessage).exists(_.contains("UNRESOLVED_COLUMN")) =>
+          val rewritten = RedshiftScript.substituteAliasesInWhere(translated)
+          if (rewritten == translated) throw e
+          spark.sql(rewritten)
+      }
 
     /** Read-your-writes for raw SQL: rewrite references to overlaid
       * tables into overlay-backed temp views, so a SELECT / INSERT body /
@@ -1266,7 +1442,7 @@ object RedshiftScript {
             report("DROP VIEW", Some(name))
           case CreateRe(temp, name, options, body) =>
             val (_, distkey) = stripTableOptions(options)
-            var df = spark.sql(tr(body))
+            var df = sqlBody(tr(body))
             distkey.foreach(k => df = df.repartition(col(k)))
             if (temp != null) {
               reclaimViewName(norm(name)) // a temp table wins its name
@@ -1276,7 +1452,7 @@ object RedshiftScript {
           case CteDeleteUsingRe(cte, name, srcName, aliasOpt, cond) =>
             // CTE-prefixed DELETE: the USING source is a CTE — build it
             // with the WITH list attached
-            val src = spark.sql(tr(s"$cte SELECT * FROM $srcName"))
+            val src = sqlBody(tr(s"$cte SELECT * FROM $srcName"))
             stage(name, deleteUsing(name, srcName, src, Option(aliasOpt), cond))
             report("DELETE USING", Some(name))
           case DeleteUsingRe(name, srcName, aliasOpt, cond) =>
@@ -1305,7 +1481,7 @@ object RedshiftScript {
           case InsertRe(name, colList, rawBody) =>
             val (cols, body) = parseInsert(colList, rawBody)
             require(body.nonEmpty, s"unparseable INSERT body: ${rawBody.take(60)}")
-            val incoming = alignTo(currentState(name), cols, spark.sql(tr(body)))
+            val incoming = alignTo(currentState(name), cols, sqlBody(tr(body)))
             stage(name, currentState(name).unionByName(incoming))
             report("INSERT", Some(name))
           case UpdateHeadRe(name, tAliasOpt, rest) =>
@@ -1368,7 +1544,7 @@ object RedshiftScript {
               .map(m => remapPath(m.group(1)))
               .getOrElse(throw new IllegalArgumentException(
                 "UNLOAD: no TO '<path>' (the reference's orchestration injects it — pass a TO clause)"))
-            val df = spark.sql(tr(query.replaceAll("''", "'")))
+            val df = sqlBody(tr(query.replaceAll("''", "'")))
             val single = "(?i)\\bPARALLEL\\s+(?:OFF|FALSE)\\b".r.findFirstIn(optsKw).isDefined
             val out = if (single) df.coalesce(1) else df
             if ("(?i)\\bPARQUET\\b".r.findFirstIn(optsKw).isDefined)
@@ -1464,7 +1640,7 @@ object RedshiftScript {
             report("CREATE TABLE (DDL)", Some(name))
           case _ if upper.startsWith("SELECT") || upper.startsWith("WITH") ||
               upper.startsWith("(") =>
-            lastSelect = Some(spark.sql(tr(stmt)))
+            lastSelect = Some(sqlBody(tr(stmt)))
             report("SELECT")
           case other =>
             throw new IllegalArgumentException(
@@ -1641,21 +1817,6 @@ object RedshiftScript {
       require(joined.count() == target.count(),
         s"UPDATE FROM source matches some rows of $name more than once")
       joined.drop("__matched")
-    }
-
-    /** Split on top-level commas (parens/quotes aware). */
-    private def splitTop(s: String): Seq[String] = {
-      val parts = mutable.ListBuffer.empty[String]
-      var depth = 0; var inStr = false; val cur = new StringBuilder
-      s.foreach {
-        case '\'' => inStr = !inStr; cur.append('\'')
-        case '(' if !inStr => depth += 1; cur.append('(')
-        case ')' if !inStr => depth -= 1; cur.append(')')
-        case ',' if !inStr && depth == 0 => parts += cur.toString; cur.clear()
-        case c => cur.append(c)
-      }
-      parts += cur.toString
-      parts.toSeq.map(_.trim).filter(_.nonEmpty)
     }
 
     def run(script: String): ScriptResult = {

@@ -1022,6 +1022,65 @@ class RedshiftScriptSpec extends SparkSpec {
     assert(out.toSeq === Seq(("lp1", "e1"), ("lp1", "e2"), ("lp2", "e3")))
   }
 
+  test("a VERBATIM LISTAGG reference script runs end-to-end (order_manual_review_previous_order_history.sql)") {
+    val path = java.nio.file.Paths.get(
+      "/root/reference/Datawarehouse-ETL/1_ods_risk/order_manual_review_previous_order_history.sql")
+    assume(java.nio.file.Files.exists(path))
+    val script = java.nio.file.Files.readString(path)
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // customer 1 has a MANUAL REVIEW order with one related order in the
+    // 5-day window (product name carries a `"` to exercise the REPLACE);
+    // customer 2's lone order joins nothing and must drop out
+    val orders = Seq(
+      ("A", "MANUAL REVIEW", ts("2024-06-01 10:00:00"), ts("2024-06-01 11:00:00"),
+        "iPhone", "12", "1", 1L),
+      ("B", "PAID", ts("2024-05-30 09:00:00"), null.asInstanceOf[java.sql.Timestamp],
+        "MacBook \"Pro\"", "6", "2", 1L),
+      ("C", "MANUAL REVIEW", ts("2024-06-01 08:00:00"), ts("2024-06-01 09:00:00"),
+        "iPad", "3", "1", 2L)
+    ).toDF("order_id", "status", "created_date", "submitted_date",
+      "ordered_products", "ordered_plan_durations", "ordered_quantities", "customer_id")
+    Catalog.replaceTable(orders, "ods_production", "order")
+    val layout = root()
+    val res = new RedshiftScript.Runner(spark, layout, Some("2024-06-15")).run(script)
+    assert(res.ok, res.reports.filterNot(_.ok).mkString("; "))
+    val out = spark.table("ods_production.order_manual_review_previous_order_history").collect()
+    assert(out.length === 1)
+    assert(out(0).getString(0) === "A")
+    val agg = out(0).getString(1)
+    assert(agg.startsWith("[{") && agg.endsWith("}]"))
+    assert(agg.contains("\"related_order_id\": \"B\"")) // LISTAGG payload
+    assert(agg.contains("MacBook Pro")) // quote stripped by REPLACE
+    assert(agg.contains("2024-06-15")) // COALESCE(submitted_at, pinned current_date)
+    // the intermediate table was dropped by the script's last statement
+    assert(!spark.catalog.tableExists("ods_production.order_previous_order_history"))
+    // rerun is idempotent (full CTAS refresh)
+    val res2 = new RedshiftScript.Runner(spark, layout, Some("2024-06-15")).run(script)
+    assert(res2.ok)
+    assert(spark.table("ods_production.order_manual_review_previous_order_history").count() === 1)
+  }
+
+  test("alias-in-WHERE substitution: Redshift lateral aliases resolve in predicates") {
+    val s = RedshiftScript.substituteAliasesInWhere(
+      "SELECT o.id AS main_id, o2.id AS rel_id FROM t o JOIN t o2 ON o.k = o2.k " +
+        "WHERE main_id != rel_id AND o.x > 1 ORDER BY main_id")
+    assert(s.contains("WHERE (o.id) != (o2.id) AND o.x > 1"))
+    assert(s.contains("ORDER BY main_id")) // only the predicate is rewritten
+    // qualified refs and string literals stay; no-alias queries untouched
+    val u = "SELECT a AS b FROM t WHERE t.b = 'b' AND c = 2"
+    assert(RedshiftScript.substituteAliasesInWhere(u)
+      === "SELECT a AS b FROM t WHERE t.b = 'b' AND c = 2")
+    // executes through the Runner (analysis-failure fallback path)
+    spark.sql("SELECT * FROM VALUES (1, 5), (2, 9) AS t(k, v)")
+      .createOrReplaceTempView("aw_src")
+    val r = new RedshiftScript.Runner(spark,
+      java.nio.file.Files.createTempDirectory("graft-aw").toString)
+      .run("SELECT v * 2 AS doubled FROM aw_src WHERE doubled > 10;")
+    assert(r.ok, r.reports.mkString("; "))
+    assert(r.lastSelect.get.collect().map(_.getInt(0)).toSeq === Seq(18))
+  }
+
   test("CTE-prefixed DELETE USING resolves the source from the WITH list") {
     Catalog.replaceTable(Tables.read(spark, sfDir, "orders")
       .select(col("o_orderkey").as("id"), col("o_totalprice").as("v")), "rs_cte", "tgt")
