@@ -7,10 +7,17 @@ import org.apache.spark.sql.SparkSession
   * results are forced through the noop sink so every output column is
   * actually computed (count() lets Spark skip projection work).
   *
-  * Each query is timed SPARK_GRAFT_BENCH_RUNS times (default 3) and the
-  * MEDIAN reported — a single-shot measurement once recorded a 7×
-  * phantom regression from one GC/JIT stall on byte-identical code. The
-  * total is the sum of medians; `wall` carries the true elapsed time.
+  * Each query is timed SPARK_GRAFT_BENCH_RUNS times (default 3). The
+  * PRIMARY number per query is the MINIMUM of the runs — the steady-state
+  * capability measure, robust against co-located load (the round-5 driver
+  * artifacts recorded a 16× inflation on one plain right join on
+  * byte-identical code; the controlled rerun evaporated it). The medians
+  * ride along in "medians", and any query whose max/min spread exceeds 2×
+  * is listed in "noisy" — a non-empty list means the HOST was loaded and
+  * the numbers need a controlled rerun, not the code a bisect.
+  *
+  * Run this isolated: not concurrently with `sbt test` or another Spark
+  * JVM — the settle sleep only absorbs the tail of a JUST-FINISHED load.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -39,9 +46,10 @@ object Bench {
     try force(names.head) catch { case _: Throwable => () }
     // settle: let warm-up GC/JIT churn and any residual machine load
     // (e.g. a just-finished test JVM) quiesce before the timed section —
-    // round-3 numbers needed adjudication against a controlled rerun
+    // round-3 and round-5 numbers both needed adjudication against
+    // controlled reruns
     System.gc()
-    Thread.sleep(sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_MS", "3000").toLong)
+    Thread.sleep(sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_MS", "8000").toLong)
 
     val wall0 = System.nanoTime()
     val results = names.map { name =>
@@ -55,19 +63,27 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      (name, times(times.size / 2), failed)
+      (name, times.head, times(times.size / 2), times.last, failed)
     }
     val wall = (System.nanoTime() - wall0) / 1e9
     // a failed query's (near-zero) time must not masquerade as a fast
     // success: report "failed" in its slot, exclude it from the total,
     // and list it explicitly
-    val qs = results.map { case (k, v, f) =>
-      "\"" + k + "\":" + (if (f) "\"failed\"" else v.toString)
-    }.mkString("{", ",", "}")
-    val failedList = results.filter(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    val total = results.filterNot(_._3).map(_._2).sum
+    def jmap(f: ((String, Double, Double, Double, Boolean)) => String): String =
+      results.map { r =>
+        "\"" + r._1 + "\":" + (if (r._5) "\"failed\"" else f(r))
+      }.mkString("{", ",", "}")
+    val qs = jmap(_._2.toString)
+    val medians = jmap(_._3.toString)
+    // relative spread alone flags every sub-0.3s query on normal jitter —
+    // require half a second of absolute inflation before calling it noise
+    val noisy = results
+      .filter(r => !r._5 && r._2 > 0 && r._4 / r._2 > 2.0 && r._4 - r._2 > 0.5)
+      .map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val failedList = results.filter(_._5).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val total = results.filterNot(_._5).map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedList,"sf":"$sfDir","runs":$runs,"wall":$wall}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$medians,"noisy":$noisy,"failed":$failedList,"sf":"$sfDir","runs":$runs,"wall":$wall}""")
     spark.stop()
   }
 }

@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
   */
 object Queries {
 
+  /** Exact-percentile group-size bound for q05/q21/q46: at 10M rows a
+    * group's value buffer is ~80 MB — safely inside an executor; past it
+    * the guarded helpers switch to bounded-memory t-digest. Test SFs stay
+    * far below the bound, so the oracle fixtures keep exact semantics.
+    */
+  val PercentileGuard = 10_000_000L
+
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.read(spark, dir, name)
 
@@ -77,15 +84,20 @@ object Queries {
       .agg(R.listAggDistinct(col("event_type"), ",").as("types_csv"))
 
   /** A6: MEDIAN / PERCENTILE_CONT (pricing outlier removal,
-    * `9_SPV/Pricing_V2/00_step_outlier_removal_1.sql:159,185`). */
-  def q05_median_percentile(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
+    * `9_SPV/Pricing_V2/00_step_outlier_removal_1.sql:159,185`). Three fat
+    * groups buffer for the exact form — the guard flips both percentiles
+    * to t-digest past [[Queries.PercentileGuard]] rows per group, so a
+    * 100× run degrades to an approximation instead of an executor OOM. */
+  def q05_median_percentile(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val pcts = Ops.guardedPercentileAggs(li, Seq("l_returnflag"), Some(PercentileGuard),
+      ("l_quantity", 0.5, "median_qty"), ("l_extendedprice", 0.9, "p90_price"))
+    li.groupBy(col("l_returnflag"))
       .agg(
-        expr("percentile(l_quantity, 0.5)").as("median_qty"),
-        expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
-        min(col("l_extendedprice")).as("min_price"),
-        max(col("l_extendedprice")).as("max_price"))
+        pcts.head, (pcts.tail ++ Seq(
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))): _*)
+  }
 
   /** A7: BOOL_OR / BOOL_AND (`2_ods_catman/00_pricing_live_feed.sql:35-37`). */
   def q06_bool_agg(spark: SparkSession, dir: String): DataFrame =
@@ -293,7 +305,8 @@ object Queries {
     * return-flag median quantity. */
   def q21_window_percentile(spark: SparkSession, dir: String): DataFrame =
     Ops.withGroupPercentileExact(
-        t(spark, dir, "lineitem"), Seq("l_returnflag"), "l_quantity", 0.5, "median_qty")
+        t(spark, dir, "lineitem"), Seq("l_returnflag"), "l_quantity", 0.5, "median_qty",
+        maxGroupSize = Some(PercentileGuard))
       .filter(col("l_quantity") > col("median_qty"))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_above_median"), round(max(col("median_qty")), 6).as("median_qty_out"))

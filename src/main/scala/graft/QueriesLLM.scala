@@ -258,7 +258,8 @@ object QueriesLLM {
     */
   def q46_outlier_removal(spark: SparkSession, dir: String): DataFrame =
     Ops.removeOutliersIqr(
-        t(spark, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice", k = 1.5)
+        t(spark, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice", k = 1.5,
+        maxGroupSize = Some(Queries.PercentileGuard))
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n_kept"),

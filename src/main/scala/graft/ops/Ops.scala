@@ -228,16 +228,42 @@ object Ops {
       p: Double,
       outName: String,
       maxGroupSize: Option[Long] = None): DataFrame = {
-    val overflows = maxGroupSize.exists { limit =>
-      !df.groupBy(keys.map(col): _*).count()
-        .filter(col("count") > limit).isEmpty
-    }
-    if (overflows) withGroupPercentile(df, keys, col(valueCol), p, outName)
+    if (anyGroupExceeds(df, keys, maxGroupSize))
+      withGroupPercentile(df, keys, col(valueCol), p, outName)
     else {
       val agg = df
         .groupBy(keys.map(col): _*)
         .agg(expr(s"percentile($valueCol, $p)").as(outName))
       df.join(agg, keys, "left")
+    }
+  }
+
+  /** Shared overflow probe for the exact-percentile guards: true when any
+    * group exceeds the bound. One partial-aggregable count pass — cheap
+    * next to the percentile buffer it guards against.
+    */
+  private def anyGroupExceeds(
+      df: DataFrame, keys: Seq[String], maxGroupSize: Option[Long]): Boolean =
+    maxGroupSize.exists { limit =>
+      !df.groupBy(keys.map(col): _*).count().filter(col("count") > limit).isEmpty
+    }
+
+  /** Guarded percentile AGGREGATE expressions for a caller-owned groupBy
+    * (the q05 shape: several percentiles + min/max in one aggregation).
+    * Exact `percentile` buffers each group's values — when any group
+    * exceeds `maxGroupSize`, every spec switches to the bounded-memory
+    * t-digest `percentile_approx` instead. Returns one named column per
+    * (valueCol, p, outName) spec.
+    */
+  def guardedPercentileAggs(
+      df: DataFrame,
+      keys: Seq[String],
+      maxGroupSize: Option[Long],
+      specs: (String, Double, String)*): Seq[Column] = {
+    val approx = anyGroupExceeds(df, keys, maxGroupSize)
+    specs.map { case (valueCol, p, outName) =>
+      if (approx) percentile_approx(col(valueCol), lit(p), lit(100000)).as(outName)
+      else expr(s"percentile($valueCol, $p)").as(outName)
     }
   }
 
@@ -251,12 +277,19 @@ object Ops {
       df: DataFrame,
       keys: Seq[String],
       valueCol: String,
-      k: Double = 1.5): DataFrame = {
+      k: Double = 1.5,
+      maxGroupSize: Option[Long] = None): DataFrame = {
     // one percentile buffer per group, not two: the array form sorts the
-    // group's values once for both quantiles
+    // group's values once for both quantiles; past the guard bound the
+    // buffer-free t-digest takes over (fences are already heuristic — the
+    // approximation moves them, it cannot OOM an executor)
+    val quantiles =
+      if (anyGroupExceeds(df, keys, maxGroupSize))
+        percentile_approx(col(valueCol), array(lit(0.25), lit(0.75)), lit(100000)).as("__pq")
+      else expr(s"percentile($valueCol, array(0.25, 0.75))").as("__pq")
     val fences = df
       .groupBy(keys.map(col): _*)
-      .agg(expr(s"percentile($valueCol, array(0.25, 0.75))").as("__pq"))
+      .agg(quantiles)
       .withColumn("__p25", col("__pq").getItem(0))
       .withColumn("__p75", col("__pq").getItem(1))
       .withColumn("__lo", col("__p25") - (col("__p75") - col("__p25")) * k)

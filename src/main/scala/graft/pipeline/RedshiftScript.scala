@@ -1757,7 +1757,10 @@ object RedshiftScript {
       * views so the FROM source can be a table or an arbitrary subquery.
       * Contract (as in the reference's usage, which joins deduped/
       * aggregated subqueries): the source matches each target row at most
-      * once — enforced by a count check after the join.
+      * once — enforced the way MERGE enforces source uniqueness: a window
+      * count over a synthetic target row id rides the join's own pass and
+      * raises at materialization, instead of an extra count()+count()
+      * action pair per statement (a full join re-execution at scale).
       */
     private def updateFrom(
         name: String,
@@ -1791,32 +1794,41 @@ object RedshiftScript {
           RedshiftScript.rewriteOutsideStrings(acc, pat, rep)
         }
       val target = currentState(name)
-      target.createOrReplaceTempView(tView)
+      target.withColumn("__rid", monotonically_increasing_id())
+        .createOrReplaceTempView(tView)
       val assigns = splitAssignments(setClause)
         .map { case (k, v) => k.replaceAll("\"", "").toLowerCase -> retarget(tr(v)) }.toMap
       val unknownSet = assigns.keySet.diff(target.schema.fieldNames.map(_.toLowerCase).toSet)
       require(unknownSet.isEmpty,
         s"UPDATE $name SET references unknown column(s): ${unknownSet.mkString(", ")}")
-      val outCols = target.schema.fields.map { f =>
-        assigns.get(f.name.toLowerCase) match {
+      val dupMsg = s"UPDATE FROM source matches some rows of $name more than once"
+      // the multiplicity guard lives on the first KEPT output column (a
+      // standalone check column would be pruned away unevaluated), like
+      // the MERGE source-uniqueness guard; it fires when the staged
+      // commit write executes the join
+      val guard =
+        s"count(1) OVER (PARTITION BY $tView.__rid) > 1"
+      val outCols = target.schema.fields.zipWithIndex.map { case (f, i) =>
+        val base = assigns.get(f.name.toLowerCase) match {
           case Some(e) =>
-            s"CAST(CASE WHEN $srcAlias.__match THEN ($e) ELSE $tView.`${f.name}` END AS ${f.dataType.sql}) AS `${f.name}`"
+            s"CAST(CASE WHEN $srcAlias.__match THEN ($e) ELSE $tView.`${f.name}` END AS ${f.dataType.sql})"
           case None => s"$tView.`${f.name}`"
         }
+        val guarded =
+          if (i == 0)
+            s"CASE WHEN $guard THEN CAST(raise_error('$dupMsg') AS ${f.dataType.sql}) ELSE $base END"
+          else base
+        s"$guarded AS `${f.name}`"
       }
       val onCond = cond.map(c => retarget(tr(c))).getOrElse("true")
       val sql =
-        s"""SELECT ${outCols.mkString(", ")}, $srcAlias.__match AS __matched
+        s"""SELECT ${outCols.mkString(", ")}
            |FROM $tView
            |LEFT JOIN (SELECT *, true AS __match FROM ($srcSql)) $srcAlias
            |  ON $onCond""".stripMargin
-      // one execution of the join: the checkpoint serves both the
-      // multiplicity check and the staged commit write
-      val joined = spark.sql(sql).localCheckpoint()
+      val joined = spark.sql(sql)
       spark.catalog.dropTempView(tView) // plan captured; view no longer needed
-      require(joined.count() == target.count(),
-        s"UPDATE FROM source matches some rows of $name more than once")
-      joined.drop("__matched")
+      joined
     }
 
     def run(script: String): ScriptResult = {

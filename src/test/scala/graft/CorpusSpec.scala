@@ -26,6 +26,15 @@ class CorpusSpec extends SparkSpec {
     assert(out.count() === report.last.rowsAfter)
     // every surviving doc kept the original (minimum) id of its dup group
     assert(out.filter(col("doc_id") >= 10000).count() === 0)
+    // the observe()-collected filter counts (one materialization, no
+    // per-stage count() passes) equal independently recomputed ones
+    val scored = doubled
+      .withColumn("q", graft.functions.Text.qualityScore(col("text")))
+      .withColumn("l", graft.functions.Text.languageId(col("text")))
+    assert(report.find(_.stage.startsWith("quality")).get.rowsAfter ===
+      scored.filter(col("q") >= 0.3).count())
+    assert(report.find(_.stage.startsWith("lang")).get.rowsAfter ===
+      scored.filter(col("q") >= 0.3 && col("l").isin("en", "de", "fr")).count())
   }
 
   test("near-dedup stage drops a planted near-duplicate the exact stage misses") {

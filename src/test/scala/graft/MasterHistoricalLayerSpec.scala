@@ -174,10 +174,13 @@ class MasterHistoricalLayerSpec extends SparkSpec {
     need.foreach { case (src, cols) => stage(src, cols.toSeq) }
 
     // 2. pre-create every DELETE target (they pre-exist in the reference
-    //    warehouse) empty, shaped by the script's own insert select
+    //    warehouse) empty, shaped by the script's own insert select —
+    //    unconditionally: another spec on the shared session may have left
+    //    a same-named table with a different schema
+    val created = mutable.Set.empty[String]
     plans.foreach { pl =>
       pl.deleteTargets.distinct.foreach { t =>
-        if (!spark.catalog.tableExists(t)) {
+        if (created.add(t)) {
           val shape = pl.shapes.find(_.target == t).getOrElse(pl.shapes.head)
           val df = spark.sql(RedshiftScript.translate(shape.selectSql, Some(Pinned))).limit(0)
           val parts = t.split("\\.")

@@ -120,6 +120,26 @@ class OpsSpec extends SparkSpec {
     assert(Seq(1.0, 2.0, 10.0, 20.0).contains(approx), s"approx=$approx")
   }
 
+  test("guardedPercentileAggs and removeOutliersIqr honor the maxGroupSize switch") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 10.0), ("a", 20.0)).toDF("g", "v")
+    // within bound: exact interpolated percentile in a caller-owned agg
+    val exact = df.groupBy("g")
+      .agg(Ops.guardedPercentileAggs(df, Seq("g"), Some(10L), ("v", 0.5, "med")).head)
+      .collect()(0).getDouble(1)
+    assert(exact === 6.0)
+    // over bound: t-digest returns an observed value, never an interpolation
+    val approx = df.groupBy("g")
+      .agg(Ops.guardedPercentileAggs(df, Seq("g"), Some(3L), ("v", 0.5, "med")).head)
+      .collect()(0).getDouble(1)
+    assert(Seq(1.0, 2.0, 10.0, 20.0).contains(approx), s"approx=$approx")
+    // IQR fences survive the switch: both paths keep the in-fence rows here
+    val wide = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 100.0)).toDF("g", "v")
+    val keptExact = Ops.removeOutliersIqr(wide, Seq("g"), "v", 1.5, Some(100L)).count()
+    val keptApprox = Ops.removeOutliersIqr(wide, Seq("g"), "v", 1.5, Some(2L)).count()
+    assert(keptExact === 4) // 100.0 fenced out
+    assert(keptApprox === 4)
+  }
+
   test("changedRows captures rows missing from the last export") {
     val cur = Seq((1, "a"), (2, "b")).toDF("k", "v")
     val last = Seq((2, "b")).toDF("k", "v")

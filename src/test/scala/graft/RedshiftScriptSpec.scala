@@ -833,6 +833,29 @@ class RedshiftScriptSpec extends SparkSpec {
     assert(spark.table("rs_mdup.tgt").count() === 1) // target untouched
   }
 
+  test("UPDATE ... FROM with a multi-matching source fails instead of multiplying rows") {
+    Catalog.replaceTable(
+      spark.sql("SELECT k, CAST(v AS DOUBLE) AS v FROM VALUES (1, 10.0), (2, 20.0) AS t(k, v)"),
+      "rs_updg", "tgt")
+    spark.sql("SELECT * FROM VALUES (1, 1.0), (1, 2.0) AS t(k, nv)")
+      .createOrReplaceTempView("updg_src")
+    val r = new RedshiftScript.Runner(spark, root())
+      .run("UPDATE rs_updg.tgt SET v = s.nv FROM updg_src s WHERE rs_updg.tgt.k = s.k;")
+    assert(!r.ok)
+    assert(r.reports.exists(_.error.exists(_.contains("more than once"))),
+      r.reports.mkString("; "))
+    // the auto-commit failure cleared the overlay — target untouched
+    assert(spark.table("rs_updg.tgt").count() === 2)
+    // a deduped 1:1 source still updates cleanly
+    spark.sql("SELECT * FROM VALUES (1, 3.0) AS t(k, nv)")
+      .createOrReplaceTempView("updg_src2")
+    val ok = new RedshiftScript.Runner(spark, root())
+      .run("UPDATE rs_updg.tgt SET v = s.nv FROM updg_src2 s WHERE rs_updg.tgt.k = s.k;")
+    assert(ok.ok, ok.reports.mkString("; "))
+    assert(spark.table("rs_updg.tgt").filter(col("k") === 1)
+      .collect()(0).getDouble(1) === 3.0)
+  }
+
   test("UPDATE edge cases: _from columns, commented FROM, string literals, unknown columns") {
     import sqlImplicits._
     Catalog.replaceTable(
