@@ -22,15 +22,19 @@ class SegmentEventsSpec extends SparkSpec {
   private def root(): String =
     java.nio.file.Files.createTempDirectory("graft-segment").toString
 
-  test("VERBATIM 01_track_events_incremental.sql runs (SUPER paths, txn DML) and dedups on rerun") {
-    val path = java.nio.file.Paths.get(
-      "/root/reference/Datawarehouse-ETL/30_segment_events/01_track_events_incremental.sql")
-    assume(java.nio.file.Files.exists(path))
-    val raw = java.nio.file.Files.readString(path)
-    assert(raw.contains("AS rn\nWHERE"), "reference defect shape changed")
-    val script = raw.replace("AS rn\nWHERE", "AS rn\nFROM segment.tracks_landing\nWHERE")
+  private val layerDir =
+    java.nio.file.Paths.get("/root/reference/Datawarehouse-ETL/30_segment_events")
 
-    val ctx =
+  /** Inject the landing-table FROM the reference files lost (see the class
+    * doc); every script in the layer carries the identical defect.
+    */
+  private def patched(fileName: String): String = {
+    val raw = java.nio.file.Files.readString(layerDir.resolve(fileName))
+    if (!raw.contains("AS rn\nWHERE")) raw
+    else raw.replace("AS rn\nWHERE", "AS rn\nFROM segment.tracks_landing\nWHERE")
+  }
+
+  private val ctx =
       """{"app":{"build":"411","name":"grover","namespace":"de.grover","version":"3.2"},
         |"device":{"id":"d1","manufacturer":"apple","model":"iphone14","name":"ip","type":"ios"},
         |"ip":"1.2.3.4","library":{"name":"analytics-swift","version":"1.5"},
@@ -42,25 +46,43 @@ class SegmentEventsSpec extends SparkSpec {
         |"userAgent":"ua","traits":{"marketing_channel":"paid","marketing_consent":"true"},
         |"campaign":{"content":"cont","medium":"cpc","name":"camp","source":"ebay_kleinanzeigen-app","term":"t1"},
         |"session_id":"987654"}""".stripMargin.replaceAll("\n", "")
-    val props = """{"order_id":"o-1","store_id":7,"store_code":"de"}"""
-    val integ = """{"Actions Amplitude":{"session_id":"111222.5"}}"""
+  private val props = """{"order_id":"o-1","store_id":7,"store_code":"de"}"""
+  private val integ = """{"Actions Amplitude":{"session_id":"111222.5"}}"""
 
-    val row = (anon: String, msg: String, userid: String, recv: String) =>
-      (anon, userid, msg, "order_placed", "order_placed", "track",
+  /** One shared landing table feeds the whole layer — each script filters
+    * its own event_type, as the reference's single Firehose landing does.
+    */
+  private def stageLanding(): Unit = {
+    def row(anon: String, msg: String, userid: String, recv: String,
+        etype: String, ename: String) =
+      (anon, userid, msg, ename, ename, etype,
         java.sql.Timestamp.valueOf("2024-05-31 10:00:00"), integ, ctx, props,
-        """{"email":"x@y.z"}""",
+        """{"email":"x@y.z","marketing_content":"tc"}""",
         java.sql.Timestamp.valueOf("2024-05-31 10:00:01"),
         java.sql.Timestamp.valueOf(recv), "2024", "05", "31")
     import spark.implicits._
     val landing = Seq(
-      row("a1", "m1", "123.0", "2024-05-31 10:00:02"),
-      row("a1", "m1", "123.0", "2024-05-31 10:00:05"), // later dup of m1 wins
-      row("a2", "m2", "nan", "2024-05-31 10:01:02"),
-      row("a3", "m3", "None", "2024-05-31 10:02:02")
+      row("a1", "m1", "123.0", "2024-05-31 10:00:02", "track", "order_placed"),
+      row("a1", "m1", "123.0", "2024-05-31 10:00:05", "track", "order_placed"), // later dup of m1 wins
+      row("a2", "m2", "nan", "2024-05-31 10:01:02", "track", "order_placed"),
+      row("a3", "m3", "None", "2024-05-31 10:02:02", "track", "order_placed"),
+      row("a1", "p1", "123.0", "2024-05-31 10:03:02", "page", "page_viewed"),
+      row("a2", "p2", "456.0", "2024-05-31 10:04:02", "page", "page_viewed"),
+      row("a1", "i1", "123.0", "2024-05-31 10:05:02", "identify", "identify"),
+      row("a3", "i2", "789.0", "2024-05-31 10:06:02", "identify", "identify"),
+      row("a1", "s1", "123.0", "2024-05-31 10:07:02", "screen", "screen_viewed"),
+      row("a2", "s2", "456.0", "2024-05-31 10:08:02", "screen", "screen_viewed")
     ).toDF("anonymous_id", "userid", "message_id", "name", "event_name", "event_type",
       "timestamp", "integrations", "context", "properties", "traits",
       "sent_at", "received_at", "year", "month", "day")
     Catalog.replaceTable(landing, "segment", "tracks_landing")
+  }
+
+  test("VERBATIM 01_track_events_incremental.sql runs (SUPER paths, txn DML) and dedups on rerun") {
+    assume(java.nio.file.Files.exists(layerDir))
+    val script = patched("01_track_events_incremental.sql")
+    assert(script.contains("FROM segment.tracks_landing"), "reference defect shape changed")
+    stageLanding()
 
     val layout = root()
     // the target table the script DELETEs from / INSERTs into: stand it up
@@ -99,5 +121,44 @@ class SegmentEventsSpec extends SparkSpec {
     val res2 = new RedshiftScript.Runner(spark, layout, Some("2024-06-01")).run(script)
     assert(res2.ok, res2.reports.filterNot(_.ok).mkString("; "))
     assert(spark.table("segment.track_events").count() === 3)
+  }
+
+  test("the WHOLE 30_segment_events layer runs verbatim: full loads, union, incrementals") {
+    assume(java.nio.file.Files.exists(layerDir))
+    stageLanding()
+    val layout = root()
+    def run(name: String): Unit = {
+      val res = new RedshiftScript.Runner(spark, layout, Some("2024-06-01"))
+        .run(patched(name))
+      assert(res.ok, s"$name: " + res.reports.filterNot(_.ok).mkString("; "))
+    }
+    // phase 1: the full-load CTAS variants build the per-type tables,
+    // then 05 unions identify+track+page into all_events
+    Seq("01_track_events.sql", "02_page_events.sql", "03_identify_events.sql",
+      "04_screen_events.sql", "05_all_events.sql").foreach(run)
+    val perType = Map(
+      "segment.track_events" -> 3L, "segment.page_events" -> 2L,
+      "segment.identify_events" -> 2L, "segment.screen_events" -> 2L)
+    perType.foreach { case (t, n) =>
+      assert(spark.table(t).count() === n, s"$t row count")
+    }
+    val all = spark.table("segment.all_events").cache()
+    assert(all.count() === 7) // identify(2) + track(3) + page(2); screen excluded
+    assert(all.select("event_type").distinct().collect().map(_.getString(0)).toSet
+      === Set("track", "page", "identify"))
+    // the platform CASE over the navigated app_name
+    assert(all.filter(col("platform") === "web").count() === 7) // fixture app is 'grover', not 'Grover'
+    assert(all.filter(col("user_id") === 123).count() > 0) // ::INT cast applied
+    all.unpersist()
+
+    // phase 2: the incremental variants DELETE+INSERT the same day —
+    // every per-type count and the union stay unchanged (idempotence)
+    Seq("01_track_events_incremental.sql", "02_page_events_incremental.sql",
+      "03_identify_events_incremental.sql", "04_screen_events_incremental.sql",
+      "05_all_events_incremental.sql").foreach(run)
+    perType.foreach { case (t, n) =>
+      assert(spark.table(t).count() === n, s"$t after incremental")
+    }
+    assert(spark.table("segment.all_events").count() === 7)
   }
 }
