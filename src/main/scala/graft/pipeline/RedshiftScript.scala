@@ -443,10 +443,10 @@ object RedshiftScript {
       // segment that STARTS with `~` follows a string literal (the
       // rewriter flushes segments at quotes), i.e. `'lit' ~ x` — the
       // binary form.
-      s"(?i)(?<=[\\w)\\]`\"]\\s{0,12})(?<!\\b(?:$TildeKeywords)\\s{0,12})!~(?![~*=])" -> " not rlike ",
-      s"(?i)(?<=[\\w)\\]`\"]\\s{0,12})(?<!\\b(?:$TildeKeywords)\\s{0,12})~(?![~*=])" -> " rlike ",
-      "^(\\s{0,12})!~(?![~*=])" -> "$1 not rlike ",
-      "^(\\s{0,12})~(?![~*=])" -> "$1 rlike ",
+      s"(?i)(?<=[\\w)\\]`\"]\\s{0,48})(?<!\\b(?:$TildeKeywords)\\s{0,48})!~(?![~*=])" -> " not rlike ",
+      s"(?i)(?<=[\\w)\\]`\"]\\s{0,48})(?<!\\b(?:$TildeKeywords)\\s{0,48})~(?![~*=])" -> " rlike ",
+      "^(\\s{0,48})!~(?![~*=])" -> "$1 not rlike ",
+      "^(\\s{0,48})~(?![~*=])" -> "$1 rlike ",
       // Redshift late-binding view clause — no Spark analogue, semantics
       // are ours anyway (views resolve at read)
       "(?i)\\bwith\\s+no\\s+schema\\s+binding\\b" -> "",
@@ -1265,12 +1265,12 @@ object RedshiftScript {
       } catch {
         case e: Throwable =>
           staged.foreach { case (_, _, tmp) =>
-            try deletePath(tmp) catch { case _: Exception => () }
+            try deletePath(tmp) catch { case _: Throwable => () }
           }
           // the failing write's own partial dir (not yet in `staged`)
           try overlay.keys.toSeq.drop(staged.size).headOption
             .foreach(n => deletePath(tablePath(n) + "__txn"))
-          catch { case _: Exception => () }
+          catch { case _: Throwable => () }
           throw e
       }
       staged.foreach { case (name, path, tmp) =>
