@@ -191,11 +191,16 @@ object RedshiftScript {
   // PartiQL/SUPER navigation (`30_segment_events/01_track_events_incremental
   // .sql:42-50`): an alias bound as `JSON_PARSE(…) AS c` in the SAME
   // statement is a SUPER value; `c."app"."build"::VARCHAR` navigates it.
-  // Spark-first mapping: SUPER stays the raw JSON string (JSON_PARSE is a
-  // pass-through) and navigation becomes get_json_object — one lazy parse
-  // per access, no schema declaration needed. Only dot-paths rooted at a
-  // JSON_PARSE-bound alias are rewritten, so quoted-identifier references
-  // (`master."order"`) never false-positive.
+  // Spark-first mapping: JSON_PARSE becomes `try_parse_json` (a VARIANT —
+  // ONE parse per row, exactly Redshift's SUPER materialization) and each
+  // navigation becomes `CAST(variant_get(alias, '$.path') AS STRING)` —
+  // binary navigation over the already-parsed value. The segment scripts
+  // navigate one payload 30+ times; per-access get_json_object would
+  // re-parse the JSON 30× per row (the reference's own re-parse idiom
+  // q51 exists to kill). Scalar semantics match get_json_object: missing
+  // path → NULL, scalars unquote, ::INT/::BIGINT chains cast on. Only
+  // dot-paths rooted at a JSON_PARSE-bound alias are rewritten, so
+  // quoted-identifier references (`master."order"`) never false-positive.
   private val JsonParseAliasRe =
     ("(?is)\\bjson_parse\\s*\\((?:[^()']|'[^']*'|\\((?:[^()']|'[^']*')*\\))*\\)" +
       "(?:\\s+else\\s+null)?(?:\\s+end)?\\s+as\\s+(\\w+)").r
@@ -217,22 +222,24 @@ object RedshiftScript {
         pathRe.replaceAllIn(sql, m => {
           val path = m.group(2).replaceAll("\\.\"(\\w+)\"", ".$1")
           java.util.regex.Matcher.quoteReplacement(
-            s"get_json_object(${m.group(1)}, '$$$path')")
+            s"CAST(variant_get(${m.group(1)}, '$$$path') AS STRING)")
         })
       }
     // PartiQL array unnest (`FROM cte t LEFT JOIN t.f."pageContent".en AS
     // items ON TRUE`, `4_dwh_catman/contentful_campaigns.sql:38`): after
-    // the path rewrite above the join target is a get_json_object call —
-    // map it to a lateral explode over the JSON array, each element the
-    // element's raw JSON text (from_json to array<string> preserves
+    // the path rewrite above the join target is a variant navigation —
+    // map it to a lateral explode over the JSON array, each element its
+    // raw JSON text (to_json(variant) → from_json array<string> keeps
     // object subtrees verbatim), then rewrite the element alias's
     // dot-paths (`items.sys.id`) to get_json_object on the element.
     val UnnestRe =
-      "(?i)\\bLEFT\\s+JOIN\\s+(get_json_object\\(\\w+,\\s*'[^']+'\\))\\s+AS\\s+(\\w+)\\s+ON\\s+TRUE".r
-    val unnestAliases = UnnestRe.findAllMatchIn(pathRewritten).map(_.group(2)).toSet
+      ("(?i)\\bLEFT\\s+JOIN\\s+CAST\\(variant_get\\((\\w+),\\s*'([^']+)'\\) AS STRING\\)" +
+        "\\s+AS\\s+(\\w+)\\s+ON\\s+TRUE").r
+    val unnestAliases = UnnestRe.findAllMatchIn(pathRewritten).map(_.group(3)).toSet
     val unnested = UnnestRe.replaceAllIn(pathRewritten, m =>
       java.util.regex.Matcher.quoteReplacement(
-        s"LATERAL VIEW OUTER explode(from_json(${m.group(1)}, 'array<string>')) __${m.group(2)} AS ${m.group(2)}"))
+        s"LATERAL VIEW OUTER explode(from_json(to_json(variant_get(${m.group(1)}, " +
+          s"'${m.group(2)}')), 'array<string>')) __${m.group(3)} AS ${m.group(3)}"))
     val elemRewritten =
       if (unnestAliases.isEmpty) unnested
       else {
@@ -242,8 +249,9 @@ object RedshiftScript {
           java.util.regex.Matcher.quoteReplacement(
             s"get_json_object(${m.group(1)}, '$$${m.group(2)}')"))
       }
-    // JSON_PARSE itself passes the (validated) JSON string through
-    elemRewritten.replaceAll("(?i)\\bjson_parse\\s*\\(", "(")
+    // JSON_PARSE materializes the variant once; invalid JSON yields NULL
+    // (the reference guards with IS_VALID_JSON anyway)
+    elemRewritten.replaceAll("(?i)\\bjson_parse\\s*\\(", "try_parse_json(")
   }
 
   /** A GRANT glued to the previous statement by a missing semicolon

@@ -1016,13 +1016,15 @@ class RedshiftScriptSpec extends SparkSpec {
         |  CASE WHEN IS_VALID_JSON(props) THEN JSON_PARSE(NULLIF(props,'nan')) ELSE NULL END AS p,
         |  JSON_PARSE(arrcol) AS t2, JSON_PARSE(os) AS m
         |FROM raw)""".stripMargin)
-    assert(t.contains("get_json_object(c, '$.app.build')::string"))
+    assert(t.contains("CAST(variant_get(c, '$.app.build') AS STRING)::string"))
     assert(t.contains("coalesce") || t.contains("COALESCE"))
-    assert(t.contains("get_json_object(p, '$.path')"))
-    assert(t.contains("get_json_object(t2, '$.arr[0]')"))
-    assert(t.contains("get_json_object(m, '$.order.x')"))
-    // JSON_PARSE passes the string through; a non-JSON alias is untouched
-    assert(!t.toLowerCase.contains("json_parse"))
+    assert(t.contains("variant_get(p, '$.path')"))
+    assert(t.contains("variant_get(t2, '$.arr[0]')"))
+    assert(t.contains("variant_get(m, '$.order.x')"))
+    // JSON_PARSE becomes the one-parse-per-row variant materialization;
+    // a non-JSON alias is untouched
+    assert(t.contains("try_parse_json("))
+    assert(!t.toLowerCase.contains("json_parse(ctx)"))
     assert(RedshiftScript.translate("""SELECT s."timestamp" FROM master.orders s""")
       .contains("s.`timestamp`"))
   }
