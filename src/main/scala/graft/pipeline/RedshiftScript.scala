@@ -205,7 +205,15 @@ object RedshiftScript {
     ("(?is)\\bjson_parse\\s*\\((?:[^()']|'[^']*'|\\((?:[^()']|'[^']*')*\\))*\\)" +
       "(?:\\s+else\\s+null)?(?:\\s+end)?\\s+as\\s+(\\w+)").r
 
-  private def rewriteSuperPaths(sql: String): String = {
+  private def rewriteSuperPaths(sqlIn: String): String = {
+    // `CASE WHEN IS_VALID_JSON(x) THEN JSON_PARSE(y) ELSE NULL END` — the
+    // reference's standard guard — is redundant once JSON_PARSE maps to
+    // try_parse_json (invalid → NULL), and the guard's own parse would
+    // DOUBLE the per-row parse cost; collapse it to the parse alone
+    val sql = sqlIn.replaceAll(
+      "(?is)CASE\\s+WHEN\\s+IS_VALID_JSON\\s*\\([^()]*\\)\\s+THEN\\s+" +
+        "(JSON_PARSE\\s*\\((?:[^()']|'[^']*'|\\([^()]*\\))*\\))\\s+ELSE\\s+NULL\\s+END",
+      "$1")
     val aliases = JsonParseAliasRe.findAllMatchIn(sql).map(_.group(1)).toSet
     val pathRewritten =
       if (aliases.isEmpty) sql

@@ -1029,6 +1029,22 @@ class RedshiftScriptSpec extends SparkSpec {
       .contains("s.`timestamp`"))
   }
 
+  test("SUPER navigation parses ONCE per row: the variant stays a materialized column") {
+    spark.range(10).selectExpr("concat('{\"a\":', id, '}') AS ctx")
+      .createOrReplaceTempView("super_raw")
+    val sql = RedshiftScript.translate(
+      """SELECT c."a"."b"::VARCHAR AS f1, c."a"."c"::VARCHAR AS f2,
+        |  c."d"::VARCHAR AS f3, c."e"::INT AS f4
+        |FROM (SELECT CASE WHEN IS_VALID_JSON(ctx) THEN JSON_PARSE(ctx) ELSE NULL END AS c
+        |      FROM super_raw)""".stripMargin)
+    val plan = spark.sql(sql).queryExecution.optimizedPlan.toString
+    // four navigations, ONE parse: CollapseProject must not inline the
+    // parse into every variant_get reference (30+ re-parses per row in
+    // the segment scripts otherwise — the idiom q51 exists to kill)
+    assert("parseJson".r.findAllIn(plan).size === 1, plan)
+    assert("variant_get".r.findAllIn(plan).size === 4, plan)
+  }
+
   test("PartiQL array unnest (LEFT JOIN alias.path AS items ON TRUE) explodes laterally") {
     spark.sql("""SELECT * FROM VALUES
       ('lp1', '{"pageContent": {"en": [{"sys":{"id":"e1"}},{"sys":{"id":"e2"}}]}}'),
