@@ -523,6 +523,24 @@ object QueriesLLM {
         (abs(col("approx_est") - col("exact_custkeys")) <=
           col("exact_custkeys") * 0.05).as("approx_within_5pct"))
 
+  /** §2.11 SUPER/PartiQL navigation through the INTERPRETER's translate —
+    * the segment-events idiom (`30_segment_events/01_track_events_
+    * incremental.sql:42-50`) under the driver's DuckDB oracle: JSON_PARSE
+    * lowers to one try_parse_json per row (variant), each `p."k"` to a
+    * variant_get navigation. Exercises the guard-collapse and the
+    * dot-path rewrite end-to-end, not just in specs.
+    */
+  def q60_super_paths(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "events").createOrReplaceTempView("q60_events")
+    spark.sql(graft.pipeline.RedshiftScript.translate(
+      """SELECT event_id,
+        |  p."k"::INT AS k_value,
+        |  (p."k"::INT % 10) AS k_bucket
+        |FROM (SELECT event_id,
+        |  CASE WHEN IS_VALID_JSON(props) THEN JSON_PARSE(props) ELSE NULL END AS p
+        |FROM q60_events)""".stripMargin))
+  }
+
   /** §2.8 TO_NUMBER EU-locale money parse round-trip
     * (`1_ods_grover_card/01_grover_card_transactions.sql:30`).
     */

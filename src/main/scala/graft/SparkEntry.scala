@@ -77,7 +77,8 @@ object SparkEntry {
     "q56_corpus_clean" -> (QueriesLLM.q56_corpus_clean _),
     "q57_right_outer" -> (QueriesLLM.q57_right_outer _),
     "q58_ntile_cume" -> (QueriesLLM.q58_ntile_cume _),
-    "q59_approx_distinct" -> (QueriesLLM.q59_approx_distinct _)
+    "q59_approx_distinct" -> (QueriesLLM.q59_approx_distinct _),
+    "q60_super_paths" -> (QueriesLLM.q60_super_paths _)
   )
 
   /** Shared DuckDB fragment: Text.normalizeForDedup equivalent. */
@@ -658,6 +659,11 @@ object SparkEntry {
     "q59_approx_distinct" ->
       """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS exact_custkeys,
         |  TRUE AS approx_within_5pct
-        |FROM orders GROUP BY 1""".stripMargin
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q60_super_paths" ->
+      """SELECT event_id,
+        |  CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k_value,
+        |  CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) % 10 AS k_bucket
+        |FROM events""".stripMargin
   )
 }
