@@ -630,6 +630,93 @@ object RedshiftScript {
     * when analysis fails with an unresolved column: native resolution
     * stays authoritative for the alias-shadows-a-real-column case.
     */
+  /** Position of the next occurrence of `kw` at or after `from` that sits
+    * outside strings/comments (at word boundaries), plus the innermost
+    * unclosed '(' before it — (-1, -1) when none.
+    */
+  private def nextKeywordOutside(s: String, kw: String, from: Int): (Int, Int) = {
+    def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    val upper = s.toUpperCase
+    val kwU = kw.toUpperCase
+    var i = 0; var inStr = false; var inLc = false; var inBc = false
+    val openStack = mutable.Stack[Int]()
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val next = if (i + 1 < s.length) s.charAt(i + 1) else ' '
+      if (inLc) { if (c == '\n') inLc = false }
+      else if (inBc) { if (c == '*' && next == '/') { inBc = false; i += 1 } }
+      else if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '-' if next == '-' => inLc = true; i += 1
+        case '/' if next == '*' => inBc = true; i += 1
+        case '(' => openStack.push(i)
+        case ')' => if (openStack.nonEmpty) openStack.pop()
+        case _ =>
+          if (i >= from && upper.startsWith(kwU, i) &&
+              (i == 0 || !isWord(s.charAt(i - 1))) &&
+              (i + kwU.length >= s.length || !isWord(s.charAt(i + kwU.length))))
+            return (i, if (openStack.nonEmpty) openStack.top else -1)
+      }
+      i += 1
+    }
+    (-1, -1)
+  }
+
+  /** Aliases of the select list whose SELECT is the last region-depth-0
+    * one before `pos` (region = after the innermost '(' at `regionStart`).
+    * Returns (alias → expression) pairs, empty when no SELECT encloses.
+    */
+  private def enclosingSelectAliases(
+      s: String, regionStart: Int, pos: Int): Seq[(String, String)] = {
+    def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    val upper = s.toUpperCase
+    var selStart = -1
+    var j = regionStart; var d = 0
+    var s2 = false; var lc2 = false; var bc2 = false
+    while (j < pos) {
+      val c = s.charAt(j)
+      val next = if (j + 1 < s.length) s.charAt(j + 1) else ' '
+      if (lc2) { if (c == '\n') lc2 = false }
+      else if (bc2) { if (c == '*' && next == '/') { bc2 = false; j += 1 } }
+      else if (s2) { if (c == '\'') s2 = false }
+      else c match {
+        case '\'' => s2 = true
+        case '-' if next == '-' => lc2 = true; j += 1
+        case '/' if next == '*' => bc2 = true; j += 1
+        case '(' => d += 1
+        case ')' => d -= 1
+        case _ =>
+          if (d == 0 && upper.startsWith("SELECT", j) &&
+              (j == 0 || !isWord(s.charAt(j - 1))) &&
+              (j + 6 >= s.length || !isWord(s.charAt(j + 6))))
+            selStart = j
+      }
+      j += 1
+    }
+    if (selStart < 0) return Seq.empty
+    val selBody = stripLeadingComments(s.substring(selStart + 6, pos))
+    val listText = splitTopKeyword(
+      if (selBody.toUpperCase.startsWith("DISTINCT")) selBody.substring(8) else selBody,
+      "FROM")._1
+    val AliasRe = "(?is)^(.*\\S)\\s+as\\s+(\\w+)\\s*$".r
+    splitTop(listText).flatMap {
+      case AliasRe(e, a) => Some(a -> e)
+      case _ => None
+    }
+  }
+
+  /** Substitute alias expressions for bare alias references in `span`
+    * (string-literal aware). */
+  private def substAliases(span: String, aliases: Seq[(String, String)]): String =
+    aliases.foldLeft(span) { case (acc, (a, e)) =>
+      val q = java.util.regex.Pattern.quote(a)
+      // bare references only — `tbl.alias` is a different column
+      rewriteOutsideStrings(acc,
+        s"(?i)(?<![.\\w`\"])$q(?![\\w`\"])",
+        java.util.regex.Matcher.quoteReplacement(s"($e)"))
+    }
+
   private[graft] def substituteAliasesInWhere(sql: String): String = {
     def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
     val stops = Seq("GROUP", "ORDER", "LIMIT", "UNION", "INTERSECT", "EXCEPT",
@@ -641,79 +728,9 @@ object RedshiftScript {
       guard += 1
       val s = out.toString
       val upper = s.toUpperCase
-      // next WHERE outside strings/comments, remembering its innermost '('
-      var i = searchFrom; var inStr = false; var inLc = false; var inBc = false
-      val openStack = mutable.Stack[Int]()
-      // scope state must reflect the PREFIX before searchFrom too
-      locally {
-        var j = 0
-        while (j < searchFrom) {
-          val c = s.charAt(j)
-          val next = if (j + 1 < s.length) s.charAt(j + 1) else ' '
-          if (inLc) { if (c == '\n') inLc = false }
-          else if (inBc) { if (c == '*' && next == '/') { inBc = false; j += 1 } }
-          else if (inStr) { if (c == '\'') inStr = false }
-          else c match {
-            case '\'' => inStr = true
-            case '-' if next == '-' => inLc = true; j += 1
-            case '/' if next == '*' => inBc = true; j += 1
-            case '(' => openStack.push(j)
-            case ')' => if (openStack.nonEmpty) openStack.pop()
-            case _ => ()
-          }
-          j += 1
-        }
-      }
-      var wPos = -1; var wOpen = -1
-      while (i < s.length && wPos < 0) {
-        val c = s.charAt(i)
-        val next = if (i + 1 < s.length) s.charAt(i + 1) else ' '
-        if (inLc) { if (c == '\n') inLc = false }
-        else if (inBc) { if (c == '*' && next == '/') { inBc = false; i += 1 } }
-        else if (inStr) { if (c == '\'') inStr = false }
-        else c match {
-          case '\'' => inStr = true
-          case '-' if next == '-' => inLc = true; i += 1
-          case '/' if next == '*' => inBc = true; i += 1
-          case '(' => openStack.push(i)
-          case ')' => if (openStack.nonEmpty) openStack.pop()
-          case _ =>
-            if (upper.startsWith("WHERE", i) &&
-                (i == 0 || !isWord(s.charAt(i - 1))) &&
-                (i + 5 >= s.length || !isWord(s.charAt(i + 5)))) {
-              wPos = i; wOpen = if (openStack.nonEmpty) openStack.top else -1
-            }
-        }
-        i += 1
-      }
+      val (wPos, wOpen) = nextKeywordOutside(s, "WHERE", searchFrom)
       if (wPos < 0) return out.toString
       val regionStart = wOpen + 1
-      // enclosing SELECT: last region-depth-0 SELECT before the WHERE
-      var selStart = -1
-      locally {
-        var j = regionStart; var d = 0
-        var s2 = false; var lc2 = false; var bc2 = false
-        while (j < wPos) {
-          val c = s.charAt(j)
-          val next = if (j + 1 < s.length) s.charAt(j + 1) else ' '
-          if (lc2) { if (c == '\n') lc2 = false }
-          else if (bc2) { if (c == '*' && next == '/') { bc2 = false; j += 1 } }
-          else if (s2) { if (c == '\'') s2 = false }
-          else c match {
-            case '\'' => s2 = true
-            case '-' if next == '-' => lc2 = true; j += 1
-            case '/' if next == '*' => bc2 = true; j += 1
-            case '(' => d += 1
-            case ')' => d -= 1
-            case _ =>
-              if (d == 0 && upper.startsWith("SELECT", j) &&
-                  (j == 0 || !isWord(s.charAt(j - 1))) &&
-                  (j + 6 >= s.length || !isWord(s.charAt(j + 6))))
-                selStart = j
-          }
-          j += 1
-        }
-      }
       // predicate end: first depth-0 stop keyword / closing paren / EOT
       var predEnd = s.length
       locally {
@@ -742,27 +759,64 @@ object RedshiftScript {
           j += 1
         }
       }
-      if (selStart >= 0) {
-        val selBody = stripLeadingComments(s.substring(selStart + 6, wPos))
-        val listText = splitTopKeyword(
-          if (selBody.toUpperCase.startsWith("DISTINCT")) selBody.substring(8) else selBody,
-          "FROM")._1
-        val AliasRe = "(?is)^(.*\\S)\\s+as\\s+(\\w+)\\s*$".r
-        val aliases = splitTop(listText).flatMap {
-          case AliasRe(e, a) => Some(a -> e)
-          case _ => None
-        }
-        var pred = s.substring(wPos + 5, predEnd)
-        aliases.foreach { case (a, e) =>
-          val q = java.util.regex.Pattern.quote(a)
-          // bare references only — `tbl.alias` is a different column
-          pred = rewriteOutsideStrings(pred,
-            s"(?i)(?<![.\\w`\"])$q(?![\\w`\"])",
-            java.util.regex.Matcher.quoteReplacement(s"($e)"))
-        }
+      val aliases = enclosingSelectAliases(s, regionStart, wPos)
+      if (aliases.nonEmpty) {
+        val pred = substAliases(s.substring(wPos + 5, predEnd), aliases)
         out.replace(wPos + 5, predEnd, pred)
         searchFrom = wPos + 5 + pred.length
       } else searchFrom = predEnd
+    }
+    out.toString
+  }
+
+  /** Redshift also resolves lateral aliases inside WINDOW specifications
+    * (`ROW_NUMBER() OVER (PARTITION BY customer_id, billing_address …)`
+    * where billing_address is defined in the same select list —
+    * `8_monitoring/gdpr/gdpr_personal_info.sql:23`). Spark raises
+    * LATERAL_COLUMN_ALIAS_IN_WINDOW; substitute the alias expressions
+    * into each OVER(...) span, same contract as [[substituteAliasesInWhere]].
+    */
+  private[graft] def substituteAliasesInWindows(sql: String): String = {
+    val out = new StringBuilder(sql)
+    var searchFrom = 0
+    var guard = 0
+    while (guard < 128) {
+      guard += 1
+      val s = out.toString
+      val (oPos, oOpen) = nextKeywordOutside(s, "OVER", searchFrom)
+      if (oPos < 0) return out.toString
+      // the OVER's own '(' — skip whitespace after the keyword
+      var p = oPos + 4
+      while (p < s.length && s.charAt(p).isWhitespace) p += 1
+      if (p >= s.length || s.charAt(p) != '(') { searchFrom = oPos + 4 }
+      else {
+        // span of the OVER parens (string/comment aware)
+        var j = p + 1; var d = 1
+        var s2 = false; var lc2 = false; var bc2 = false
+        while (j < s.length && d > 0) {
+          val c = s.charAt(j)
+          val next = if (j + 1 < s.length) s.charAt(j + 1) else ' '
+          if (lc2) { if (c == '\n') lc2 = false }
+          else if (bc2) { if (c == '*' && next == '/') { bc2 = false; j += 1 } }
+          else if (s2) { if (c == '\'') s2 = false }
+          else c match {
+            case '\'' => s2 = true
+            case '-' if next == '-' => lc2 = true; j += 1
+            case '/' if next == '*' => bc2 = true; j += 1
+            case '(' => d += 1
+            case ')' => d -= 1
+            case _ => ()
+          }
+          j += 1
+        }
+        val close = j - 1
+        val aliases = enclosingSelectAliases(s, oOpen + 1, oPos)
+        if (aliases.nonEmpty) {
+          val span = substAliases(s.substring(p + 1, close), aliases)
+          out.replace(p + 1, close, span)
+          searchFrom = p + 1 + span.length + 1
+        } else searchFrom = close + 1
+      }
     }
     out.toString
   }
@@ -1096,8 +1150,11 @@ object RedshiftScript {
       try spark.sql(translated)
       catch {
         case e: org.apache.spark.sql.AnalysisException
-            if Option(e.getMessage).exists(_.contains("UNRESOLVED_COLUMN")) =>
-          val rewritten = RedshiftScript.substituteAliasesInWhere(translated)
+            if Option(e.getMessage).exists(m =>
+              m.contains("UNRESOLVED_COLUMN") ||
+                m.contains("LATERAL_COLUMN_ALIAS_IN_WINDOW")) =>
+          val rewritten = RedshiftScript.substituteAliasesInWindows(
+            RedshiftScript.substituteAliasesInWhere(translated))
           if (rewritten == translated) throw e
           spark.sql(rewritten)
       }

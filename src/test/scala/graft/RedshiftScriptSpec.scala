@@ -1120,6 +1120,15 @@ class RedshiftScriptSpec extends SparkSpec {
       .run("SELECT v * 2 AS doubled FROM aw_src WHERE doubled > 10;")
     assert(r.ok, r.reports.mkString("; "))
     assert(r.lastSelect.get.collect().map(_.getInt(0)).toSeq === Seq(18))
+    // …and inside a window spec (LATERAL_COLUMN_ALIAS_IN_WINDOW fallback)
+    val w = RedshiftScript.substituteAliasesInWindows(
+      "SELECT k, v * 2 AS dd, ROW_NUMBER() OVER (PARTITION BY dd ORDER BY k) AS rn FROM t")
+    assert(w.contains("PARTITION BY (v * 2)"), w)
+    val rw = new RedshiftScript.Runner(spark,
+      java.nio.file.Files.createTempDirectory("graft-aw2").toString)
+      .run("SELECT k, v * 2 AS dd, ROW_NUMBER() OVER (PARTITION BY dd ORDER BY k) AS rn FROM aw_src;")
+    assert(rw.ok, rw.reports.mkString("; "))
+    assert(rw.lastSelect.get.count() === 2)
   }
 
   test("CTE-prefixed DELETE USING resolves the source from the WITH list") {
