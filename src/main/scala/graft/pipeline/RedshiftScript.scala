@@ -663,12 +663,11 @@ object RedshiftScript {
     (-1, -1)
   }
 
-  /** Aliases of the select list whose SELECT is the last region-depth-0
-    * one before `pos` (region = after the innermost '(' at `regionStart`).
-    * Returns (alias → expression) pairs, empty when no SELECT encloses.
+  /** Start of the select whose list contains `pos` — the last
+    * region-depth-0 SELECT before it (region = after the innermost '(' at
+    * `regionStart`) — or -1.
     */
-  private def enclosingSelectAliases(
-      s: String, regionStart: Int, pos: Int): Seq[(String, String)] = {
+  private def enclosingSelectStart(s: String, regionStart: Int, pos: Int): Int = {
     def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
     val upper = s.toUpperCase
     var selStart = -1
@@ -694,15 +693,31 @@ object RedshiftScript {
       }
       j += 1
     }
+    selStart
+  }
+
+  private val SelectAliasRe = "(?is)^(.*\\S)\\s+as\\s+(\\w+)\\s*$".r
+
+  /** (alias → expression) pairs from the select list that ENDS at `pos`
+    * (list text truncated there — forward references don't exist in the
+    * lateral-alias dialect this serves). Aliases resolve TRANSITIVELY:
+    * each expression has the earlier aliases already substituted, so a
+    * chain (`a` → `b uses a` → `c uses b`) inlines fully.
+    */
+  private def enclosingSelectAliases(
+      s: String, regionStart: Int, pos: Int): Seq[(String, String)] = {
+    val selStart = enclosingSelectStart(s, regionStart, pos)
     if (selStart < 0) return Seq.empty
     val selBody = stripLeadingComments(s.substring(selStart + 6, pos))
     val listText = splitTopKeyword(
       if (selBody.toUpperCase.startsWith("DISTINCT")) selBody.substring(8) else selBody,
       "FROM")._1
-    val AliasRe = "(?is)^(.*\\S)\\s+as\\s+(\\w+)\\s*$".r
-    splitTop(listText).flatMap {
-      case AliasRe(e, a) => Some(a -> e)
+    val raw = splitTop(listText).flatMap {
+      case SelectAliasRe(e, a) => Some(a -> e)
       case _ => None
+    }
+    raw.foldLeft(Seq.empty[(String, String)]) { case (acc, (a, e)) =>
+      acc :+ (a -> substAliases(e, acc))
     }
   }
 
@@ -777,45 +792,62 @@ object RedshiftScript {
     * into each OVER(...) span, same contract as [[substituteAliasesInWhere]].
     */
   private[graft] def substituteAliasesInWindows(sql: String): String = {
+    def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
     val out = new StringBuilder(sql)
     var searchFrom = 0
     var guard = 0
-    while (guard < 128) {
+    while (guard < 256) {
       guard += 1
       val s = out.toString
+      val upper = s.toUpperCase
       val (oPos, oOpen) = nextKeywordOutside(s, "OVER", searchFrom)
       if (oPos < 0) return out.toString
-      // the OVER's own '(' — skip whitespace after the keyword
-      var p = oPos + 4
-      while (p < s.length && s.charAt(p).isWhitespace) p += 1
-      if (p >= s.length || s.charAt(p) != '(') { searchFrom = oPos + 4 }
+      val selStart = enclosingSelectStart(s, oOpen + 1, oPos)
+      if (selStart < 0) { searchFrom = oPos + 4 }
       else {
-        // span of the OVER parens (string/comment aware)
-        var j = p + 1; var d = 1
-        var s2 = false; var lc2 = false; var bc2 = false
-        while (j < s.length && d > 0) {
-          val c = s.charAt(j)
-          val next = if (j + 1 < s.length) s.charAt(j + 1) else ' '
-          if (lc2) { if (c == '\n') lc2 = false }
-          else if (bc2) { if (c == '*' && next == '/') { bc2 = false; j += 1 } }
-          else if (s2) { if (c == '\'') s2 = false }
-          else c match {
-            case '\'' => s2 = true
-            case '-' if next == '-' => lc2 = true; j += 1
-            case '/' if next == '*' => bc2 = true; j += 1
-            case '(' => d += 1
-            case ')' => d -= 1
-            case _ => ()
+        // span of the select-list ITEM containing the OVER: depth-0 commas
+        // delimit items; the list ends at the top-level FROM (or the
+        // region's closing paren / end of text)
+        var itemStart = selStart + 6
+        var itemEnd = s.length
+        locally {
+          var j = selStart + 6; var d = 0
+          var s2 = false; var lc2 = false; var bc2 = false
+          var done = false
+          while (j < s.length && !done) {
+            val c = s.charAt(j)
+            val next = if (j + 1 < s.length) s.charAt(j + 1) else ' '
+            if (lc2) { if (c == '\n') lc2 = false }
+            else if (bc2) { if (c == '*' && next == '/') { bc2 = false; j += 1 } }
+            else if (s2) { if (c == '\'') s2 = false }
+            else c match {
+              case '\'' => s2 = true
+              case '-' if next == '-' => lc2 = true; j += 1
+              case '/' if next == '*' => bc2 = true; j += 1
+              case '(' => d += 1
+              case ')' =>
+                if (d == 0) { itemEnd = j; done = true } else d -= 1
+              case ',' if d == 0 =>
+                if (j < oPos) itemStart = j + 1
+                else { itemEnd = j; done = true }
+              case _ =>
+                if (d == 0 && upper.startsWith("FROM", j) && j > oPos &&
+                    (j == 0 || !isWord(s.charAt(j - 1))) &&
+                    (j + 4 >= s.length || !isWord(s.charAt(j + 4)))) {
+                  itemEnd = j; done = true
+                }
+            }
+            j += 1
           }
-          j += 1
         }
-        val close = j - 1
-        val aliases = enclosingSelectAliases(s, oOpen + 1, oPos)
+        // aliases defined BEFORE this item (forward references only), the
+        // item's own alias excluded by construction
+        val aliases = enclosingSelectAliases(s, oOpen + 1, itemStart)
         if (aliases.nonEmpty) {
-          val span = substAliases(s.substring(p + 1, close), aliases)
-          out.replace(p + 1, close, span)
-          searchFrom = p + 1 + span.length + 1
-        } else searchFrom = close + 1
+          val item = substAliases(s.substring(itemStart, itemEnd), aliases)
+          out.replace(itemStart, itemEnd, item)
+          searchFrom = itemStart + item.length
+        } else searchFrom = itemEnd
       }
     }
     out.toString

@@ -75,4 +75,85 @@ class VerbatimScriptsSpec extends SparkSpec {
     assert(res2.ok, res2.reports.filterNot(_.ok).mkString("; "))
     assert(spark.table("hightouch_sources.gdpr_personal_info").count() === 2)
   }
+
+  test("00_pricing_live_feed.sql: lateral alias chains in windows, agg IGNORE NULLS, UPDATE strip") {
+    val path = java.nio.file.Paths.get(
+      "/root/reference/Datawarehouse-ETL/2_ods_catman/00_pricing_live_feed.sql")
+    assume(java.nio.file.Files.exists(path))
+    val script = java.nio.file.Files.readString(path)
+    import spark.implicits._
+
+    // minimum_term_months staged as STRING: Spark's native listagg takes
+    // string/binary only (Redshift casts implicitly)
+    Catalog.replaceTable(
+      Seq((10L, 100L, "29.90", "1", "True", "1"), (11L, 100L, "24.90", "3", "True", "1"),
+        (12L, 100L, "19.90", "12", "True", "20"), (13L, 200L, "49.90", "1", "True", "1"),
+        (14L, 300L, "9.90", "1", "False", "1"))
+        .toDF("id", "product_id", "rental_plan_price", "minimum_term_months", "active", "store_id"),
+      "s3_spectrum_rds_dwh_api_production", "rental_plans")
+    Catalog.replaceTable(
+      Seq((10L, "34.90", "2024-01-01 00:00:00"), (10L, "39.90", "2024-02-01 00:00:00"))
+        .toDF("rental_plan_id", "price", "updated_at"),
+      "s3_spectrum_rds_dwh_api_production", "old_prices")
+    Catalog.replaceTable(
+      Seq((100L, "SKU-V1", "Apple", "available"), (200L, "SKU-V2", "Sony", "sold_out"))
+        .toDF("product_id", "variant_sku", "product_brand", "availability_state"),
+      "ods_production", "variant")
+    Catalog.replaceTable(
+      Seq((100L, "Phones", "Smart", "SKU-P1", "iPhone", "iphone"),
+        (200L, "TV", "OLED", "SKU-P2", "Bravia", "bravia"))
+        .toDF("product_id", "category_name", "subcategory_name", "product_sku",
+          "product_name", "slug"),
+      "ods_production", "product")
+    def priceRows(withUrl: Boolean, eur: Boolean) = {
+      val base = Seq(
+        ("2024-06-01", "2024-06-01", "e1", "a1", "black", "1kg", "", "SKU-V1", "SKU-P1",
+          "", "m1", "g1", if (eur) "99.90 EUR" else "99.90", "t"),
+        ("2024-05-25", "2024-05-25", "e1", "a1", "black", "1kg", "", "SKU-V1", "SKU-P1",
+          "", "m1", "g1", if (eur) "89.90 EUR" else "89.90", "f"),
+        ("2024-05-18", "2024-05-18", "e1", "a1", "black", "1kg", "", "SKU-V1", "SKU-P1",
+          "", "m1", "g1", if (eur) "109.90 EUR" else "109.90", "f"))
+      val df = base.toDF("week_date", "valid_from", "ean", "artikelnummer", "color",
+        "weight", "crossedoutprice", "variant_sku", "product_sku", "product_eol_date",
+        "mpn", "global_id", "price", "is_current")
+      if (withUrl) df.withColumn("product_url", lit("http://x")) else df
+    }
+    Catalog.replaceTable(priceRows(withUrl = false, eur = false), "ods_external", "mm_price_data")
+    Catalog.replaceTable(priceRows(withUrl = false, eur = false), "ods_external", "saturn_price_data")
+    Catalog.replaceTable(priceRows(withUrl = false, eur = false), "ods_external", "mm_price_data_es")
+    Catalog.replaceTable(priceRows(withUrl = true, eur = true), "ods_external", "mm_price_data_at")
+
+    val res = new RedshiftScript.Runner(spark, root(), Some("2024-06-01")).run(script)
+    assert(res.ok, res.reports.filterNot(_.ok).mkString("; "))
+
+    val feed = spark.table("skyvia.pricing_data_livefeed").cache()
+    assert(feed.count() === 3) // SKU-V1 × stores (1, 20) + SKU-V2 × store 1
+    val v1 = feed.filter(col("variant_sku") === "SKU-V1" && col("store_id") === "1")
+      .collect()(0)
+    assert(v1.getAs[String]("rental_plans_DE") === "1  |  3")
+    // 1-month plan price concat carries the LAST_VALUE old price (39.90)
+    assert(v1.getAs[String]("rental_plan_price_1_month").contains("29.90"))
+    assert(v1.getAs[String]("rental_plan_price_1_month").contains("39.90"))
+    assert(v1.getAs[Boolean]("MM_ON")) // store 20 active
+    assert(!v1.getAs[Boolean]("OTTO"))
+    feed.unpersist()
+
+    val mm = spark.table("skyvia.mm_price_data").cache()
+    assert(mm.count() === 3)
+    val today = mm.filter(col("week_date") === "2024-06-01").collect()(0)
+    // lateral chain: is_live_today → vsku_price_today → windowed avg
+    assert(today.getAs[Boolean]("is_live_today"))
+    assert(today.getAs[java.math.BigDecimal]("avg_sku_price_today").doubleValue() === 99.90)
+    assert(today.getAs[java.math.BigDecimal]("max_price").doubleValue() === 109.90)
+    // date of the max rides the IGNORE NULLS last_value over the alias CASE
+    assert(today.getAs[String]("date_max_price") === "2024-05-18")
+    mm.unpersist()
+
+    // the AT feed ran the UPDATE first: ' EUR' suffixes stripped
+    val at = spark.table("ods_external.mm_price_data_at")
+    assert(at.filter(col("price").contains("EUR")).count() === 0)
+    assert(spark.table("skyvia.mm_price_data_at").count() === 3)
+    assert(spark.table("skyvia.saturn_price_data").count() === 3)
+    assert(spark.table("skyvia.mm_price_data_es").count() === 3)
+  }
 }
