@@ -41,12 +41,17 @@ object RedshiftSqlFunctions {
       ex(R.jsonExtractPathText(col(children.head), path: _*))
     }
     inject("json_extract_array_element_text") { children =>
-      require(children.size == 2, "json_extract_array_element_text(json, index)")
-      val i = children(1) match {
-        case Literal(v: Int, _) => v
-        case other => throw new IllegalArgumentException(s"index must be a literal, got $other")
+      // 2- or 3-arg (Redshift's trailing null_if_invalid flag is this
+      // engine's default behavior); the index may be any expression —
+      // `json_extract_array_element_text(line_items, numbers.ordinal, TRUE)`
+      // drives the reference's numbers-cross-join array explode
+      // (`us_debt_collections/sql/last_payment_event.sql:78-80`)
+      require(children.size == 2 || children.size == 3,
+        "json_extract_array_element_text(json, index[, null_if_invalid])")
+      children(1) match {
+        case Literal(v: Int, _) => ex(R.jsonExtractArrayElementText(col(children.head), v))
+        case ix => ex(R.jsonExtractArrayElementText(col(children.head), col(ix)))
       }
-      ex(R.jsonExtractArrayElementText(col(children.head), i))
     }
     inject("is_valid_json") { children =>
       ex(R.isValidJson(col(children.head)))

@@ -236,6 +236,16 @@ object Redshift {
   def jsonExtractArrayElementText(json: Column, i: Int): Column =
     get_json_object(json, s"$$[$i]")
 
+  /** Column-index variant — the path is built per row (the GetJsonObject
+    * EXPRESSION accepts a non-foldable path; only the function API pins a
+    * literal; a non-literal path just skips the cached-path fast path). */
+  def jsonExtractArrayElementText(json: Column, i: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val path = concat(lit("$["), i.cast("int").cast("string"), lit("]"))
+    ColumnBridge.toColumn(org.apache.spark.sql.catalyst.expressions.GetJsonObject(
+      ColumnBridge.toExpression(json), ColumnBridge.toExpression(path)))
+  }
+
   /** IS_VALID_JSON guard (54 files): true when the string parses as a JSON
     * object or array.
     */

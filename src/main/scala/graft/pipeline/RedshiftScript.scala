@@ -791,6 +791,46 @@ object RedshiftScript {
     * LATERAL_COLUMN_ALIAS_IN_WINDOW; substitute the alias expressions
     * into each OVER(...) span, same contract as [[substituteAliasesInWhere]].
     */
+  /** Drop EXACT-duplicate select-list items (same expression, same alias,
+    * whitespace-insensitive) — the reference duplicates a whole line in
+    * `us_debt_collections/sql/last_payment_event.sql:79-80` and Redshift's
+    * lateral alias resolution shrugs; Spark raises
+    * AMBIGUOUS_LATERAL_COLUMN_ALIAS. Fallback-only (an intentional
+    * `SELECT a, a` keeps its arity on the normal path).
+    */
+  private[graft] def dedupeSelectItems(sql: String): String = {
+    val out = new StringBuilder(sql)
+    var searchFrom = 0
+    var guard = 0
+    while (guard < 256) {
+      guard += 1
+      val s = out.toString
+      val (selPos, _) = nextKeywordOutside(s, "SELECT", searchFrom)
+      if (selPos < 0) return out.toString
+      var listStart = selPos + 6
+      val afterSel = s.substring(listStart)
+      val trimmedUp = afterSel.stripLeading().toUpperCase
+      if (trimmedUp.startsWith("DISTINCT"))
+        listStart += afterSel.length - afterSel.stripLeading().length + 8
+      val fromIdx = topKeywordIndex(s.substring(listStart), "FROM")
+      val listEnd = if (fromIdx < 0) s.length else listStart + fromIdx
+      val items = splitTop(s.substring(listStart, listEnd))
+      val seen = mutable.Set.empty[String]
+      // only AS-aliased duplicates are dropped: `SELECT a, a` without an
+      // alias is an intentional arity choice, not the duplicated-line idiom
+      val kept = items.filter { i =>
+        val isAliased = SelectAliasRe.findFirstIn(i).isDefined
+        !isAliased || seen.add(i.replaceAll("\\s+", " ").toLowerCase)
+      }
+      if (kept.size < items.size) {
+        val rebuilt = "\n" + kept.mkString(",\n") + "\n"
+        out.replace(listStart, listEnd, rebuilt)
+        searchFrom = listStart + rebuilt.length
+      } else searchFrom = listStart + 1
+    }
+    out.toString
+  }
+
   private[graft] def substituteAliasesInWindows(sql: String): String = {
     def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
     val out = new StringBuilder(sql)
@@ -928,6 +968,37 @@ object RedshiftScript {
   // has FROM + FORMAT AS PARQUET)
   private[pipeline] val CopyRe =
     "(?is)^COPY\\s+([\\w.{}\\s]*?[\\w.}])\\s*(\\([\\w\\s,\"]*\\))?\\s*((?:FROM|IAM_ROLE|CREDENTIALS|ACCESS_KEY_ID|DELIMITER|IGNOREHEADER|EMPTYASNULL|FORMAT|CSV|PARQUET|JSON|GZIP|REGION|ESCAPE|MAXERROR|ACCEPTINVCHARS|TRUNCATECOLUMNS|COMPUPDATE|STATUPDATE|TIMEFORMAT|DATEFORMAT|NULL|ACCEPTANYDATE|BLANKSASNULL|REMOVEQUOTES|FILLRECORD)\\b.*)$".r
+
+  /** Index of the first depth-0 occurrence of `kw` outside strings and
+    * comments at an identifier boundary, or -1. */
+  private[graft] def topKeywordIndex(s: String, kw: String): Int = {
+    def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    var depth = 0; var inStr = false; var inLc = false; var inBc = false
+    var i = 0
+    val upper = s.toUpperCase
+    val kwU = kw.toUpperCase
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val next = if (i + 1 < s.length) s.charAt(i + 1) else ' '
+      if (inLc) { if (c == '\n') inLc = false }
+      else if (inBc) { if (c == '*' && next == '/') { inBc = false; i += 1 } }
+      else if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '-' if next == '-' => inLc = true; i += 1
+        case '/' if next == '*' => inBc = true; i += 1
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && upper.startsWith(kwU, i) &&
+              (i == 0 || !isWord(s.charAt(i - 1))) &&
+              (i + kwU.length >= s.length || !isWord(s.charAt(i + kwU.length))))
+            return i
+      }
+      i += 1
+    }
+    -1
+  }
 
   /** Split at the first depth-0 occurrence of a keyword that is outside
     * string literals AND comments, at an identifier boundary (`_` counts
@@ -1184,9 +1255,11 @@ object RedshiftScript {
         case e: org.apache.spark.sql.AnalysisException
             if Option(e.getMessage).exists(m =>
               m.contains("UNRESOLVED_COLUMN") ||
-                m.contains("LATERAL_COLUMN_ALIAS_IN_WINDOW")) =>
+                m.contains("LATERAL_COLUMN_ALIAS_IN_WINDOW") ||
+                m.contains("AMBIGUOUS_LATERAL_COLUMN_ALIAS")) =>
           val rewritten = RedshiftScript.substituteAliasesInWindows(
-            RedshiftScript.substituteAliasesInWhere(translated))
+            RedshiftScript.substituteAliasesInWhere(
+              RedshiftScript.dedupeSelectItems(translated)))
           if (rewritten == translated) throw e
           spark.sql(rewritten)
       }

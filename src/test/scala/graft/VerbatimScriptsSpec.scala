@@ -76,6 +76,84 @@ class VerbatimScriptsSpec extends SparkSpec {
     assert(spark.table("hightouch_sources.gdpr_personal_info").count() === 2)
   }
 
+  test("last_payment_event.sql: verbatim MERGE + numbers-cross-join JSON array explode") {
+    val path = java.nio.file.Paths.get(
+      "/root/reference/bi-airflow-prod/dags/us_debt_collections/sql/last_payment_event.sql")
+    assume(java.nio.file.Files.exists(path))
+    val script = java.nio.file.Files.readString(path)
+    import spark.implicits._
+
+    Catalog.replaceTable(
+      Seq(("s1", "ann", "2024-05-01", "email", true, "open", "n1", "2024-05-10"),
+        ("s1", "bob", "2024-05-03", "phone", false, "open", "n2", "2024-05-12"),
+        ("s2", "cat", "2024-05-02", "email", true, "closed", "n3", "2024-05-11"))
+        .toDF("subscription_id", "owner", "date", "channel", "responded",
+          "current_state", "team_notes", "follow_up_date"),
+      "debt_collection", "us_dc_customer_contact")
+    Catalog.replaceTable(
+      Seq(("s1", "card_declined"), ("s2", "expired")).toDF("subscription_id", "last_failed_reason"),
+      "ods_production", "detailed_view_us_dc")
+    // MERGE target pre-exists with one matched row (s1, stale) and one
+    // retained-only row (s9) — positional INSERT order from the script
+    Catalog.replaceTable(
+      Seq(("s1", "old", "2024-01-01", "letter", false, "stale", "old-note", "2024-01-02", "old-fail"),
+        ("s9", "zoe", "2024-02-02", "email", true, "kept", "keep", "2024-02-03", "none"))
+        .toDF("subscription_id", "owner", "date", "channel", "responded",
+          "current_state", "team_notes", "follow_up_date", "last_failed_reason"),
+      "dm_debt_collection", "us_dc_customer_contact_retained")
+    def payload(uuid: String, due: String, items: String, etype: String = "subscription") =
+      s"""{"uuid":"$uuid","type":"$etype","due_date":"$due","currency":"USD",""" +
+        s""""line_items":$items,"amount_due":{"in_cents":2999},"tax":{"in_cents":100}}"""
+    val li1 =
+      """[{"contract_ids":["c1","c2"],"order_number":"O1","total":{"in_cents":1999}},
+        |{"contract_ids":["c3"],"order_number":"O1","total":{"in_cents":1000}}]"""
+        .stripMargin.replaceAll("\n", "")
+    Catalog.replaceTable(
+      Seq((payload("u1", "2024-05-01", li1), "2024-05-01 10:00:00", "paid"),
+        (payload("u1", "2024-05-01", li1), "2024-05-01 09:00:00", "failed"), // older, idx_ filters
+        (payload("u2", "2024-06-01",
+          """[{"contract_ids":["c1"],"order_number":"O2","total":{"in_cents":500}}]"""),
+          "2024-06-01 10:00:00", "failed"),
+        (payload("u3", "2024-06-02",
+          """[{"contract_ids":["c9"],"order_number":"O3","total":{"in_cents":100}}]"""),
+          "2024-06-02 10:00:00", "paid"))
+        .toDF("payload", "consumed_at", "event_name"),
+      "stg_curated", "stg_internal_billing_payments")
+    Catalog.replaceTable((0 until 20).map(_.toLong).toDF("ordinal"), "public", "numbers")
+    Catalog.replaceTable(Seq("u3").toDF("group_id"), "david", "group_ids_to_discard")
+
+    val res = new RedshiftScript.Runner(spark, root(), Some("2024-06-15")).run(script)
+    assert(res.ok, res.reports.filterNot(_.ok).mkString("; "))
+    assert(res.reports.map(_.verb).contains("MERGE"))
+
+    // MERGE: s1 updated from the latest contact (bob's 2024-05-03 entry),
+    // owner NOT in the SET list keeps the old value; s2 inserted; s9 kept
+    val retained = spark.table("dm_debt_collection.us_dc_customer_contact_retained").cache()
+    assert(retained.count() === 3)
+    val s1 = retained.filter(col("subscription_id") === "s1").collect()(0)
+    assert(s1.getAs[String]("owner") === "old") // matched: owner not SET
+    assert(s1.getAs[String]("team_notes") === "n2") // latest entry won dedup
+    assert(s1.getAs[String]("last_failed_reason") === "card_declined")
+    val s2 = retained.filter(col("subscription_id") === "s2").collect()(0)
+    assert(s2.getAs[String]("owner") === "cat") // inserted takes all values
+    retained.unpersist()
+
+    // the JSON explode: u1's 2 line items × contracts (c1,c2 + c3) minus
+    // paid-dedup → per-contract last event rows; u3 discarded via david.*
+    val lpe = spark.table("ods_production.last_payment_event").cache()
+    val contracts = lpe.select("contract_id").collect().map(_.getString(0)).toSet
+    assert(contracts === Set("c1", "c2", "c3"))
+    assert(lpe.filter(col("order_number") === "O3").isEmpty) // u3 discarded
+    val c1 = lpe.filter(col("contract_id") === "c1").collect()
+    assert(c1.length === 1)
+    // c1's later failed (u2, due 06-01) postdates its last paid (05-01)
+    assert(c1(0).getAs[String]("event_name") === "failed")
+    assert(c1(0).getAs[java.sql.Date]("last_paid").toString === "2024-05-01")
+    val c3 = lpe.filter(col("contract_id") === "c3").collect()(0)
+    assert(c3.getAs[String]("event_name") === "paid")
+    lpe.unpersist()
+  }
+
   test("00_pricing_live_feed.sql: lateral alias chains in windows, agg IGNORE NULLS, UPDATE strip") {
     val path = java.nio.file.Paths.get(
       "/root/reference/Datawarehouse-ETL/2_ods_catman/00_pricing_live_feed.sql")
