@@ -252,7 +252,9 @@ object RedshiftScript {
       if (unnestAliases.isEmpty) unnested
       else {
         val alt = unnestAliases.map(java.util.regex.Pattern.quote).mkString("|")
-        val elemRe = ("(?i)\\b(" + alt + ")((?:\\.(?!\\d)\\w+\\b)+)").r
+        // (?<![.\w]): a table-qualified `t.items.x` must not rewrite into
+        // `t.get_json_object(…)` with a dangling qualifier
+        val elemRe = ("(?i)(?<![.\\w])(" + alt + ")((?:\\.(?!\\d)\\w+\\b)+)").r
         elemRe.replaceAllIn(unnested, m =>
           java.util.regex.Matcher.quoteReplacement(
             s"get_json_object(${m.group(1)}, '$$${m.group(2)}')"))
@@ -385,12 +387,18 @@ object RedshiftScript {
       // quoted EXTRACT unit (`extract('epoch' from ts)`,
       // `1_ods_core/11_00_order_manual_review_rules.sql`) — Spark takes it bare
       .replaceAll("(?i)\\bextract\\s*\\(\\s*'(\\w+)'\\s*(?=from\\b)", "extract($1 ")
-      // postfix `<ts> AT TIME ZONE 'tz'` → convert_timezone (Spark's
-      // 2-arg form: session tz → target tz); simple operands only — a
-      // word chain or a no-paren function call covers the corpus
+      // postfix `<ts> AT TIME ZONE 'tz'`: Redshift's direction depends on
+      // the operand type — a TIMESTAMPTZ (current_timestamp/sysdate)
+      // converts TO the zone's local (convert_timezone), a naive
+      // timestamp is INTERPRETED AS BEING IN the zone and converted to
+      // UTC (to_utc_timestamp). Operands cover a word chain plus any
+      // trailing :: casts (`created_at::timestamp AT TIME ZONE 'CET'`).
       .replaceAll(
-        "(?i)\\b(current_timestamp|current_date|sysdate|getdate\\(\\)|\\w+(?:\\.\\w+)*)\\s+at\\s+time\\s+zone\\s+'([^']+)'",
+        "(?i)\\b(current_timestamp|sysdate|getdate\\(\\))\\s+at\\s+time\\s+zone\\s+'([^']+)'",
         "convert_timezone('$2', $1)")
+      .replaceAll(
+        "(?i)(?<![\\w.:])(\\w+(?:\\.\\w+)*(?:::\\w+(?:\\(\\d+(?:,\\s*\\d+)?\\))?)*)\\s+at\\s+time\\s+zone\\s+'([^']+)'",
+        "to_utc_timestamp($1, '$2')")
       .replaceAll(IgnoreNullsRe, "$1($2) $3 nulls")
       .replaceAll(AggIgnoreNullsRe, "$1($2)")
     val preListagg = rewriteSuperPaths(rewriteListaggDistinct(stripGluedGrantTail(pre0)))
@@ -439,9 +447,15 @@ object RedshiftScript {
       "(?i)\\bisnull\\b(?!\\s*\\()" -> " is null ",
       "(?i)\\bnotnull\\b(?!\\s*\\()" -> " is not null ",
       // Tableau-generated `(col as alias)` projection parens — the inner
-      // alias is dead (an outer AS names the column); `cast(x as t)` is
-      // excluded by the bounded lookbehind
-      "(?i)(?<!cast\\s{0,8})\\(\\s*([\\w.]+)\\s+as\\s+\\w+\\s*\\)" -> "($1)",
+      // alias is dead (an outer AS names the column). A real cast is
+      // excluded twice over: the bounded lookbehind on the `cast` keyword
+      // AND the alias must not be a type name (cast targets always are —
+      // a multiline `CAST\n  (x AS varchar)` beyond the lookbehind bound
+      // must never lose its conversion)
+      ("(?i)(?<!cast\\s{0,8})\\(\\s*([\\w.]+)\\s+as\\s+" +
+        "(?!(?:varchar|char|bpchar|nvarchar|text|string|int|int2|int4|int8|integer|" +
+        "smallint|bigint|decimal|numeric|double|float|float4|float8|real|boolean|" +
+        "bool|date|timestamp|timestamptz|datetime)\\b)(\\w+)\\s*\\)") -> "($1)",
       // POSIX regex / LIKE operator spellings (longest first)
       "!~~\\*" -> " not ilike ",
       "~~\\*" -> " ilike ",
@@ -710,7 +724,10 @@ object RedshiftScript {
     if (selStart < 0) return Seq.empty
     val selBody = stripLeadingComments(s.substring(selStart + 6, pos))
     val listText = splitTopKeyword(
-      if (selBody.toUpperCase.startsWith("DISTINCT")) selBody.substring(8) else selBody,
+      if (selBody.toUpperCase.startsWith("DISTINCT") &&
+          (selBody.length == 8 || !Character.isLetterOrDigit(selBody.charAt(8)) &&
+            selBody.charAt(8) != '_')) selBody.substring(8)
+      else selBody,
       "FROM")._1
     val raw = splitTop(listText).flatMap {
       case SelectAliasRe(e, a) => Some(a -> e)
@@ -810,7 +827,9 @@ object RedshiftScript {
       var listStart = selPos + 6
       val afterSel = s.substring(listStart)
       val trimmedUp = afterSel.stripLeading().toUpperCase
-      if (trimmedUp.startsWith("DISTINCT"))
+      if (trimmedUp.startsWith("DISTINCT") &&
+          (trimmedUp.length == 8 || !Character.isLetterOrDigit(trimmedUp.charAt(8)) &&
+            trimmedUp.charAt(8) != '_'))
         listStart += afterSel.length - afterSel.stripLeading().length + 8
       val fromIdx = topKeywordIndex(s.substring(listStart), "FROM")
       val listEnd = if (fromIdx < 0) s.length else listStart + fromIdx
@@ -823,7 +842,9 @@ object RedshiftScript {
         !isAliased || seen.add(i.replaceAll("\\s+", " ").toLowerCase)
       }
       if (kept.size < items.size) {
-        val rebuilt = "\n" + kept.mkString(",\n") + "\n"
+        // leading-comma join: an item ending in a line comment must not
+        // swallow the separator
+        val rebuilt = "\n" + kept.mkString("\n, ") + "\n"
         out.replace(listStart, listEnd, rebuilt)
         searchFrom = listStart + rebuilt.length
       } else searchFrom = listStart + 1
@@ -1767,8 +1788,12 @@ object RedshiftScript {
               val ident = org.apache.spark.sql.catalyst.TableIdentifier(
                 norm(from).split("\\.").last,
                 norm(from).split("\\.").dropRight(1).headOption)
-              val managed = spark.sessionState.catalog.getTableMetadata(ident)
-                .tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED
+              // a catalog-absent source (e.g. staged only in the layout
+              // dir) has no metadata — treat as unmanaged and fall through
+              // to the path-based branches
+              val managed = spark.catalog.tableExists(bq(from)) &&
+                spark.sessionState.catalog.getTableMetadata(ident)
+                  .tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED
               val uriPath = (p: String) => new org.apache.hadoop.fs.Path(p).toUri.getPath
               val atOwnLayoutPath = uriPath(path) ==
                 uriPath(s"$layoutRoot/${norm(from).split("\\.").mkString("/")}")
@@ -1893,13 +1918,12 @@ object RedshiftScript {
           .when(col("__t_present").isNotNull, col(f.name))
           .otherwise(inserts(i))
           .cast(f.dataType)
-        // the guard lives on a kept output column — a standalone check
-        // column would be pruned away unevaluated
-        val guarded =
-          if (i == 0) when(coalesce(col("__s_dupcnt"), lit(0L)) > 1L,
-            raise_error(lit(dupMsg)).cast(f.dataType)).otherwise(merged)
-          else merged
-        guarded.as(f.name)
+        // the guard rides EVERY kept output column — a guard on one
+        // column alone is pruned away with it by a narrower reader; the
+        // shared window count computes once
+        when(coalesce(col("__s_dupcnt"), lit(0L)) > 1L,
+          raise_error(lit(dupMsg)).cast(f.dataType)).otherwise(merged)
+          .as(f.name)
       }
       joined.select(out.toIndexedSeq: _*)
     }
@@ -1980,23 +2004,19 @@ object RedshiftScript {
       require(unknownSet.isEmpty,
         s"UPDATE $name SET references unknown column(s): ${unknownSet.mkString(", ")}")
       val dupMsg = s"UPDATE FROM source matches some rows of $name more than once"
-      // the multiplicity guard lives on the first KEPT output column (a
-      // standalone check column would be pruned away unevaluated), like
-      // the MERGE source-uniqueness guard; it fires when the staged
-      // commit write executes the join
+      // the multiplicity guard rides EVERY output column (a guard on one
+      // column alone would be pruned away with it by a narrower reader),
+      // like MERGE's uniqueness check it shares the join's own pass — the
+      // identical window collapses to one computation
       val guard =
         s"count(1) OVER (PARTITION BY $tView.__rid) > 1"
-      val outCols = target.schema.fields.zipWithIndex.map { case (f, i) =>
+      val outCols = target.schema.fields.map { f =>
         val base = assigns.get(f.name.toLowerCase) match {
           case Some(e) =>
             s"CAST(CASE WHEN $srcAlias.__match THEN ($e) ELSE $tView.`${f.name}` END AS ${f.dataType.sql})"
           case None => s"$tView.`${f.name}`"
         }
-        val guarded =
-          if (i == 0)
-            s"CASE WHEN $guard THEN CAST(raise_error('$dupMsg') AS ${f.dataType.sql}) ELSE $base END"
-          else base
-        s"$guarded AS `${f.name}`"
+        s"CASE WHEN $guard THEN CAST(raise_error('$dupMsg') AS ${f.dataType.sql}) ELSE $base END AS `${f.name}`"
       }
       val onCond = cond.map(c => retarget(tr(c))).getOrElse("true")
       val sql =
@@ -2004,7 +2024,11 @@ object RedshiftScript {
            |FROM $tView
            |LEFT JOIN (SELECT *, true AS __match FROM ($srcSql)) $srcAlias
            |  ON $onCond""".stripMargin
-      val joined = spark.sql(sql)
+      // ONE execution of the join+window plan: the eager checkpoint fires
+      // the guard at statement time and later in-transaction readers (and
+      // the commit write) reuse the materialized result instead of
+      // re-running the join per read
+      val joined = spark.sql(sql).localCheckpoint()
       spark.catalog.dropTempView(tView) // plan captured; view no longer needed
       joined
     }
@@ -2041,9 +2065,12 @@ object RedshiftScript {
         // script's failed staged mutations. Report it as a failed
         // implicit COMMIT instead and reset cleanly.
         val t0 = System.nanoTime()
+        // Exception (matching runStatement's report conversion), not
+        // Throwable: a fatal JVM error must propagate, not become a
+        // report row the caller reads as a handled failure
         try { commit(); inTxn = false }
         catch {
-          case e: Throwable =>
+          case e: Exception =>
             clearOverlay(); inTxn = false; txnAborted = false
             reports += StatementReport("COMMIT", None, ok = false,
               (System.nanoTime() - t0) / 1e9,

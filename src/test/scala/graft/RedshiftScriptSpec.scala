@@ -942,7 +942,13 @@ class RedshiftScriptSpec extends SparkSpec {
         "c::timestamp(0), 'now'::text::timestamp with time zone, d::varchar(max), " +
         "e isnull, f notnull FROM t")
     assert(t.contains("extract(epoch from ts)"))
+    // TIMESTAMPTZ operand → the zone's local; a naive column is
+    // interpreted IN the zone (to UTC); cast chains ride along
     assert(t.contains("convert_timezone('CET', current_timestamp)"))
+    val naive = RedshiftScript.translate(
+      "SELECT created_at::timestamp AT TIME ZONE 'CET', ts AT TIME ZONE 'MST' FROM t")
+    assert(naive.contains("to_utc_timestamp(created_at::timestamp, 'CET')"), naive)
+    assert(naive.contains("to_utc_timestamp(ts, 'MST')"))
     assert(t.contains("avg(x) over"))
     assert(t.contains("a::boolean"))
     assert(t.contains("b::string"))
@@ -963,6 +969,10 @@ class RedshiftScriptSpec extends SparkSpec {
       "SELECT (committed_sub_value as additional_committed) as committed, cast(x as int)")
     assert(t.contains("(committed_sub_value) as committed"))
     assert(t.contains("cast(x as int)")) // cast is NOT stripped
+    // a multiline cast beyond the lookbehind bound is saved by the
+    // type-name check: cast targets are always types, Tableau aliases never
+    val ml = RedshiftScript.translate("SELECT CAST\n            (order_id AS varchar) FROM t")
+    assert(ml.toLowerCase.contains("as string)"), ml) // type spelling mapped, cast kept
     // dangling comma before FROM — also across a comment line
     val d = RedshiftScript.translate(
       "SELECT a, b, --total revenue net due\nFROM t")
