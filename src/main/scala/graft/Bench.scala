@@ -82,8 +82,19 @@ object Bench {
       .map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val failedList = results.filter(_._5).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filterNot(_._5).map(_._2).sum
+    // "primary":"min" marks the round-6 methodology change (min-of-runs;
+    // earlier rounds reported medians) so cross-round tooling can detect
+    // it instead of silently mixing metrics — compare old rounds via
+    // "medians"
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$medians,"noisy":$noisy,"failed":$failedList,"sf":"$sfDir","runs":$runs,"wall":$wall}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","primary":"min","queries":$qs,"medians":$medians,"noisy":$noisy,"failed":$failedList,"sf":"$sfDir","runs":$runs,"wall":$wall}""")
+    // the driver captures a BOUNDED TAIL of stdout — the full line above
+    // can get its head truncated, losing early queries and the total. A
+    // second, compact summary line printed LAST always fits the tail.
+    val top5 = results.filterNot(_._5).sortBy(-_._2).take(5)
+      .map(r => "\"" + r._1 + "\":" + r._2).mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","primary":"min","nqueries":${results.size},"top5":$top5,"noisy":$noisy,"failed":$failedList,"sf":"$sfDir","runs":$runs,"wall":$wall}""")
     spark.stop()
   }
 }

@@ -449,10 +449,13 @@ object RedshiftScript {
       // Tableau-generated `(col as alias)` projection parens — the inner
       // alias is dead (an outer AS names the column). A real cast is
       // excluded twice over: the bounded lookbehind on the `cast` keyword
-      // AND the alias must not be a type name (cast targets always are —
-      // a multiline `CAST\n  (x AS varchar)` beyond the lookbehind bound
-      // must never lose its conversion)
-      ("(?i)(?<!cast\\s{0,8})\\(\\s*([\\w.]+)\\s+as\\s+" +
+      // (wide enough to cover a multiline `CAST\n        (x AS t)`) AND
+      // the alias must not be a type name (cast targets always are). A
+      // parenthesized TABLE reference (`FROM (schema.tbl AS a)`,
+      // `JOIN (t AS x)`) keeps its alias — stripping it would orphan
+      // later `a.col` references.
+      ("(?i)(?<!cast\\s{0,48})(?<!\\bfrom\\s{0,48})(?<!\\bjoin\\s{0,48})" +
+        "\\(\\s*([\\w.]+)\\s+as\\s+" +
         "(?!(?:varchar|char|bpchar|nvarchar|text|string|int|int2|int4|int8|integer|" +
         "smallint|bigint|decimal|numeric|double|float|float4|float8|real|boolean|" +
         "bool|date|timestamp|timestamptz|datetime)\\b)(\\w+)\\s*\\)") -> "($1)",
@@ -914,16 +917,34 @@ object RedshiftScript {
     out.toString
   }
 
-  /** Split on top-level commas (parens/quotes aware). */
+  /** Split on top-level commas (parens/quotes AND comment aware — an
+    * apostrophe inside a `--` comment must not flip the string state and
+    * mis-split the remaining items).
+    */
   private[graft] def splitTop(s: String): Seq[String] = {
     val parts = mutable.ListBuffer.empty[String]
-    var depth = 0; var inStr = false; val cur = new StringBuilder
-    s.foreach {
-      case '\'' => inStr = !inStr; cur.append('\'')
-      case '(' if !inStr => depth += 1; cur.append('(')
-      case ')' if !inStr => depth -= 1; cur.append(')')
-      case ',' if !inStr && depth == 0 => parts += cur.toString; cur.clear()
-      case c => cur.append(c)
+    var depth = 0; var inStr = false; var inLc = false; var inBc = false
+    val cur = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val next = if (i + 1 < s.length) s.charAt(i + 1) else ' '
+      if (inLc) { if (c == '\n') inLc = false; cur.append(c) }
+      else if (inBc) {
+        if (c == '*' && next == '/') { inBc = false; cur.append("*/"); i += 1 }
+        else cur.append(c)
+      }
+      else if (inStr) { if (c == '\'') inStr = false; cur.append(c) }
+      else c match {
+        case '\'' => inStr = true; cur.append(c)
+        case '-' if next == '-' => inLc = true; cur.append("--"); i += 1
+        case '/' if next == '*' => inBc = true; cur.append("/*"); i += 1
+        case '(' => depth += 1; cur.append(c)
+        case ')' => depth -= 1; cur.append(c)
+        case ',' if depth == 0 => parts += cur.toString; cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
     }
     parts += cur.toString
     parts.toSeq.map(_.trim).filter(_.nonEmpty)
@@ -944,9 +965,23 @@ object RedshiftScript {
     s"(?is)^DELETE\\s+FROM\\s+($Nm)\\s+USING\\s+($Nm)\\s*(?:AS\\s+)?(\\w+)?\\s+WHERE\\s+(.*)$$".r
   // postgres-style CTE-prefixed DELETE (`WITH dups AS (…) DELETE FROM t
   // USING dups src WHERE …`, `staging/intercom_deleted_conversations.sql`):
-  // the USING source resolves against the CTE list
-  private[graft] val CteDeleteUsingRe =
-    s"(?is)^(WITH\\b.*?)\\bDELETE\\s+FROM\\s+($Nm)\\s+USING\\s+($Nm)\\s*(?:AS\\s+)?(\\w+)?\\s+WHERE\\s+(.*)$$".r
+  // the USING source resolves against the CTE list. The DELETE keyword is
+  // located with the comment/string-aware depth-0 scanner — a `WITH …
+  // SELECT` whose text merely MENTIONS "DELETE FROM x USING y" inside a
+  // string literal or comment must stay a SELECT, not become a
+  // destructive staged delete.
+  private[graft] object CteDeleteUsingRe {
+    def unapply(stmt: String): Option[(String, String, String, String, String)] = {
+      if (!stmt.trim.toUpperCase.startsWith("WITH")) return None
+      val di = topKeywordIndex(stmt, "DELETE")
+      if (di <= 0) return None
+      stmt.substring(di) match {
+        case DeleteUsingRe(name, srcName, alias, cond) =>
+          Some((stmt.substring(0, di), name, srcName, alias, cond))
+        case _ => None
+      }
+    }
+  }
   private[pipeline] val DeleteRe =
     s"(?is)^DELETE\\s+FROM\\s+($Nm)(?:\\s+WHERE\\s+(.*))?$$".r
   private[graft] val InsertRe =
@@ -2003,7 +2038,11 @@ object RedshiftScript {
       val unknownSet = assigns.keySet.diff(target.schema.fieldNames.map(_.toLowerCase).toSet)
       require(unknownSet.isEmpty,
         s"UPDATE $name SET references unknown column(s): ${unknownSet.mkString(", ")}")
-      val dupMsg = s"UPDATE FROM source matches some rows of $name more than once"
+      // single quotes doubled: a "quoted" identifier may legally contain
+      // one, and it must not break the spliced raise_error literal
+      val dupMsg =
+        s"UPDATE FROM source matches some rows of $name more than once"
+          .replace("'", "''")
       // the multiplicity guard rides EVERY output column (a guard on one
       // column alone would be pruned away with it by a narrower reader),
       // like MERGE's uniqueness check it shares the join's own pass — the

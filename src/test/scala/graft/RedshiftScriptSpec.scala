@@ -991,6 +991,31 @@ class RedshiftScriptSpec extends SparkSpec {
     assert(gc.contains("SELECT 1"))
   }
 
+  test("advice r6: DELETE text in literals, table-ref parens, comment-aware splitTop") {
+    // a WITH…SELECT whose string literal merely MENTIONS a DELETE FROM …
+    // USING must stay a SELECT, not become a destructive staged delete
+    val lit = "WITH x AS (SELECT 1 AS a) SELECT a, " +
+      "'DELETE FROM t USING u WHERE 1=1' AS note FROM x WHERE a = 1"
+    assert(RedshiftScript.classify(lit) == "SELECT")
+    // …same for a comment
+    val cmt = "WITH x AS (SELECT 1 AS a)\n-- DELETE FROM old USING stage WHERE junk\nSELECT a FROM x WHERE a = 1"
+    assert(RedshiftScript.classify(cmt) == "SELECT")
+    // a DELETE inside the CTE's parens (depth > 0) is not the statement verb
+    val real = "WITH dups AS (SELECT id FROM src) DELETE FROM tgt USING dups d WHERE tgt.id = d.id"
+    assert(RedshiftScript.classify(real) == "DELETE USING")
+    // parenthesized TABLE references keep their alias — stripping it would
+    // orphan later a.col references
+    val t = RedshiftScript.translate(
+      "SELECT a.c, x.d FROM (schema1.tbl AS a) JOIN (t2 AS x) ON a.id = x.id")
+    assert(t.contains("tbl AS a"), t)
+    assert(t.contains("t2 AS x"), t)
+    // splitTop: an apostrophe inside a line comment must not flip the
+    // string state and mis-split the remaining items
+    val parts = RedshiftScript.splitTop("a -- it's a note\n, b, c")
+    assert(parts.size == 3, parts)
+    assert(parts(1) == "b" && parts(2) == "c")
+  }
+
   test("translate: double-quoted identifiers containing -- are not comments") {
     val t = RedshiftScript.translate("""SELECT x AS "1-->2", y AS "a--b" FROM t""")
     assert(t.contains("`1-->2`"))
