@@ -401,6 +401,13 @@ object RedshiftScript {
         "to_utc_timestamp($1, '$2')")
       .replaceAll(IgnoreNullsRe, "$1($2) $3 nulls")
       .replaceAll(AggIgnoreNullsRe, "$1($2)")
+      // postgres current-date idiom `'now'::text::date` (the reference's
+      // ACTIVE-branch duration arithmetic, `1_ods_core/00_subscription
+      // .sql:203`) — Spark's CAST('now' AS DATE) is NULL, not today; the
+      // literal is part of the pattern so it rides the whole-text pre-pass
+      .replaceAll(
+        "(?i)'now'\\s*::\\s*text\\s*::\\s*(date|timestamp)(\\s+with(?:out)?\\s+time\\s+zone)?",
+        "current_$1")
     val preListagg = rewriteSuperPaths(rewriteListaggDistinct(stripGluedGrantTail(pre0)))
     // SQL regex match: `x [NOT] SIMILAR TO 'p'` → anchored rlike. SQL
     // wildcards map (% → .*, _ → .); characters that are regex-meta but
@@ -427,6 +434,10 @@ object RedshiftScript {
       "(?i)::\\s*varchar\\b(?!\\s*\\()" -> "::string",
       "(?i)\\bvarchar\\s*\\(\\s*max\\s*\\)" -> "string",
       "(?i)::\\s*bpchar\\b" -> "::string",
+      // `::character(255)` / `::char(255)` result casts — Redshift trims
+      // the blank padding on retrieval, so plain string matches semantics
+      "(?i)::\\s*character\\s*\\(\\s*\\d+\\s*\\)" -> "::string",
+      "(?i)::\\s*char\\s*\\(\\s*\\d+\\s*\\)" -> "::string",
       "(?i)::\\s*int8\\b" -> "::bigint",
       "(?i)::\\s*int4\\b" -> "::int",
       "(?i)::\\s*int2\\b" -> "::smallint",

@@ -953,7 +953,9 @@ class RedshiftScriptSpec extends SparkSpec {
     assert(t.contains("a::boolean"))
     assert(t.contains("b::string"))
     assert(t.contains("c::timestamp,"))
-    assert(t.contains("'now'::string::timestamp,"))
+    // postgres current-date idiom: Spark's CAST('now' AS TIMESTAMP) is
+    // NULL, so the literal form maps to the function
+    assert(t.contains("current_timestamp,"))
     assert(t.contains("d::string"))
     assert(t.contains("e  is null "))
     assert(t.contains("f  is not null "))
