@@ -298,8 +298,8 @@ object Redshift {
 
   private[graft] def normalizeUnit(unit: String): String = unit.toLowerCase match {
     case "y" | "yr" | "yrs" | "year" | "years"       => "year"
-    case "qtr" | "quarter" | "quarters"              => "quarter"
-    case "mon" | "month" | "months"                  => "month"
+    case "q" | "qtr" | "qtrs" | "quarter" | "quarters" => "quarter"
+    case "mon" | "mons" | "month" | "months"         => "month"
     case "w" | "wk" | "week" | "weeks"               => "week"
     case "d" | "day" | "days"                        => "day"
     case "h" | "hr" | "hrs" | "hour" | "hours"       => "hour"

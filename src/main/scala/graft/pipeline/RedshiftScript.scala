@@ -139,8 +139,11 @@ object RedshiftScript {
     s"(?i)\\b(first_value|last_value|lag|lead|nth_value)\\s*\\(((?:[^()']|$lit|$l2)*?)\\s+(ignore|respect)\\s+nulls\\s*\\)"
   }
 
+  // `y`/`q` are Redshift's shortest year/quarter aliases
+  // (`31_segment_page_view_and_sessions/08_sessions.sql:48` uses
+  // `DATE_PART(Y, ts)`)
   private val Units =
-    "(?:years?|yrs?|quarters?|qtr|months?|mons?|weeks?|wks?|w|days?|d|hours?|hrs?|h|minutes?|mins?|m|seconds?|secs?|s)"
+    "(?:years?|yrs?|y|quarters?|qtrs?|q|months?|mons?|weeks?|wks?|w|days?|d|hours?|hrs?|h|minutes?|mins?|m|seconds?|secs?|s)"
 
   // Redshift tolerates IGNORE/RESPECT NULLS inside NULL-SKIPPING aggregate
   // calls (`avg(x ignore nulls) over …`,
@@ -262,6 +265,43 @@ object RedshiftScript {
     // JSON_PARSE materializes the variant once; invalid JSON yields NULL
     // (the reference guards with IS_VALID_JSON anyway)
     elemRewritten.replaceAll("(?i)\\bjson_parse\\s*\\(", "try_parse_json(")
+  }
+
+  /** Redshift's 2-arg `REGEXP_REPLACE(str, pattern)` deletes the matches
+    * (`31_segment_page_view_and_sessions/06_01_url_store_mapping.sql:8`);
+    * Spark requires the replacement — append `, ''`. A balanced
+    * string-aware paren scan counts top-level commas, so nested calls in
+    * either argument don't fool it.
+    */
+  private[graft] def fixTwoArgRegexpReplace(sql: String): String = {
+    val Call = "(?i)\\bregexp_replace\\s*\\(".r
+    var out = sql
+    var from = 0
+    var continue = true
+    while (continue) {
+      Call.findAllMatchIn(out).find(_.start >= from) match {
+        case None => continue = false
+        case Some(m) =>
+          val open = m.end - 1
+          var i = open + 1; var depth = 1; var inStr = false; var commas = 0
+          while (i < out.length && depth > 0) {
+            val c = out.charAt(i)
+            if (inStr) { if (c == '\'') inStr = false }
+            else c match {
+              case '\'' => inStr = true
+              case '(' => depth += 1
+              case ')' => depth -= 1
+              case ',' if depth == 1 => commas += 1
+              case _ => ()
+            }
+            i += 1
+          }
+          if (depth == 0 && commas == 1)
+            out = out.substring(0, i - 1) + ", ''" + out.substring(i - 1)
+          from = open + 1
+      }
+    }
+    out
   }
 
   /** A GRANT glued to the previous statement by a missing semicolon
@@ -408,7 +448,8 @@ object RedshiftScript {
       .replaceAll(
         "(?i)'now'\\s*::\\s*text\\s*::\\s*(date|timestamp)(\\s+with(?:out)?\\s+time\\s+zone)?",
         "current_$1")
-    val preListagg = rewriteSuperPaths(rewriteListaggDistinct(stripGluedGrantTail(pre0)))
+    val preListagg = rewriteSuperPaths(rewriteListaggDistinct(
+      stripGluedGrantTail(fixTwoArgRegexpReplace(pre0))))
     // SQL regex match: `x [NOT] SIMILAR TO 'p'` → anchored rlike. SQL
     // wildcards map (% → .*, _ → .); characters that are regex-meta but
     // SIMILAR-TO-literal (. ^ $) are escaped first — SIMILAR TO's own

@@ -1018,6 +1018,17 @@ class RedshiftScriptSpec extends SparkSpec {
     assert(parts(1) == "b" && parts(2) == "c")
   }
 
+  test("translate: 2-arg REGEXP_REPLACE gains the empty replacement") {
+    val t = RedshiftScript.translate(
+      "SELECT REGEXP_REPLACE(replace(x,'-','_'), '_.[0-9]{3}') FROM t")
+    assert(t.toLowerCase.contains("'_.[0-9]{3}', '')"), t)
+    // 3-arg form untouched; a comma inside a pattern literal doesn't count
+    val u = RedshiftScript.translate(
+      "SELECT regexp_replace(a, '-', ' '), regexp_replace(b, '[,;]') FROM t")
+    assert(u.contains("regexp_replace(a, '-', ' ')"), u)
+    assert(u.contains("regexp_replace(b, '[,;]', '')"), u)
+  }
+
   test("translate: double-quoted identifiers containing -- are not comments") {
     val t = RedshiftScript.translate("""SELECT x AS "1-->2", y AS "a--b" FROM t""")
     assert(t.contains("`1-->2`"))
