@@ -545,6 +545,11 @@ object RedshiftScript {
       s"(?i)\\bdatediff\\s*\\(\\s*'?($Units)'?\\s*," -> "datediff_rs('$1',",
       s"(?i)\\bdateadd\\s*\\(\\s*'?($Units)'?\\s*," -> "dateadd_rs('$1',",
       s"(?i)\\bdate_part\\s*\\(\\s*'?($Units|dows?|doys?|epoch)'?\\s*," -> "date_part_rs('$1',",
+      // EXTRACT fields Spark either lacks (EPOCH → INVALID_EXTRACT_FIELD)
+      // or numbers differently (DOW: Spark Sunday=1..7, Redshift
+      // Sunday=0..6 — `7_snowplow/2_sessions/01_sessions.sql:47` builds
+      // its Monday index on the 0-base) route through the dialect form
+      "(?i)\\bextract\\s*\\(\\s*(dow|doy|epoch)\\s+from\\b" -> "date_part_rs('$1',",
       "(?i)\\bto_char\\s*\\(" -> "to_char_rs(",
       // Redshift double-quotes are ALWAYS identifiers (`i."key"::text`,
       // `master."order"`); Spark's default parser reads them as strings —

@@ -941,7 +941,9 @@ class RedshiftScriptSpec extends SparkSpec {
         "avg(x ignore nulls) over (partition by k), a::bool, b::bpchar, " +
         "c::timestamp(0), 'now'::text::timestamp with time zone, d::varchar(max), " +
         "e isnull, f notnull FROM t")
-    assert(t.contains("extract(epoch from ts)"))
+    // EPOCH is not a Spark extract field (INVALID_EXTRACT_FIELD) — the
+    // quoted unit unquotes and then routes through the dialect form
+    assert(t.contains("date_part_rs('epoch', ts)"))
     // TIMESTAMPTZ operand → the zone's local; a naive column is
     // interpreted IN the zone (to UTC); cast chains ride along
     assert(t.contains("convert_timezone('CET', current_timestamp)"))
