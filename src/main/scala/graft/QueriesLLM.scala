@@ -546,6 +546,61 @@ object QueriesLLM {
         |FROM q60_events)""".stripMargin))
   }
 
+  /** A5+ LISTAGG DISTINCT over a CASE, ordered by ANOTHER column — the
+    * GDPR reverse-ETL shape (`8_monitoring/gdpr/gdpr_personal_info
+    * .sql:23-26`, `60_00_grover_card_identification.sql:17-18`). Spark's
+    * native listagg only orders by the DISTINCT argument itself, so the
+    * translate layer rewrites to the sort-dedup pipeline (each value
+    * ordered by its MINIMUM key, ties by value — Redshift's observable
+    * behavior); this query puts that rewrite under the driver hash gate.
+    */
+  def q61_listagg_distinct(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("q61_orders")
+    spark.sql(graft.pipeline.RedshiftScript.translate(
+      """SELECT o_custkey,
+        |  LISTAGG(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_orderpriority END, ', ')
+        |    WITHIN GROUP (ORDER BY o_orderdate) AS priorities,
+        |  COUNT(*) AS n_orders
+        |FROM q61_orders
+        |GROUP BY o_custkey""".stripMargin))
+  }
+
+  /** Redshift lateral select-aliases in the WHERE predicate AND inside
+    * window-function ARGUMENTS (`1_ods_risk/order_manual_review_previous_
+    * order_history.sql:17`, `00_pricing_live_feed.sql` chains) — Spark
+    * resolves lateral aliases only in plain select items, so both uses
+    * ride the Runner's analysis-failure substitution fallback; this puts
+    * that chain under the driver hash gate (money in DECIMAL so the
+    * partition SUM is order-independent and DuckDB-exact).
+    */
+  def q62_lateral_window(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.RedshiftScript
+    t(spark, dir, "lineitem").createOrReplaceTempView("q62_lineitem")
+    val script =
+      """DROP TABLE IF EXISTS q62_net_ranks;
+        |CREATE TEMP TABLE q62_net_ranks AS
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(net_price AS DOUBLE PRECISION) AS net_price,
+        |  CAST(order_net AS DOUBLE PRECISION) AS order_net,
+        |  price_rank
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS net_price,
+        |    SUM(net_price) OVER (PARTITION BY l_orderkey) AS order_net,
+        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |      ORDER BY net_price DESC, l_linenumber) AS price_rank
+        |  FROM q62_lineitem
+        |  WHERE net_price > 900
+        |) x;""".stripMargin
+    val res = new RedshiftScript.Runner(spark,
+      java.nio.file.Files.createTempDirectory("graft-q62").toString).run(script)
+    require(res.ok, res.reports.filterNot(_.ok).mkString("; "))
+    // a TEMP table stays a lazy view — the caller's sink forces ONE
+    // execution instead of a CTAS parquet write plus a re-read
+    spark.table("q62_net_ranks")
+  }
+
   /** §2.8 TO_NUMBER EU-locale money parse round-trip
     * (`1_ods_grover_card/01_grover_card_transactions.sql:30`).
     */

@@ -78,7 +78,9 @@ object SparkEntry {
     "q57_right_outer" -> (QueriesLLM.q57_right_outer _),
     "q58_ntile_cume" -> (QueriesLLM.q58_ntile_cume _),
     "q59_approx_distinct" -> (QueriesLLM.q59_approx_distinct _),
-    "q60_super_paths" -> (QueriesLLM.q60_super_paths _)
+    "q60_super_paths" -> (QueriesLLM.q60_super_paths _),
+    "q61_listagg_distinct" -> (QueriesLLM.q61_listagg_distinct _),
+    "q62_lateral_window" -> (QueriesLLM.q62_lateral_window _)
   )
 
   /** Shared DuckDB fragment: Text.normalizeForDedup equivalent. */
@@ -664,6 +666,37 @@ object SparkEntry {
       """SELECT event_id,
         |  CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k_value,
         |  CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) % 10 AS k_bucket
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+    // LISTAGG DISTINCT ordered by another column ≡ each distinct value
+    // ordered by its MINIMUM key, ties by value (the translate rewrite's
+    // pinned semantics)
+    "q61_listagg_distinct" ->
+      """WITH d AS (
+        |  SELECT o_custkey, o_orderpriority AS v, MIN(o_orderdate) AS mk
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT o_custkey, STRING_AGG(v, ', ' ORDER BY mk, v) AS priorities
+        |  FROM d GROUP BY 1),
+        |n AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1)
+        |SELECT n.o_custkey, agg.priorities, n.n_orders
+        |FROM n LEFT JOIN agg USING (o_custkey)""".stripMargin,
+    // lateral aliases expanded into the nesting DuckDB evaluates anyway:
+    // filter BEFORE the windows, exact DECIMAL money
+    "q62_lateral_window" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(net_price AS DOUBLE) AS net_price,
+        |  CAST(order_net AS DOUBLE) AS order_net,
+        |  price_rank
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber, net_price,
+        |    SUM(net_price) OVER (PARTITION BY l_orderkey) AS order_net,
+        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |      ORDER BY net_price DESC, l_linenumber) AS price_rank
+        |  FROM (
+        |    SELECT l_orderkey, l_linenumber,
+        |      CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS net_price
+        |    FROM lineitem) t
+        |  WHERE net_price > 900) x""".stripMargin
   )
 }

@@ -184,9 +184,15 @@ object RedshiftScript {
         if (ord.replaceAll("\\s+", "").equalsIgnoreCase(arg.replaceAll("\\s+", "")))
           m.matched // native listagg handles order-by-the-argument directly
         else {
-          val sorted = s"array_sort(array_agg(struct(($ord) as __o, ($arg) as __v)))"
+          // null values are dropped BEFORE the join and an all-null group
+          // yields NULL, matching Redshift's LISTAGG (a bare array_join
+          // would render '' for both)
+          val pairs = s"filter(array_agg(struct(($ord) as __o, ($arg) as __v)), " +
+            "__s -> __s.__v is not null)"
+          val sorted = s"array_sort($pairs)"
           val dir = if (desc) s"reverse($sorted)" else sorted
-          s"array_join(array_distinct(transform($dir, __s -> __s.__v)), $sep)"
+          s"CASE WHEN size($pairs) = 0 THEN NULL ELSE " +
+            s"array_join(array_distinct(transform($dir, __s -> __s.__v)), $sep) END"
         }
       java.util.regex.Matcher.quoteReplacement(out)
     })
