@@ -1024,8 +1024,12 @@ object RedshiftScript {
     s"(?is)^DROP\\s+(?:MATERIALIZED\\s+)?VIEW\\s+(?:IF\\s+EXISTS\\s+)?($Nm)\\s*(?:CASCADE\\s*)?$$".r
   private[graft] val CreateRe =
     s"(?is)^CREATE\\s+(TEMP|TEMPORARY\\s+)?\\s*TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?($Nm)(.*?)\\bAS\\b(.*)$$".r
+  // Redshift's FROM is OPTIONAL in DELETE (`upsert.sql`'s
+  // `DELETE stg_events.grover_button_impressions WHERE …`)
+  // the keyword lookahead keeps the reference's malformed
+  // `DELETE FROM WHERE …` from misparsing as a table named FROM
   private[pipeline] val DeleteUsingRe =
-    s"(?is)^DELETE\\s+FROM\\s+($Nm)\\s+USING\\s+($Nm)\\s*(?:AS\\s+)?(\\w+)?\\s+WHERE\\s+(.*)$$".r
+    s"(?is)^DELETE\\s+(?:FROM\\s+)?(?!WHERE\\b|USING\\b|FROM\\b)($Nm)\\s+USING\\s+($Nm)\\s*(?:AS\\s+)?(\\w+)?\\s+WHERE\\s+(.*)$$".r
   // postgres-style CTE-prefixed DELETE (`WITH dups AS (…) DELETE FROM t
   // USING dups src WHERE …`, `staging/intercom_deleted_conversations.sql`):
   // the USING source resolves against the CTE list. The DELETE keyword is
@@ -1046,14 +1050,16 @@ object RedshiftScript {
     }
   }
   private[pipeline] val DeleteRe =
-    s"(?is)^DELETE\\s+FROM\\s+($Nm)(?:\\s+WHERE\\s+(.*))?$$".r
+    s"(?is)^DELETE\\s+(?:FROM\\s+)?(?!WHERE\\b|USING\\b|FROM\\b)($Nm)(?:\\s+WHERE\\s+(.*))?$$".r
   private[graft] val InsertRe =
     s"(?is)^INSERT\\s+INTO\\s+($Nm)\\s*(\\([^)]*\\))?\\s*(.*)$$".r
   // one head pattern for both UPDATE forms; the SET remainder is routed
   // by a depth-and-string-aware scan for a top-level FROM (a scalar
   // subquery's FROM inside the SET list must not trigger the join form)
+  // the alias may be AS-prefixed (`07_session_marketing_mapping.sql:163`:
+  // `UPDATE segment.session_marketing_mapping_web AS s SET …`)
   private[pipeline] val UpdateHeadRe =
-    s"(?is)^UPDATE\\s+($Nm)(?:\\s+(\\w+))?\\s+SET\\s+(.*)$$".r
+    s"(?is)^UPDATE\\s+($Nm)(?:\\s+(?:AS\\s+)?(\\w+))?\\s+SET\\s+(.*)$$".r
   private[pipeline] val TruncateRe =
     s"(?is)^TRUNCATE\\s+(?:TABLE\\s+)?($Nm)\\s*$$".r
   private[pipeline] val MergeRe =

@@ -910,7 +910,7 @@ class RedshiftScriptSpec extends SparkSpec {
       .toSeq
     assert(files.size > 900) // the reference's ~1,300 scripts
     val verbs = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
-    val samples = scala.collection.mutable.ListBuffer.empty[String]
+    val unsupportedStmts = scala.collection.mutable.ListBuffer.empty[(String, String)]
     var total = 0
     files.foreach { f =>
       val txt = new String(java.nio.file.Files.readAllBytes(f), java.nio.charset.StandardCharsets.UTF_8)
@@ -918,21 +918,55 @@ class RedshiftScriptSpec extends SparkSpec {
         total += 1
         val v = RedshiftScript.classify(st)
         verbs(v) += 1
-        if (v.startsWith("UNSUPPORTED") && samples.count(_.startsWith(s"[$v]")) < 4)
-          samples += s"[$v] ${f.getFileName}: " +
-            RedshiftScript.stripLeadingComments(st).replaceAll("\\s+", " ").take(300)
+        if (v.startsWith("UNSUPPORTED"))
+          unsupportedStmts += ((f.getFileName.toString,
+            RedshiftScript.stripLeadingComments(st).replaceAll("\\s+", " ")))
       }
     }
-    samples.foreach(info(_))
-    val unsupported = verbs.filter(_._1.startsWith("UNSUPPORTED")).values.sum
+    // Every unrecognized statement must fall into a NAMED defect bucket —
+    // all of them defects of the committed reference text, not gaps in
+    // the interpreter. An unexplained statement fails the test.
+    def bucket(s: String): String = {
+      val up = s.trim.toUpperCase
+      if (up.matches("(?s)^(WHERE|AND|OR|ON|EXCEPT|\\)|,).*") ||
+        up.matches("(?s)^\\w+\\s*,.*"))
+        // psql/Athena fragment files the orchestration string-concatenates
+        // (bare WHERE/AND continuations, `) SELECT …` tails, column lists)
+        "fragment-continuation"
+      else if (up.startsWith("AS WITH"))
+        "fragment-continuation" // file begins mid-CTAS (header lost)
+      else if (up.startsWith("SORTKEY"))
+        "fragment-continuation" // CTAS split from its CREATE header
+      else if (up.startsWith("#"))
+        "mysql-hash-comments" // '#' comments — not Redshift SQL at all
+      else if (up.matches("(?s)^DROP\\s+TABLE\\s+IF\\s+EXISTS\\s+TABLE\\b.*"))
+        "malformed-double-table-keyword"
+      else if (up.matches("(?s)^DELETE\\s+FROM\\s+WHERE\\b.*"))
+        "malformed-missing-delete-target"
+      else if (up.startsWith("INSERT") && s.contains("/*"))
+        // 00_subscription_discount_new_infra.sql: the doc comment after
+        // INSERT INTO is not closed until line 51, swallowing the query's
+        // entire WITH clause — the body starts mid-CTE on Redshift too
+        "block-comment-swallows-query-head"
+      else "UNEXPLAINED"
+    }
+    val buckets = unsupportedStmts.groupBy(p => bucket(p._2))
+    buckets.toSeq.sortBy(-_._2.size).foreach { case (b, ss) =>
+      info(f"  $b%-32s ${ss.size}")
+      ss.take(2).foreach { case (fn, s) => info(s"    $fn: ${s.take(160)}") }
+    }
+    assert(buckets.getOrElse("UNEXPLAINED", Nil).isEmpty,
+      buckets.getOrElse("UNEXPLAINED", Nil).map(p => s"${p._1}: ${p._2.take(200)}").mkString("\n"))
+    val unsupported = unsupportedStmts.size
     val rate = 1.0 - unsupported.toDouble / total
-    info(f"statements=$total recognized=${(rate * 100)}%.1f%%")
+    info(f"statements=$total recognized=${(rate * 100)}%.2f%% unexplained=0")
     verbs.toSeq.sortBy(-_._2).foreach { case (v, n) => info(f"  $v%-28s $n") }
-    // the interpreter must recognize ≥98% of the reference's real
-    // statements (the remaining ~0.4% are fragment files — bare WHERE/AND
-    // continuation lines the orchestration string-concatenates — and a
-    // handful of malformed statements like `DELETE FROM WHERE …`)
-    assert(rate >= 0.98, f"recognition rate ${rate * 100}%.1f%%")
+    // PINNED FLOOR (mirrors the ≥95% body-parse floor in
+    // ParseCoverageSpec): ≥99.5% of the corpus's 5,972 statements map to
+    // an executable verb, and 100% of the remainder is hand-classified
+    // broken-in-reference text (asserted bucket-by-bucket above).
+    assert(rate >= 0.995, f"recognition rate ${rate * 100}%.2f%%")
+    assert(unsupported <= 25, s"unsupported grew: $unsupported")
   }
 
   test("translate: quoted EXTRACT unit, AT TIME ZONE, agg IGNORE NULLS, type spellings") {
