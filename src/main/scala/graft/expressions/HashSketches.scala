@@ -300,5 +300,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WordShingles(children.head, n)
       }))
     RedshiftSqlFunctions.register(ext)
+    // Redshift-dialect date arithmetic: `date - date` is an INTEGER day
+    // count (`1_ods_core/00_allocation.sql:512-516` feeds it into a CASE
+    // whose other branch is `0`), where Spark resolves it to INTERVAL
+    // DAY. Rewriting post-resolution SubtractDates → DateDiff keeps the
+    // plan codegen'd and the semantics Redshift's.
+    ext.injectResolutionRule(_ => DateMinusDateAsDays)
   }
+}
+
+object DateMinusDateAsDays
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{DateDiff, SubtractDates}
+  override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.transformAllExpressions { case SubtractDates(end, start, _) =>
+      DateDiff(end, start)
+    }
 }

@@ -310,6 +310,234 @@ object RedshiftScript {
     out
   }
 
+  /** Redshift's 2-arg `JSON_ARRAY_LENGTH(json, null_if_invalid)` — Spark's
+    * builtin takes 1 arg and already returns NULL on invalid input, so
+    * the boolean flag drops (`1_ods_core/00_order_item.sql:28`).
+    */
+  private[graft] def fixJsonArrayLengthFlag(sql: String): String = {
+    val Call = "(?i)\\bjson_array_length\\s*\\(".r
+    var out = sql
+    var from = 0
+    var continue = true
+    while (continue) {
+      Call.findAllMatchIn(out).find(_.start >= from) match {
+        case None => continue = false
+        case Some(m) =>
+          val open = m.end - 1
+          var i = open + 1; var depth = 1; var inStr = false
+          var lastComma = -1
+          while (i < out.length && depth > 0) {
+            val c = out.charAt(i)
+            if (inStr) { if (c == '\'') inStr = false }
+            else c match {
+              case '\'' => inStr = true
+              case '(' => depth += 1
+              case ')' => depth -= 1
+              case ',' if depth == 1 => lastComma = i
+              case _ => ()
+            }
+            i += 1
+          }
+          if (depth == 0 && lastComma > 0 &&
+              out.substring(lastComma + 1, i - 1).trim.matches("(?i)true|false"))
+            out = out.substring(0, lastComma) + out.substring(i - 1)
+          from = open + 1
+      }
+    }
+    out
+  }
+
+  /** Redshift/postgres datetime format → Java pattern (the parse
+    * direction of the TO_CHAR mapping): `TO_TIMESTAMP(s, 'yyyy-mm-dd
+    * HH24:MI:SS')` — Redshift format tokens are case-insensitive, so the
+    * lowercase spelling still means month/minute by TOKEN, not by case.
+    */
+  private def pgToJavaFormat(f: String): String = {
+    val map = Seq("YYYY" -> "yyyy", "HH24" -> "HH", "HH12" -> "hh",
+      "MON" -> "MMM", "MM" -> "MM", "MI" -> "mm", "SS" -> "ss", "DD" -> "dd",
+      "YY" -> "yy", "AM" -> "a", "PM" -> "a", "MS" -> "SSS", "HH" -> "hh",
+      "TZ" -> "zz")
+    val sb = new StringBuilder
+    var i = 0
+    while (i < f.length) {
+      // postgres marks literal text with DOUBLE quotes — Java with single
+      if (f.charAt(i) == '"') { sb.append('\''); i += 1 }
+      else map.find { case (k, _) => f.regionMatches(true, i, k, 0, k.length) } match {
+        case Some((k, v)) => sb.append(v); i += k.length
+        case None => sb.append(f.charAt(i)); i += 1
+      }
+    }
+    // the reference leaves a trailing literal unclosed (`…SS"Z'`) — Java
+    // patterns require the quote balanced
+    if (sb.count(_ == '\'') % 2 == 1) sb.append('\'')
+    sb.toString
+  }
+
+  /** Rewrite the FORMAT literal of 2-arg `to_timestamp`/`to_date` calls
+    * to Spark's Java pattern (`1_ods_core/01_order.sql:90`).
+    */
+  private[graft] def fixTimestampParseFormats(sql: String): String = {
+    val Call = "(?i)\\bto_(?:timestamp|date)\\s*\\(".r
+    var out = sql
+    var from = 0
+    var continue = true
+    while (continue) {
+      Call.findAllMatchIn(out).find(_.start >= from) match {
+        case None => continue = false
+        case Some(m) =>
+          val open = m.end - 1
+          var i = open + 1; var depth = 1; var inStr = false
+          var lastComma = -1
+          while (i < out.length && depth > 0) {
+            val c = out.charAt(i)
+            if (inStr) { if (c == '\'') inStr = false }
+            else c match {
+              case '\'' => inStr = true
+              case '(' => depth += 1
+              case ')' => depth -= 1
+              case ',' if depth == 1 => lastComma = i
+              case _ => ()
+            }
+            i += 1
+          }
+          if (depth == 0 && lastComma > 0) {
+            val argRaw = out.substring(lastComma + 1, i - 1).trim
+            if (argRaw.matches("'[^']*'")) {
+              val conv = pgToJavaFormat(argRaw.substring(1, argRaw.length - 1))
+                .replace("'", "''") // re-escape for the SQL literal
+              out = out.substring(0, lastComma + 1) + s" '$conv'" + out.substring(i - 1)
+            }
+          }
+          from = open + 1
+      }
+    }
+    out
+  }
+
+  /** Redshift implicitly coerces varchar operands of `+` to numeric at
+    * RUNTIME; Spark rejects string arithmetic at analysis
+    * (`1_ods_core/01_order.sql:295`: `billing_address1 +
+    * billing_address2`). The analyzer names the operands — cast those
+    * occurrences to double, Redshift's own effective semantics (runtime
+    * cast error on non-numeric text, NULL-safe on NULLs).
+    */
+  private val PlusMismatchRe =
+    """Cannot resolve "\(([\w.]+) \+ ([\w.]+)\)"""".r
+  private[graft] def rewritePlusOperands(sql: String, a: String, b: String): String = {
+    def base(n: String) = n.split("\\.").last
+    val pat = "(?i)((?:\\w+\\.)?" + java.util.regex.Pattern.quote(base(a)) +
+      ")\\s*\\+\\s*((?:\\w+\\.)?" + java.util.regex.Pattern.quote(base(b)) + ")"
+    rewriteOutsideStrings(sql, pat, "CAST($1 AS DOUBLE) + CAST($2 AS DOUBLE)")
+  }
+
+  /** Correlated `(SELECT x FROM … WHERE … ORDER BY k [ASC|DESC] LIMIT 1)`
+    * — the reference's as-of idiom (`1_ods_core/00_allocation.sql:251-258`
+    * picks the latest warehouse code at-or-before the allocation). Spark
+    * forbids outer references outside a subquery's WHERE/HAVING, so the
+    * form rewrites to an AGGREGATED scalar subquery Spark decorrelates:
+    * `(SELECT min_by(x, k) FROM … WHERE …)` (DESC → max_by). An order key
+    * of the shape `datediff(u, A, B)` where exactly ONE argument belongs
+    * to the subquery's own FROM aliases is monotone in that inner
+    * argument once the outer one is fixed, so the key collapses to the
+    * inner argument with the direction flipped to match
+    * (`datediff(u, inner, outer) ASC` minimizes outer−inner ⇒ maximizes
+    * inner ⇒ max_by). Null keys: min_by/max_by skip them — Redshift's
+    * ASC NULLS LAST `LIMIT 1` behavior (Spark's own ORDER BY would have
+    * put nulls first). Applied as an analysis-failure FALLBACK only.
+    */
+  private[graft] def rewriteCorrelatedLimit1(sql: String): String = {
+    val Open = "(?i)\\(\\s*select\\b".r
+    var out = sql
+    var from = 0
+    var continue = true
+    while (continue) {
+      Open.findAllMatchIn(out).find(_.start >= from) match {
+        case None => continue = false
+        case Some(m) =>
+          val open = m.start
+          // balanced scan to the matching close paren
+          var i = open + 1; var depth = 1; var inStr = false
+          while (i < out.length && depth > 0) {
+            val c = out.charAt(i)
+            if (inStr) { if (c == '\'') inStr = false }
+            else c match {
+              case '\'' => inStr = true
+              case '(' => depth += 1
+              case ')' => depth -= 1
+              case _ => ()
+            }
+            i += 1
+          }
+          val close = i - 1
+          val inner = out.substring(open + 1, close)
+          val rewritten = rewriteLimit1Body(inner)
+          rewritten match {
+            case Some(r) =>
+              out = out.substring(0, open + 1) + r + out.substring(close)
+              from = open + 1 + r.length
+            case None => from = m.end
+          }
+      }
+    }
+    out
+  }
+
+  /** One subquery body: Some(rewritten) when it is a single-expression
+    * SELECT … ORDER BY k [dir] LIMIT 1 shape, else None.
+    */
+  private def rewriteLimit1Body(inner: String): Option[String] = {
+    val selIdx = "(?i)^\\s*select\\s".r.findFirstMatchIn(inner).map(_.end).getOrElse(-1)
+    if (selIdx < 0) return None
+    val fromIdx = topKeywordIndex(inner, "FROM")
+    val ordIdx = topKeywordIndex(inner, "ORDER")
+    val limIdx = topKeywordIndex(inner, "LIMIT")
+    if (fromIdx < 0 || ordIdx < 0 || limIdx < 0 || ordIdx < fromIdx || limIdx < ordIdx)
+      return None
+    if (!inner.substring(limIdx).trim.matches("(?is)^LIMIT\\s+1\\s*$")) return None
+    val sel = inner.substring(selIdx, fromIdx).trim
+    if (splitTop(sel).size != 1 || sel == "*") return None
+    val byM = "(?i)^\\s*order\\s+by\\s+".r
+      .findFirstMatchIn(inner.substring(ordIdx)).getOrElse(return None)
+    val keyRaw = inner.substring(ordIdx + byM.end, limIdx).trim
+    if (splitTop(keyRaw).size != 1) return None
+    val lower = keyRaw.toLowerCase
+    var (key, desc) =
+      if (lower.endsWith(" desc")) (keyRaw.dropRight(4).trim, true)
+      else if (lower.endsWith(" asc")) (keyRaw.dropRight(3).trim, false)
+      else (keyRaw, false)
+    // the subquery's own FROM aliases (explicit alias or table base name)
+    val fromPart = inner.substring(fromIdx, ordIdx)
+    val kw = Set("left", "right", "inner", "full", "cross", "join", "on",
+      "where", "and", "or", "using", "as", "group", "order")
+    val innerAliases = "(?i)\\b(?:from|join)\\s+([\\w.\"]+)(?:\\s+(?:as\\s+)?(\\w+))?".r
+      .findAllMatchIn(fromPart).flatMap { fm =>
+        val tbl = fm.group(1).replace("\"", "")
+        val al = Option(fm.group(2)).filterNot(a => kw(a.toLowerCase))
+        Seq(tbl.split("\\.").last.toLowerCase) ++ al.map(_.toLowerCase)
+      }.toSet
+    def isInner(e: String): Boolean = {
+      val quals = "(?i)\\b(\\w+)\\s*\\.".r.findAllMatchIn(e).map(_.group(1).toLowerCase).toSet
+      quals.nonEmpty && quals.forall(innerAliases)
+    }
+    // datediff key with exactly one inner argument → monotone collapse
+    val Dd = "(?is)^datediff(?:_rs)?\\s*\\(\\s*(?:'?\\w+'?\\s*,)?\\s*(.*)$".r
+    key match {
+      case Dd(rest) =>
+        val args = splitTop(rest.trim.stripSuffix(")"))
+        if (args.size == 2) {
+          val (a, b) = (args(0), args(1))
+          (isInner(a), isInner(b)) match {
+            case (true, false) => key = a; desc = !desc // minimize b−a ⇒ maximize a
+            case (false, true) => key = b // minimize b−a ⇒ minimize b
+            case _ => ()
+          }
+        }
+      case _ => ()
+    }
+    val agg = if (desc) "max_by" else "min_by"
+    Some(s"select $agg(($sel), ($key)) ${inner.substring(fromIdx, ordIdx).trim}")
+  }
+
   /** A GRANT glued to the previous statement by a missing semicolon
     * (`13_finance_reporting/…/SPV Step 1 - EU.sql:93`): the verb is a
     * warehouse-permission no-op here, and leaving it breaks the body.
@@ -454,8 +682,14 @@ object RedshiftScript {
       .replaceAll(
         "(?i)'now'\\s*::\\s*text\\s*::\\s*(date|timestamp)(\\s+with(?:out)?\\s+time\\s+zone)?",
         "current_$1")
+      // Redshift `+` is ALWAYS numeric (never concat) — a quoted numeric
+      // literal operand (`'0' + plz::text`, `1_ods_core/00_customer
+      // .sql:61`) unquotes so Spark's coercion can fire
+      .replaceAll("'(\\d+(?:\\.\\d+)?)'\\s*\\+", "$1 +")
+      .replaceAll("\\+\\s*'(\\d+(?:\\.\\d+)?)'", "+ $1")
     val preListagg = rewriteSuperPaths(rewriteListaggDistinct(
-      stripGluedGrantTail(fixTwoArgRegexpReplace(pre0))))
+      stripGluedGrantTail(fixTimestampParseFormats(
+        fixJsonArrayLengthFlag(fixTwoArgRegexpReplace(pre0))))))
     // SQL regex match: `x [NOT] SIMILAR TO 'p'` → anchored rlike. SQL
     // wildcards map (% → .*, _ → .); characters that are regex-meta but
     // SIMILAR-TO-literal (. ^ $) are escaped first — SIMILAR TO's own
@@ -715,6 +949,16 @@ object RedshiftScript {
     * unclosed '(' before it — (-1, -1) when none.
     */
   private def nextKeywordOutside(s: String, kw: String, from: Int): (Int, Int) = {
+    val (pos, stack) = nextKeywordOutsideStack(s, kw, from)
+    (pos, stack.headOption.getOrElse(-1))
+  }
+
+  /** Like [[nextKeywordOutside]] but returns the WHOLE stack of unclosed
+    * '(' positions at the keyword (innermost first) — each is a nesting
+    * scope whose select list may define lateral aliases visible there.
+    */
+  private def nextKeywordOutsideStack(
+      s: String, kw: String, from: Int): (Int, List[Int]) = {
     def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
     val upper = s.toUpperCase
     val kwU = kw.toUpperCase
@@ -736,11 +980,11 @@ object RedshiftScript {
           if (i >= from && upper.startsWith(kwU, i) &&
               (i == 0 || !isWord(s.charAt(i - 1))) &&
               (i + kwU.length >= s.length || !isWord(s.charAt(i + kwU.length))))
-            return (i, if (openStack.nonEmpty) openStack.top else -1)
+            return (i, openStack.toList)
       }
       i += 1
     }
-    (-1, -1)
+    (-1, Nil)
   }
 
   /** Start of the select whose list contains `pos` — the last
@@ -777,6 +1021,12 @@ object RedshiftScript {
   }
 
   private val SelectAliasRe = "(?is)^(.*\\S)\\s+as\\s+(\\w+)\\s*$".r
+  private val ImplicitAliasRe = "(?is)^(.*[)'\"`\\w])\\s+(\\w+)\\s*$".r
+  private val ImplicitAliasKw = Set("end", "null", "true", "false", "asc",
+    "desc", "nulls", "first", "last", "from", "over", "case", "then", "when",
+    "else", "and", "or", "not", "is", "in", "like", "ilike", "between",
+    "escape", "distinct", "interval", "row", "rows", "range", "unbounded",
+    "preceding", "following", "current", "by", "as")
 
   /** (alias → expression) pairs from the select list that ENDS at `pos`
     * (list text truncated there — forward references don't exist in the
@@ -797,6 +1047,11 @@ object RedshiftScript {
       "FROM")._1
     val raw = splitTop(listText).flatMap {
       case SelectAliasRe(e, a) => Some(a -> e)
+      // implicit alias (`JSON_EXTRACT_PATH_text(payload,'order_number')
+      // order_number`, `1_ods_core/01_order.sql:28`) — the trailing
+      // identifier must not be a SQL keyword or a bare number
+      case ImplicitAliasRe(e, a)
+        if !ImplicitAliasKw(a.toLowerCase) && !a.charAt(0).isDigit => Some(a -> e)
       case _ => None
     }
     raw.foldLeft(Seq.empty[(String, String)]) { case (acc, (a, e)) =>
@@ -815,7 +1070,18 @@ object RedshiftScript {
         java.util.regex.Matcher.quoteReplacement(s"($e)"))
     }
 
-  private[graft] def substituteAliasesInWhere(sql: String): String = {
+  /** `outerNames`: lowercase column names the analyzer reported
+    * UNRESOLVED — for those (and ONLY those), alias definitions from
+    * ENCLOSING select scopes are also consulted, innermost shadowing
+    * outward. Redshift resolves a lateral alias inside a correlated
+    * subquery's WHERE (`1_ods_core/00_allocation.sql:784`: `greatest_at
+    * >= ah.createddate` inside the asset-history LIMIT-1 lookup, with
+    * `greatest_at` defined in the OUTER select list); restricting outer
+    * lookup to reported-unresolved names keeps a real inner column with
+    * the same name authoritative.
+    */
+  private[graft] def substituteAliasesInWhere(
+      sql: String, outerNames: Set[String] = Set.empty): String = {
     def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
     val stops = Seq("GROUP", "ORDER", "LIMIT", "UNION", "INTERSECT", "EXCEPT",
       "MINUS", "QUALIFY", "HAVING", "WINDOW")
@@ -826,8 +1092,9 @@ object RedshiftScript {
       guard += 1
       val s = out.toString
       val upper = s.toUpperCase
-      val (wPos, wOpen) = nextKeywordOutside(s, "WHERE", searchFrom)
+      val (wPos, wStack) = nextKeywordOutsideStack(s, "WHERE", searchFrom)
       if (wPos < 0) return out.toString
+      val wOpen = wStack.headOption.getOrElse(-1)
       val regionStart = wOpen + 1
       // predicate end: first depth-0 stop keyword / closing paren / EOT
       var predEnd = s.length
@@ -857,7 +1124,20 @@ object RedshiftScript {
           j += 1
         }
       }
-      val aliases = enclosingSelectAliases(s, regionStart, wPos)
+      val inner = enclosingSelectAliases(s, regionStart, wPos)
+      val innerNames = inner.map(_._1.toLowerCase).toSet
+      // outer scopes, nearest first; only reported-unresolved names and
+      // only where an inner alias doesn't already shadow them
+      val outer =
+        if (outerNames.isEmpty) Seq.empty
+        else (wStack.drop(1).map(_ + 1) :+ 0).foldLeft(
+          Seq.empty[(String, String)]) { (acc, rs) =>
+          val have = innerNames ++ acc.map(_._1.toLowerCase)
+          acc ++ enclosingSelectAliases(s, rs, wPos).filter { case (a, _) =>
+            outerNames(a.toLowerCase) && !have(a.toLowerCase)
+          }
+        }
+      val aliases = inner ++ outer
       if (aliases.nonEmpty) {
         val pred = substAliases(s.substring(wPos + 5, predEnd), aliases)
         out.replace(wPos + 5, predEnd, pred)
@@ -1374,20 +1654,47 @@ object RedshiftScript {
       * aliases substituted into the WHERE predicates (native resolution
       * first — an alias shadowing a real column keeps Spark's answer).
       */
-    private def sqlBody(translated: String): DataFrame =
-      try spark.sql(translated)
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if Option(e.getMessage).exists(m =>
-              m.contains("UNRESOLVED_COLUMN") ||
-                m.contains("LATERAL_COLUMN_ALIAS_IN_WINDOW") ||
-                m.contains("AMBIGUOUS_LATERAL_COLUMN_ALIAS")) =>
-          val rewritten = RedshiftScript.substituteAliasesInWindows(
-            RedshiftScript.substituteAliasesInWhere(
-              RedshiftScript.dedupeSelectItems(translated)))
-          if (rewritten == translated) throw e
-          spark.sql(rewritten)
+    /** Analysis-failure fallback LOOP: each pass applies the rewrite the
+      * error calls for (lateral aliases, correlated LIMIT 1, varchar `+`)
+      * and retries — a statement may need several, e.g. a window over a
+      * lateral alias AND a string `+` further down (`01_order.sql`).
+      * Native resolution stays authoritative: rewrites only run after
+      * Spark rejects the text, and an unproductive pass rethrows.
+      */
+    private def sqlBody(translated: String): DataFrame = {
+      var cur = translated
+      var tries = 0
+      var out: DataFrame = null
+      while (out == null) {
+        try out = spark.sql(cur)
+        catch {
+          case e: org.apache.spark.sql.AnalysisException if tries < 8 =>
+            tries += 1
+            val msg = Option(e.getMessage).getOrElse("")
+            val next =
+              if (msg.contains("UNRESOLVED_COLUMN") ||
+                msg.contains("LATERAL_COLUMN_ALIAS_IN_WINDOW") ||
+                msg.contains("AMBIGUOUS_LATERAL_COLUMN_ALIAS")) {
+                val unresolved = "with name `([^`]+)`".r
+                  .findAllMatchIn(msg).map(_.group(1).toLowerCase).toSet
+                RedshiftScript.substituteAliasesInWindows(
+                  RedshiftScript.substituteAliasesInWhere(
+                    RedshiftScript.dedupeSelectItems(cur), unresolved))
+              }
+              else if (msg.contains("UNSUPPORTED_SUBQUERY_EXPRESSION") ||
+                msg.contains("must be aggregated"))
+                RedshiftScript.rewriteCorrelatedLimit1(cur)
+              else if (msg.contains("BINARY_OP_WRONG_TYPE") && msg.contains(" + "))
+                RedshiftScript.PlusMismatchRe.findFirstMatchIn(msg)
+                  .map(m => RedshiftScript.rewritePlusOperands(cur, m.group(1), m.group(2)))
+                  .getOrElse(cur)
+              else throw e
+            if (next == cur) throw e
+            cur = next
+        }
       }
+      out
+    }
 
     /** Read-your-writes for raw SQL: rewrite references to overlaid
       * tables into overlay-backed temp views, so a SELECT / INSERT body /

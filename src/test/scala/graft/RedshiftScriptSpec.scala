@@ -1054,6 +1054,41 @@ class RedshiftScriptSpec extends SparkSpec {
     assert(parts(1) == "b" && parts(2) == "c")
   }
 
+  test("correlated ORDER BY + LIMIT 1 rewrites to min_by/max_by and executes") {
+    // the 00_allocation.sql:251-258 shape: latest warehouse code
+    // at-or-before the allocation, nearest by minute distance
+    spark.sql("SELECT * FROM VALUES (1, TIMESTAMP '2024-01-01 10:00:00'), " +
+      "(2, TIMESTAMP '2024-01-05 10:00:00'), (3, TIMESTAMP '2024-01-01 00:00:00') " +
+      "t(asset_id, allocated_at)").createOrReplaceTempView("cl1_a")
+    spark.sql("SELECT * FROM VALUES (1, 'wh_early', TIMESTAMP '2024-01-01 08:00:00'), " +
+      "(1, 'wh_late', TIMESTAMP '2024-01-01 09:30:00'), " +
+      "(2, 'wh_only', TIMESTAMP '2024-01-04 00:00:00') " +
+      "t(asset_id, warehouse, created_date)").createOrReplaceTempView("cl1_h")
+    val sql = RedshiftScript.translate(
+      """SELECT a.asset_id,
+        |  coalesce(null, (select warehouse from cl1_h h
+        |    where a.asset_id = h.asset_id
+        |    and date_trunc('day', a.allocated_at::timestamp) >= date_trunc('day', h.created_date::timestamp)
+        |    order by datediff('minute', h.created_date::timestamp, a.allocated_at::timestamp) asc
+        |    limit 1)) as warehouse
+        |FROM cl1_a a""".stripMargin)
+    val rw = RedshiftScript.rewriteCorrelatedLimit1(sql)
+    assert(rw.contains("max_by"), rw) // datediff(inner, outer) ASC ⇒ max_by inner
+    val rows = spark.sql(rw).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(rows === Map(1 -> "wh_late", 2 -> "wh_only", 3 -> null))
+    // plain inner-only keys: ASC → min_by, DESC → max_by
+    val asc = RedshiftScript.rewriteCorrelatedLimit1(
+      "SELECT (select v from t h where h.k = o.k order by h.ts limit 1) FROM o")
+    assert(asc.contains("min_by((v), (h.ts))"), asc)
+    val desc = RedshiftScript.rewriteCorrelatedLimit1(
+      "SELECT (select v from t h where h.k = o.k order by h.ts desc limit 1) FROM o")
+    assert(desc.contains("max_by((v), (h.ts))"), desc)
+    // non-LIMIT-1 subqueries are untouched
+    val keep = "SELECT (select max(v) from t h where h.k = o.k) FROM o"
+    assert(RedshiftScript.rewriteCorrelatedLimit1(keep) === keep)
+  }
+
   test("translate: 2-arg REGEXP_REPLACE gains the empty replacement") {
     val t = RedshiftScript.translate(
       "SELECT REGEXP_REPLACE(replace(x,'-','_'), '_.[0-9]{3}') FROM t")
