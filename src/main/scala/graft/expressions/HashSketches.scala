@@ -231,7 +231,20 @@ case class JaccardSimilarity(left: Expression, right: Expression)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
+    val rawInject = ext.injectFunction _
+    // ALSO register in the static builtin registry: session-injected
+    // functions count as TEMPORARY objects, which Spark refuses inside
+    // persistent views (INVALID_TEMP_OBJ_REFERENCE) — the reference's
+    // warehouse views use the dialect functions freely
+    // (`4_dwh_core/v_daily_kpi_cost_targets.sql`).
+    def injectFunction(
+        fn: (org.apache.spark.sql.catalyst.FunctionIdentifier, ExpressionInfo,
+          Seq[Expression] => Expression)): Unit = {
+      org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
+        .registerFunction(fn._1, fn._2, fn._3)
+      rawInject(fn)
+    }
+    injectFunction((
       FunctionIdentifier("graft_minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash_signature"),
       (children: Seq[Expression]) => {
@@ -243,27 +256,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         MinHashSignature(children.head, n)
       }))
-    ext.injectFunction((
+    injectFunction((
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head)))
-    ext.injectFunction((
+    injectFunction((
       FunctionIdentifier("graft_jaccard"),
       new ExpressionInfo(classOf[JaccardSimilarity].getName, "graft_jaccard"),
       (children: Seq[Expression]) => JaccardSimilarity(children(0), children(1))))
-    ext.injectFunction((
+    injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[VectorCosine].getName, "graft_cosine"),
       (children: Seq[Expression]) => VectorCosine(children(0), children(1))))
-    ext.injectFunction((
+    injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "graft_dot"),
       (children: Seq[Expression]) => VectorDot(children(0), children(1))))
-    ext.injectFunction((
+    injectFunction((
       FunctionIdentifier("graft_l2"),
       new ExpressionInfo(classOf[VectorL2].getName, "graft_l2"),
       (children: Seq[Expression]) => VectorL2(children(0), children(1))))
-    ext.injectFunction((
+    injectFunction((
       FunctionIdentifier("graft_hyperplane_sig"),
       new ExpressionInfo(classOf[HyperplaneSig].getName, "graft_hyperplane_sig"),
       (children: Seq[Expression]) => {
@@ -275,19 +288,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         HyperplaneSig(children.head, bits, dim)
       }))
-    ext.injectFunction((
+    injectFunction((
       FunctionIdentifier("graft_lang_id"),
       new ExpressionInfo(classOf[LangId].getName, "graft_lang_id"),
       (children: Seq[Expression]) => LangId(children.head)))
-    ext.injectFunction((
+    injectFunction((
       FunctionIdentifier("graft_punct_ratio"),
       new ExpressionInfo(classOf[CharClassRatio].getName, "graft_punct_ratio"),
       (children: Seq[Expression]) => CharClassRatio(children.head, punct = true)))
-    ext.injectFunction((
+    injectFunction((
       FunctionIdentifier("graft_alpha_ratio"),
       new ExpressionInfo(classOf[CharClassRatio].getName, "graft_alpha_ratio"),
       (children: Seq[Expression]) => CharClassRatio(children.head, punct = false)))
-    ext.injectFunction((
+    injectFunction((
       FunctionIdentifier("graft_word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_word_shingles"),
       (children: Seq[Expression]) => {

@@ -29,11 +29,16 @@ object RedshiftSqlFunctions {
   }
 
   def register(ext: SparkSessionExtensions): Unit = {
-    def inject(name: String)(builder: Seq[Expression] => Expression): Unit =
-      ext.injectFunction((
-        FunctionIdentifier(name),
-        new ExpressionInfo(RedshiftSqlFunctions.getClass.getName, name),
-        builder))
+    // builtin-registry registration too — session-injected functions are
+    // TEMPORARY objects, which persistent views refuse to reference
+    // (see GraftExtensions)
+    def inject(name: String)(builder: Seq[Expression] => Expression): Unit = {
+      val id = FunctionIdentifier(name)
+      val info = new ExpressionInfo(RedshiftSqlFunctions.getClass.getName, name)
+      org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
+        .registerFunction(id, info, builder)
+      ext.injectFunction((id, info, builder))
+    }
 
     inject("json_extract_path_text") { children =>
       require(children.size >= 2, "json_extract_path_text(json, key, ...)")

@@ -108,6 +108,33 @@ object RedshiftScript {
     * the verb from classification (the body keeps its comments; Spark's
     * parser handles them).
     */
+  /** Remove `--` and block comments anywhere outside string literals.
+    * Needed wherever extracted SQL text is re-spliced inline: a select
+    * item whose trailing commented-out lines contain `AS name`
+    * (`4_dwh_core/v_weekly_cs_reporting.sql:80-82`) must not leak the
+    * comment text into an alias definition.
+    */
+  private[graft] def stripComments(s: String): String = {
+    val out = new StringBuilder
+    var i = 0; var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val next = if (i + 1 < s.length) s.charAt(i + 1) else ' '
+      if (inStr) { if (c == '\'') inStr = false; out.append(c); i += 1 }
+      else if (c == '-' && next == '-') {
+        while (i < s.length && s.charAt(i) != '\n') i += 1
+      } else if (c == '/' && next == '*') {
+        i += 2
+        while (i + 1 < s.length && !(s.charAt(i) == '*' && s.charAt(i + 1) == '/')) i += 1
+        i = math.min(i + 2, s.length)
+      } else {
+        if (c == '\'') inStr = true
+        out.append(c); i += 1
+      }
+    }
+    out.toString
+  }
+
   def stripLeadingComments(stmt: String): String = {
     var s = stmt
     var changed = true
@@ -430,6 +457,58 @@ object RedshiftScript {
     rewriteOutsideStrings(sql, pat, "CAST($1 AS DOUBLE) + CAST($2 AS DOUBLE)")
   }
 
+  /** SQL-Server-style string concatenation with `+` (`c.country + ' - '
+    * + c.channel_type` — `4_dwh_core/Weekly_monthly_category_performance
+    * .sql:129`): a `+` whose immediate neighbor is a NON-NUMERIC string
+    * literal can only be intended as concatenation, so that `+` becomes
+    * `||`. Numeric-looking literals keep `+` (Redshift casts them and
+    * adds). Analysis-failure fallback only — text Spark accepts
+    * natively never takes this path.
+    */
+  private[graft] def rewriteStringPlusConcat(sql: String): String = {
+    val n = sql.length
+    val lit = new Array[Boolean](n)
+    val plusPos = mutable.ListBuffer.empty[Int]
+    var i = 0; var inStr = false; var inLc = false; var inBc = false
+    while (i < n) {
+      val c = sql.charAt(i)
+      val next = if (i + 1 < n) sql.charAt(i + 1) else ' '
+      if (inLc) { if (c == '\n') inLc = false }
+      else if (inBc) { if (c == '*' && next == '/') { inBc = false; i += 1 } }
+      else if (inStr) {
+        lit(i) = true
+        if (c == '\'') { if (next == '\'') { i += 1; lit(i) = true } else inStr = false }
+      }
+      else c match {
+        case '\'' => inStr = true; lit(i) = true
+        case '-' if next == '-' => inLc = true; i += 1
+        case '/' if next == '*' => inBc = true; i += 1
+        case '+' => plusPos += i
+        case _ => ()
+      }
+      i += 1
+    }
+    def nonNumericLiteralAt(j: Int): Boolean = {
+      if (j < 0 || j >= n || !lit(j)) return false
+      var s = j; var e = j
+      while (s > 0 && lit(s - 1)) s -= 1
+      while (e < n - 1 && lit(e + 1)) e += 1
+      val content = sql.substring(s + 1, e) // inside the quotes
+      !content.trim.matches("-?\\d+(\\.\\d+)?")
+    }
+    val toConcat = plusPos.filter { p =>
+      var l = p - 1
+      while (l >= 0 && sql.charAt(l).isWhitespace) l -= 1
+      var r = p + 1
+      while (r < n && sql.charAt(r).isWhitespace) r += 1
+      nonNumericLiteralAt(l) || (r < n && nonNumericLiteralAt(r))
+    }.toSet
+    if (toConcat.isEmpty) sql
+    else sql.zipWithIndex.map { case (c, j) =>
+      if (toConcat(j)) "||" else c.toString
+    }.mkString
+  }
+
   /** Correlated `(SELECT x FROM … WHERE … ORDER BY k [ASC|DESC] LIMIT 1)`
     * — the reference's as-of idiom (`1_ods_core/00_allocation.sql:251-258`
     * picks the latest warehouse code at-or-before the allocation). Spark
@@ -536,6 +615,52 @@ object RedshiftScript {
     }
     val agg = if (desc) "max_by" else "min_by"
     Some(s"select $agg(($sel), ($key)) ${inner.substring(fromIdx, ordIdx).trim}")
+  }
+
+  /** Redshift derives an output column name from an UNALIASED function
+    * call — `(select …, min(created_date)::date from …) as s` exposes
+    * `s.min` (`4_dwh_core/v_weekly_cs_reporting.sql:8-11`); Spark names
+    * it `min(created_date)`. When the analyzer reports `alias`.`col`
+    * unresolved, rename the matching unaliased `col(...)` item of the
+    * subquery aliased `alias` by appending `AS col`. Fallback-only.
+    */
+  private[graft] def aliasDefaultFunctionColumn(
+      sql: String, alias: String, col: String): String = {
+    val CloseAlias = ("(?i)\\)\\s*(?:as\\s+)?" +
+      java.util.regex.Pattern.quote(alias) + "(?![\\w.])").r
+    for (m <- CloseAlias.findAllMatchIn(sql)) {
+      val close = m.start
+      // balance back to the matching '('
+      var i = close; var depth = 0; var open = -1
+      while (i >= 0 && open < 0) {
+        val c = sql.charAt(i)
+        if (c == ')') depth += 1
+        else if (c == '(') { depth -= 1; if (depth == 0) open = i }
+        i -= 1
+      }
+      if (open >= 0) {
+        val inner = sql.substring(open + 1, close)
+        val selM = "(?is)^\\s*select\\s".r.findFirstMatchIn(inner)
+        if (selM.isDefined) {
+          val listText = splitTopKeyword(inner.substring(selM.get.end), "FROM")._1
+          val items = splitTop(listText)
+          val FnHead = ("(?is)^" + java.util.regex.Pattern.quote(col) +
+            "\\s*\\(.*").r
+          items.zipWithIndex.find { case (it, _) =>
+            FnHead.pattern.matcher(it).matches() &&
+              !SelectAliasRe.pattern.matcher(it).matches()
+          } match {
+            case Some((it, _)) =>
+              val at = sql.indexOf(it, open)
+              if (at >= 0)
+                return sql.substring(0, at + it.length) + s" AS $col" +
+                  sql.substring(at + it.length)
+            case None => ()
+          }
+        }
+      }
+    }
+    sql
   }
 
   /** A GRANT glued to the previous statement by a missing semicolon
@@ -785,6 +910,10 @@ object RedshiftScript {
       s"(?i)\\bdatediff\\s*\\(\\s*'?($Units)'?\\s*," -> "datediff_rs('$1',",
       s"(?i)\\bdateadd\\s*\\(\\s*'?($Units)'?\\s*," -> "dateadd_rs('$1',",
       s"(?i)\\bdate_part\\s*\\(\\s*'?($Units|dows?|doys?|epoch)'?\\s*," -> "date_part_rs('$1',",
+      // Redshift's no-underscore spelling with a BARE unit —
+      // `datepart(week, cancellation_date)`
+      // (`4_dwh_core/daily_kpi_rented_not_rented_again_subscriptions.sql:55`)
+      s"(?i)\\bdatepart\\s*\\(\\s*'?($Units|dows?|doys?|epoch)'?\\s*," -> "date_part_rs('$1',",
       // EXTRACT fields Spark either lacks (EPOCH → INVALID_EXTRACT_FIELD)
       // or numbers differently (DOW: Spark Sunday=1..7, Redshift
       // Sunday=0..6 — `7_snowplow/2_sessions/01_sessions.sql:47` builds
@@ -1045,7 +1174,7 @@ object RedshiftScript {
             selBody.charAt(8) != '_')) selBody.substring(8)
       else selBody,
       "FROM")._1
-    val raw = splitTop(listText).flatMap {
+    val raw = splitTop(listText).map(it => stripComments(it).trim).flatMap {
       case SelectAliasRe(e, a) => Some(a -> e)
       // implicit alias (`JSON_EXTRACT_PATH_text(payload,'order_number')
       // order_number`, `1_ods_core/01_order.sql:28`) — the trailing
@@ -1258,6 +1387,23 @@ object RedshiftScript {
       }
     }
     out.toString
+  }
+
+  /** Redshift resolves `ORDER BY s.date` after `SELECT DISTINCT …
+    * s.date::date AS date` to the OUTPUT column `date`; Spark cannot add
+    * missing input attributes below a Distinct, so the qualified form
+    * fails analysis (`4_dwh_core/monthly_reporting_historical.sql:43`).
+    * Strip the qualifier from the failing reference inside the top-level
+    * ORDER BY clause — resolution then lands on the select-list alias,
+    * which is the column Redshift sorted by.
+    */
+  private[graft] def stripSortQualifier(sql: String, qual: String, col: String): String = {
+    val idx = topKeywordIndex(sql, "ORDER")
+    if (idx < 0) return sql
+    val Ref = ("(?i)\\b" + java.util.regex.Pattern.quote(qual) +
+      "\\s*\\.\\s*\"?" + java.util.regex.Pattern.quote(col) + "\"?\\b").r
+    sql.substring(0, idx) + Ref.replaceAllIn(sql.substring(idx),
+      java.util.regex.Matcher.quoteReplacement(col))
   }
 
   /** Split on top-level commas (parens/quotes AND comment aware — an
@@ -1661,14 +1807,31 @@ object RedshiftScript {
       * Native resolution stays authoritative: rewrites only run after
       * Spark rejects the text, and an unproductive pass rethrows.
       */
-    private def sqlBody(translated: String): DataFrame = {
+    private def sqlBody(translated: String): DataFrame = repaired(translated)._1
+
+    /** The repair loop, also surfacing the final (possibly rewritten) SQL
+      * text — CREATE [MATERIALIZED] VIEW stores the *text*, so its body
+      * must take the same repair chain as CTAS/INSERT bodies
+      * (`4_dwh_core/v_weekly_cs_reporting.sql`'s `s.min` default column
+      * name, lateral aliases, …).
+      */
+    private def repaired(translated: String): (DataFrame, String) = {
       var cur = translated
       var tries = 0
+      var first: Throwable = null
       var out: DataFrame = null
       while (out == null) {
         try out = spark.sql(cur)
         catch {
+          // a rewrite must never yield unparseable text — if it does, the
+          // FIRST error is the true diagnosis; the parse error is the
+          // rewriter's own corruption and would mask it
+          case e: org.apache.spark.sql.catalyst.parser.ParseException
+              if tries > 0 && first != null =>
+            first.addSuppressed(e)
+            throw first
           case e: org.apache.spark.sql.AnalysisException if tries < 8 =>
+            if (first == null) first = e
             tries += 1
             val msg = Option(e.getMessage).getOrElse("")
             val next =
@@ -1677,23 +1840,58 @@ object RedshiftScript {
                 msg.contains("AMBIGUOUS_LATERAL_COLUMN_ALIAS")) {
                 val unresolved = "with name `([^`]+)`".r
                   .findAllMatchIn(msg).map(_.group(1).toLowerCase).toSet
-                RedshiftScript.substituteAliasesInWindows(
+                // `q.f` unresolved where subquery `q` has an UNALIASED
+                // item `f(...)`: Redshift names that output column after
+                // the function — try that naming first, it is the more
+                // specific repair
+                val qual = "with name `([^`]+)`\\.`([^`]+)`".r
+                  .findFirstMatchIn(msg)
+                val named = qual.map(m => RedshiftScript
+                    .aliasDefaultFunctionColumn(cur, m.group(1), m.group(2)))
+                  .getOrElse(cur)
+                // qualified ORDER BY above DISTINCT: Redshift resolved it
+                // to the output alias — strip the qualifier there
+                val sorted =
+                  if (named == cur && msg.contains("'Sort") && msg.contains("Distinct"))
+                    qual.map(m => RedshiftScript
+                        .stripSortQualifier(cur, m.group(1), m.group(2)))
+                      .getOrElse(cur)
+                  else cur
+                if (named != cur) named
+                else if (sorted != cur) sorted
+                else RedshiftScript.substituteAliasesInWindows(
                   RedshiftScript.substituteAliasesInWhere(
                     RedshiftScript.dedupeSelectItems(cur), unresolved))
               }
               else if (msg.contains("UNSUPPORTED_SUBQUERY_EXPRESSION") ||
                 msg.contains("must be aggregated"))
                 RedshiftScript.rewriteCorrelatedLimit1(cur)
-              else if (msg.contains("BINARY_OP_WRONG_TYPE") && msg.contains(" + "))
-                RedshiftScript.PlusMismatchRe.findFirstMatchIn(msg)
+              else if (msg.contains("BINARY_OP_WRONG_TYPE") && msg.contains(" + ")) {
+                val viaOperands = RedshiftScript.PlusMismatchRe.findFirstMatchIn(msg)
                   .map(m => RedshiftScript.rewritePlusOperands(cur, m.group(1), m.group(2)))
                   .getOrElse(cur)
+                // operand unmatchable (a string literal renders unquoted
+                // in the message): `+` beside a non-numeric literal is
+                // SQL-Server concat — rewrite to `||`
+                if (viaOperands != cur) viaOperands
+                else if (msg.contains("\"STRING\""))
+                  RedshiftScript.rewriteStringPlusConcat(cur)
+                else cur
+              }
               else throw e
             if (next == cur) throw e
+            if (sys.env.contains("GRAFT_REPAIR_DUMP")) {
+              val dir = java.nio.file.Paths.get("/tmp/graft_repair")
+              java.nio.file.Files.createDirectories(dir)
+              val n = java.lang.System.nanoTime()
+              java.nio.file.Files.writeString(dir.resolve(s"$n-err.txt"), msg)
+              java.nio.file.Files.writeString(dir.resolve(s"$n-from.sql"), cur)
+              java.nio.file.Files.writeString(dir.resolve(s"$n-to.sql"), next)
+            }
             cur = next
         }
       }
-      out
+      (out, cur)
     }
 
     /** Read-your-writes for raw SQL: rewrite references to overlaid
@@ -2076,10 +2274,10 @@ object RedshiftScript {
             stage(name, df)
             report("DELETE", Some(name))
           case CreateViewRe(name, body) =>
-            Catalog.createOrReplaceView(spark, name, tr(body))
+            Catalog.createOrReplaceView(spark, name, repaired(tr(body))._2)
             report("CREATE VIEW", Some(name))
           case CreateMvRe(name, body) =>
-            Catalog.createMaterializedView(spark, name, tr(body),
+            Catalog.createMaterializedView(spark, name, repaired(tr(body))._2,
               s"$layoutRoot/__mv/${name.replace('.', '/')}")
             report("CREATE MATERIALIZED VIEW", Some(name))
           case CreateSchemaRe(name) =>

@@ -1,0 +1,39 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Scratch triage main for layer convergence (not a test): runs
+  * [[LayerHarness]] over any reference layer directory and prints the
+  * residual failures with full error text.
+  *
+  * {{{ sbt "Test/runMain graft.ProbeLayer <layer-dir> [broken.sql,...]" }}}
+  */
+object ProbeLayer {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSpec.session
+    val layerDir = Paths.get(args.headOption
+      .getOrElse("/root/reference/Datawarehouse-ETL/4_dwh_core"))
+    val broken = args.lift(1).map(_.split(",").toSet).getOrElse(
+      Set("reporting_churn_store_commercial.sql"))
+    val scripts = Files.list(layerDir).iterator.asScala
+      .filter(_.toString.endsWith(".sql")).toSeq.sortBy(_.getFileName.toString)
+      .map(p => p.getFileName.toString -> new String(Files.readAllBytes(p)))
+    val layer = new LayerHarness.Layer(spark, scripts, Some("2024-06-15"),
+      broken = broken, log = m => println(s"harness: $m"))
+    val failures =
+      try layer.converge()
+      catch {
+        case e: Throwable =>
+          println("THREW: " + e.getClass.getName)
+          println(String.valueOf(e.getMessage).take(800))
+          e.getStackTrace.take(20).foreach(f => println("  at " + f))
+          Map("<<threw>>" -> String.valueOf(e.getMessage).take(200))
+      }
+    failures.foreach { case (n, e) =>
+      println(s"FAILED $n :: ${e.replaceAll("\\s+", " ").take(500)}")
+    }
+    println("NFAIL=" + failures.size)
+    spark.stop()
+  }
+}
