@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver machine-parses the LAST stdout line of `sbt runMain
+// graft.Bench` as JSON. Forked runs default to LoggedOutput ("[info] "
+// prefix on every program line) and sbt appends "[success] Total time…"
+// after main returns — both defeat the parser (BENCH_r07 "parsed": null).
+// Stream program output verbatim and drop the success banner.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -93,8 +93,12 @@ object Bench {
     // second, compact summary line printed LAST always fits the tail.
     val top5 = results.filterNot(_._5).sortBy(-_._2).take(5)
       .map(r => "\"" + r._1 + "\":" + r._2).mkString("{", ",", "}")
+    // stop Spark BEFORE the compact line so no shutdown chatter can land
+    // after it; with outputStrategy=StdoutOutput and showSuccess=false
+    // (build.sbt) this really is the last stdout line of the sbt run
+    spark.stop()
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","primary":"min","nqueries":${results.size},"top5":$top5,"noisy":$noisy,"failed":$failedList,"sf":"$sfDir","runs":$runs,"wall":$wall}""")
-    spark.stop()
+    System.out.flush()
   }
 }

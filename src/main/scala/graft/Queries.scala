@@ -272,7 +272,8 @@ object Queries {
         col("event_type"),
         lag(col("event_type"), 1).over(w).as("prev_type"),
         lead(col("event_type"), 1).over(w).as("next_type"),
-        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))).as("micros_since_prev"))
+        (Ops.epochMicros(col("ts")) - Ops.epochMicros(lag(col("ts"), 1).over(w)))
+          .as("micros_since_prev"))
   }
 
   /** W4: FIRST_VALUE/LAST_VALUE IGNORE NULLS over the full frame
@@ -451,7 +452,7 @@ object Queries {
         max(when(col("event_type") === "error", lit(1)).otherwise(lit(0))).as("had_error"),
         min_by(col("event_type"), struct(col("ts"), col("event_id"))).as("entry_event_type"))
       .withColumn("duration_seconds",
-        ((unix_micros(col("session_end")) - unix_micros(col("session_start"))) / 1000000L)
+        ((Ops.epochMicros(col("session_end")) - Ops.epochMicros(col("session_start"))) / 1000000L)
           .cast("long"))
   }
 }

@@ -18,6 +18,21 @@ object Checks {
 
   final case class CheckResult(name: String, passed: Boolean, detail: String)
 
+  /** Convert a collected timestamp value to `Instant` regardless of the
+    * column's flavor: `TIMESTAMP_LTZ` collects as `java.sql.Timestamp` (or
+    * `Instant` under `spark.sql.datetime.java8API.enabled`), `TIMESTAMP_NTZ`
+    * as `java.time.LocalDateTime`. NTZ values are interpreted as UTC — the
+    * engine pins the session timezone to UTC, so this is consistent with the
+    * `timestamp_ltz` casts used in query space.
+    */
+  private[graft] def tsToInstant(v: Any): java.time.Instant = v match {
+    case t: java.sql.Timestamp      => t.toInstant
+    case i: java.time.Instant       => i
+    case l: java.time.LocalDateTime => l.toInstant(java.time.ZoneOffset.UTC)
+    case other => throw new IllegalArgumentException(
+      s"not a timestamp value: $other (${other.getClass.getName})")
+  }
+
   /** Declarative check specs for the fused runner. */
   sealed trait Spec
   final case class FreshnessSpec(tsCol: String, maxAgeHours: Long) extends Spec
@@ -61,7 +76,7 @@ object Checks {
           if (row.isNullAt(at)) CheckResult(s"freshness($c)", passed = false, "table empty")
           else {
             val ageH = java.time.Duration
-              .between(row.getTimestamp(at).toInstant, now).toHours
+              .between(tsToInstant(row.get(at)), now).toHours
             CheckResult(s"freshness($c)", ageH <= maxH, s"age=${ageH}h max=${maxH}h")
           }
         case RowCountSpec(lo, hi) =>
@@ -101,7 +116,7 @@ object Checks {
     val maxTs = df.agg(max(col(tsCol))).collect()(0)
     if (maxTs.isNullAt(0)) CheckResult(s"freshness($tsCol)", passed = false, "table empty")
     else {
-      val ts = maxTs.getTimestamp(0).toInstant
+      val ts = tsToInstant(maxTs.get(0))
       val ageH = java.time.Duration.between(ts, now).toHours
       CheckResult(s"freshness($tsCol)", ageH <= maxAgeHours, s"age=${ageH}h max=${maxAgeHours}h")
     }

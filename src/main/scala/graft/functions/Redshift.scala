@@ -110,7 +110,7 @@ object Redshift {
   }
 
   private def epochSeconds(c: Column): Column =
-    floorDiv(unix_micros(c.cast("timestamp")), 1000000L)
+    floorDiv(unix_micros(c.cast("timestamp_ltz")), 1000000L)
 
   private def floorDiv(c: Column, d: Long): Column =
     floor(c / d.toDouble).cast("long")

@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object Ops {
 
+  /** Epoch microseconds regardless of timestamp flavor. Parquet fixtures may
+    * decode as `TIMESTAMP_NTZ` or `TIMESTAMP_LTZ` depending on writer
+    * metadata; `unix_micros` only accepts LTZ. The session timezone is
+    * pinned to UTC, so casting NTZ→LTZ is lossless and a no-op for LTZ.
+    */
+  def epochMicros(c: Column): Column = unix_micros(c.cast("timestamp_ltz"))
+
   /** Keep the latest row per key — the canonical event-log dedup
     * (`row_number() over (partition by k order by ts desc) = 1`;
     * reference: `1_ods_core/00_subscription.sql:62,74,99` and 397 files).
@@ -340,7 +347,7 @@ object Ops {
     val byUser = Window.partitionBy(userCol).orderBy((tsCol +: tiebreak): _*)
     val prevTs = lag(tsCol, 1).over(byUser)
     val isNew = when(
-      prevTs.isNull || unix_micros(tsCol) - unix_micros(prevTs) > gapSeconds * 1000000L,
+      prevTs.isNull || epochMicros(tsCol) - epochMicros(prevTs) > gapSeconds * 1000000L,
       lit(1)).otherwise(lit(0))
     df.withColumn("__new_session", isNew)
       .withColumn(
