@@ -1189,13 +1189,26 @@ object RedshiftScript {
   }
 
   /** Substitute alias expressions for bare alias references in `span`
-    * (string-literal aware). */
+    * (string-literal aware). SELF-SHADOWED aliases — the expression
+    * references its own output name (`date_trunc('week',created_at) AS
+    * created_at`, `9_SPV/Pricing_V2/05_pricing_1.sql:53`) — are skipped:
+    * substituting regresses infinitely (the replacement re-introduces the
+    * name), and Redshift resolves an expression-context reference to the
+    * SOURCE column anyway, which textual substitution cannot express.
+    * The repair loop handles those by disabling Spark's implicit lateral
+    * alias resolution for the statement instead.
+    */
   private def substAliases(span: String, aliases: Seq[(String, String)]): String =
     aliases.foldLeft(span) { case (acc, (a, e)) =>
       val q = java.util.regex.Pattern.quote(a)
       // bare references only — `tbl.alias` is a different column
-      rewriteOutsideStrings(acc,
-        s"(?i)(?<![.\\w`\"])$q(?![\\w`\"])",
+      val bareRef = s"(?i)(?<![.\\w`\"])$q(?![\\w`\"])"
+      // the self-reference test must ignore string literals:
+      // `JSON_EXTRACT_PATH_text(payload,'uuid') AS uuid` is NOT
+      // self-shadowed (the only 'uuid' is the path literal)
+      val eOutsideStrings = e.replaceAll("'[^']*'", "''")
+      if (bareRef.r.findFirstIn(eOutsideStrings).isDefined) acc
+      else rewriteOutsideStrings(acc, bareRef,
         java.util.regex.Matcher.quoteReplacement(s"($e)"))
     }
 
@@ -1787,6 +1800,13 @@ object RedshiftScript {
       copyPaths: Map[String, String] = Map.empty,
       remapPath: String => String = identity) {
 
+    // Redshift places no practical bound on WITH RECURSIVE depth; Spark
+    // defaults to 100 levels, which a 365-day date spine already exceeds
+    // (`bi-airflow-prod/dags/dim_dates/sql/dim_dates.sql:3-8`). Raise it
+    // for every session this runner drives (runtime conf, scoped fine).
+    try spark.conf.set("spark.sql.cteRecursionLevelLimit", "100000")
+    catch { case _: Exception => () }
+
     // transaction-local new state per mutated table
     private val overlay = mutable.LinkedHashMap[String, DataFrame]()
     private var inTxn = false
@@ -1820,6 +1840,17 @@ object RedshiftScript {
       var tries = 0
       var first: Throwable = null
       var out: DataFrame = null
+      // self-shadowed lateral alias (`date_trunc('week',created_at) AS
+      // created_at` referenced in a window — `9_SPV/Pricing_V2/
+      // 05_pricing_1.sql:53-55`): textual substitution regresses
+      // infinitely, but Redshift resolves the EXPRESSION-context
+      // reference to the source column — which is exactly what Spark
+      // does once implicit lateral alias resolution is off. Statement-
+      // scoped: analysis happens inside this call, the conf is restored
+      // before returning (execution uses the already-analyzed plan).
+      var lateralOff = false
+      val LateralConf = "spark.sql.lateralColumnAlias.enableImplicitResolution"
+      try {
       while (out == null) {
         try out = spark.sql(cur)
         catch {
@@ -1879,7 +1910,13 @@ object RedshiftScript {
                 else cur
               }
               else throw e
-            if (next == cur) throw e
+            if (next == cur && !lateralOff &&
+                (msg.contains("LATERAL_COLUMN_ALIAS_IN_WINDOW") ||
+                  msg.contains("AMBIGUOUS_LATERAL_COLUMN_ALIAS"))) {
+              lateralOff = true
+              spark.conf.set(LateralConf, "false")
+            }
+            else if (next == cur) throw e
             if (sys.env.contains("GRAFT_REPAIR_DUMP")) {
               val dir = java.nio.file.Paths.get("/tmp/graft_repair")
               java.nio.file.Files.createDirectories(dir)
@@ -1892,6 +1929,7 @@ object RedshiftScript {
         }
       }
       (out, cur)
+      } finally if (lateralOff) spark.conf.set(LateralConf, "true")
     }
 
     /** Read-your-writes for raw SQL: rewrite references to overlaid

@@ -36,6 +36,7 @@ class DwhCoreLayerSpec extends SparkSpec {
     val layer = new LayerHarness.Layer(spark, scripts, Some(Pinned),
       broken = Broken, log = m => info(s"harness: $m"))
     val failures = layer.converge()
+    println(layer.summaryJson("4_dwh_core", failures))
     failures.foreach { case (n, e) => info(s"FAILED $n: ${e.take(900)}") }
     assert(failures === Map.empty)
 

@@ -305,6 +305,21 @@ object LayerHarness {
       */
     private def deriveFromSelectList(t: String, body: String): Unit = {
       val translated = RedshiftScript.translate(body, pinned)
+      // `INSERT INTO t SELECT * FROM some_temp WHERE … t …` (self-
+      // referential high-water append, `dim_dates.sql:49-53`): the body
+      // can't evaluate before the target exists and `*` defeats the
+      // select-list parse, but the target's schema IS the source
+      // table's — clone it empty.
+      val StarFrom = "(?is)^\\s*SELECT\\s+\\*\\s+FROM\\s+([\\w.]+)".r
+      StarFrom.findFirstMatchIn(translated).foreach { m =>
+        val src = m.group(1).toLowerCase
+        if (spark.catalog.tableExists(src)) {
+          log(s"derive self-referential target $t from SELECT * source $src")
+          val parts = norm(t).split("\\.")
+          Catalog.replaceTable(spark.table(src).limit(0), parts(0), parts(1))
+          return
+        }
+      }
       val selIdx = RedshiftScript.topKeywordIndex(translated, "SELECT")
       if (selIdx < 0) return
       val listText = RedshiftScript.splitTopKeyword(
@@ -577,6 +592,17 @@ object LayerHarness {
         rebootstrapMissing(root)
       }
       lastErr
+    }
+
+    /** One-line machine-trendable coverage record for the test report —
+      * lets future rounds chart verbatim-layer coverage the way parse
+      * rate is charted. Print AFTER converge (and pass its result).
+      */
+    def summaryJson(layerName: String, failures: Map[String, String]): String = {
+      val brokenCount = allScripts.count(s => broken(s._1))
+      s"""{"layer":"$layerName","scripts_total":${allScripts.size},""" +
+        s""""broken_in_reference":$brokenCount,"ran":${scripts.size},""" +
+        s""""failed":${failures.size},"fixtures_staged":${fixtureCols.size}}"""
     }
 
     def runAll(root: String): Map[String, String] = {

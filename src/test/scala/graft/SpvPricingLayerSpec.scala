@@ -36,6 +36,7 @@ class SpvPricingLayerSpec extends SparkSpec {
     val layer = new LayerHarness.Layer(spark, scripts, Some(Pinned),
       log = m => info(s"harness: $m"))
     val failures = layer.converge()
+    println(layer.summaryJson("9_SPV/Pricing_V2", failures))
     failures.foreach { case (n, e) => info(s"FAILED $n: ${e.take(900)}") }
     assert(failures === Map.empty)
 

@@ -85,6 +85,34 @@ class TextDedupSpec extends SparkSpec {
     assert(kept === Seq(1L, 3L))
   }
 
+  test("minhash recall >= 0.95 on planted near-dups over the documents fixture") {
+    // q31/q32 are permanently rows-only in the driver's oracle (xxhash64
+    // signatures aren't DuckDB-replicable) — this is their quantitative
+    // gate instead: plant a deterministic near-duplicate for every
+    // sufficiently long fixture document and require banded-LSH recall.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) > 200)
+      .orderBy(col("doc_id")).limit(200).cache()
+    val planted = docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      // perturb ~1 token per ~15: drop every 15th word — a strong
+      // near-dup under 2-gram shingles (deterministic, no RNG)
+      expr("""concat_ws(' ', filter(split(text, ' '), (w, i) -> i % 15 != 7))""")
+        .as("text"))
+    val corpus = docs.unionByName(planted)
+    val pairs = Dedup.minhashDupPairs(corpus, "doc_id", "text",
+      shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+      .filter(col("id_b") === col("id_a") + 1000000L)
+    val found = pairs.count()
+    val total = docs.count()
+    val recall = found.toDouble / total
+    info(f"planted-dup recall: $found/$total = $recall%.3f")
+    assert(recall >= 0.95, f"recall $recall%.3f below 0.95")
+    docs.unpersist()
+  }
+
   test("simhash fingerprints of near-dups are close in Hamming distance") {
     val df = Seq(
       ("a", "the quick brown fox jumps over the lazy dog near the river bank"),
