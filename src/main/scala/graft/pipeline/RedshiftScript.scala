@@ -902,8 +902,12 @@ object RedshiftScript {
       "(?i)\\bwith\\s+no\\s+schema\\s+binding\\b" -> "",
       // date arithmetic first (current_date - 1), so the pin below still
       // sees a plain function argument
-      "(?i)\\bcurrent_date\\s*-\\s*(\\d+)" -> "date_sub(current_date, $1)",
-      "(?i)\\bcurrent_date\\s*\\+\\s*(\\d+)" -> "date_add(current_date, $1)",
+      // the operand must be the WHOLE term: `current_date-7*7`
+      // (`00_catman_trackers.sql:31`) must not capture just the 7 —
+      // date_sub(...)*7 is a type error; left untouched, Spark's own
+      // date-int arithmetic handles it with `*` binding tighter
+      "(?i)\\bcurrent_date\\s*-\\s*(\\d+)(?!\\s*[*/])" -> "date_sub(current_date, $1)",
+      "(?i)\\bcurrent_date\\s*\\+\\s*(\\d+)(?!\\s*[*/])" -> "date_add(current_date, $1)",
       "(?i)\\bsysdate\\b" -> "current_timestamp",
       // bare or quoted units → _rs dialect forms (Redshift boundary-crossing
       // semantics; Spark's parser owns the bare names as TIMESTAMPDIFF forms)
@@ -920,6 +924,11 @@ object RedshiftScript {
       // its Monday index on the 0-base) route through the dialect form
       "(?i)\\bextract\\s*\\(\\s*(dow|doy|epoch)\\s+from\\b" -> "date_part_rs('$1',",
       "(?i)\\bto_char\\s*\\(" -> "to_char_rs(",
+      // the reference's `atomic`-schema Python UDFs that shadow builtins
+      // (`2_ods_risk/00_order_manual_review_rules.sql:53`
+      // `atomic.levenshtein(...)`) — Spark has the builtin; drop the
+      // schema qualifier
+      "(?i)[\"`]?\\batomic[\"`]?\\.(levenshtein)\\s*\\(" -> "$1(",
       // Redshift double-quotes are ALWAYS identifiers (`i."key"::text`,
       // `master."order"`); Spark's default parser reads them as strings —
       // convert to backticks (single-quoted literals are never touched)
@@ -1198,11 +1207,22 @@ object RedshiftScript {
     * The repair loop handles those by disabling Spark's implicit lateral
     * alias resolution for the statement instead.
     */
-  private def substAliases(span: String, aliases: Seq[(String, String)]): String =
-    aliases.foldLeft(span) { case (acc, (a, e)) =>
+  private def substAliases(span: String, aliases: Seq[(String, String)]): String = {
+    // An alias named like a TYPE keyword (`… as date`) must not capture
+    // that keyword's other roles: a cast target (`::date` — the `:`
+    // lookbehind below), a typed literal's prefix (`DATE '2024-06-15'`),
+    // or an EXTRACT unit (`day from` — the `from` lookahead).
+    // `00_inventory_store_variant_availability.sql`'s
+    // `current_date::date-2` WHERE was corrupted by all three. The
+    // literal prefix needs a MASK rather than a lookahead: the
+    // substitution runs segment-wise between string literals, so `DATE `
+    // sits at a segment END and a quote lookahead can never see the
+    // literal that follows.
+    val masked = span.replaceAll("(?i)\\b(date|timestamp|time|interval)(?=\\s*')", "$1")
+    val out = aliases.foldLeft(masked) { case (acc, (a, e)) =>
       val q = java.util.regex.Pattern.quote(a)
       // bare references only — `tbl.alias` is a different column
-      val bareRef = s"(?i)(?<![.\\w`\"])$q(?![\\w`\"])"
+      val bareRef = s"(?i)(?<![.\\w:`\"\\u0001])$q(?![\\w`\"])(?!\\s+from\\b)"
       // the self-reference test must ignore string literals:
       // `JSON_EXTRACT_PATH_text(payload,'uuid') AS uuid` is NOT
       // self-shadowed (the only 'uuid' is the path literal)
@@ -1211,6 +1231,8 @@ object RedshiftScript {
       else rewriteOutsideStrings(acc, bareRef,
         java.util.regex.Matcher.quoteReplacement(s"($e)"))
     }
+    out.replace("", "")
+  }
 
   /** `outerNames`: lowercase column names the analyzer reported
     * UNRESOLVED — for those (and ONLY those), alias definitions from
@@ -1296,6 +1318,19 @@ object RedshiftScript {
     * LATERAL_COLUMN_ALIAS_IN_WINDOW; substitute the alias expressions
     * into each OVER(...) span, same contract as [[substituteAliasesInWhere]].
     */
+  /** `SELECT * FROM t GROUP BY 1,2,…` (ordinal grouping under a star
+    * list — `2_ods_catman/00_product_live_feed.sql:99-102`): Spark
+    * rejects the combination (STAR_GROUP_BY_POS). A statement VALID in
+    * Redshift of this shape necessarily lists every output column in the
+    * GROUP BY (any omitted column would be an ungrouped-column error
+    * there), so grouping degenerates to row de-duplication — rewrite to
+    * `SELECT DISTINCT * FROM t`.
+    */
+  private[pipeline] def rewriteStarGroupByOrdinal(sql: String): String =
+    sql.replaceAll(
+      "(?is)\\bselect\\s+\\*\\s+from\\s+([\\w.]+)\\s+group\\s+by\\s+\\d+(?:\\s*,\\s*\\d+)*",
+      "select distinct * from $1")
+
   /** Drop EXACT-duplicate select-list items (same expression, same alias,
     * whitespace-insensitive) — the reference duplicates a whole line in
     * `us_debt_collections/sql/last_payment_event.sql:79-80` and Redshift's
@@ -1411,12 +1446,42 @@ object RedshiftScript {
     * which is the column Redshift sorted by.
     */
   private[graft] def stripSortQualifier(sql: String, qual: String, col: String): String = {
-    val idx = topKeywordIndex(sql, "ORDER")
-    if (idx < 0) return sql
     val Ref = ("(?i)\\b" + java.util.regex.Pattern.quote(qual) +
-      "\\s*\\.\\s*\"?" + java.util.regex.Pattern.quote(col) + "\"?\\b").r
-    sql.substring(0, idx) + Ref.replaceAllIn(sql.substring(idx),
-      java.util.regex.Matcher.quoteReplacement(col))
+      "\\s*\\.\\s*[\"`]?" + java.util.regex.Pattern.quote(col) + "[\"`]?\\b").r
+    val idx = topKeywordIndex(sql, "ORDER")
+    if (idx >= 0)
+      return sql.substring(0, idx) + Ref.replaceAllIn(sql.substring(idx),
+        java.util.regex.Matcher.quoteReplacement(col))
+    // the DISTINCT+ORDER BY may sit inside a CTE (`2_ods_catman/
+    // 00_waiting_list.sql:16`: `select distinct … order by
+    // wle.created_at desc )`): strip the qualifier inside every
+    // ORDER BY clause (clause ends at an unbalanced `)` or `;`) — the
+    // reference is specific enough that a clause not containing it is
+    // untouched
+    val OrderBy = "(?i)\\border\\s+by\\b".r
+    val out = new StringBuilder(sql)
+    // right-to-left so earlier offsets stay valid
+    OrderBy.findAllMatchIn(sql).toSeq.reverseIterator.foreach { m =>
+      var j = m.end; var d = 0; var inS = false; var end = sql.length
+      var done = false
+      while (j < sql.length && !done) {
+        val c = sql.charAt(j)
+        if (inS) { if (c == '\'') inS = false }
+        else c match {
+          case '\'' => inS = true
+          case '(' => d += 1
+          case ')' => if (d == 0) { end = j; done = true } else d -= 1
+          case ';' => end = j; done = true
+          case _ => ()
+        }
+        j += 1
+      }
+      val clause = sql.substring(m.end, end)
+      val replaced = Ref.replaceAllIn(clause,
+        java.util.regex.Matcher.quoteReplacement(col))
+      if (replaced != clause) out.replace(m.end, end, replaced)
+    }
+    out.toString
   }
 
   /** Split on top-level commas (parens/quotes AND comment aware — an
@@ -1883,7 +1948,7 @@ object RedshiftScript {
                 // qualified ORDER BY above DISTINCT: Redshift resolved it
                 // to the output alias — strip the qualifier there
                 val sorted =
-                  if (named == cur && msg.contains("'Sort") && msg.contains("Distinct"))
+                  if (named == cur && msg.contains("'Sort"))
                     qual.map(m => RedshiftScript
                         .stripSortQualifier(cur, m.group(1), m.group(2)))
                       .getOrElse(cur)
@@ -1894,6 +1959,8 @@ object RedshiftScript {
                   RedshiftScript.substituteAliasesInWhere(
                     RedshiftScript.dedupeSelectItems(cur), unresolved))
               }
+              else if (msg.contains("STAR_GROUP_BY_POS"))
+                RedshiftScript.rewriteStarGroupByOrdinal(cur)
               else if (msg.contains("UNSUPPORTED_SUBQUERY_EXPRESSION") ||
                 msg.contains("must be aggregated"))
                 RedshiftScript.rewriteCorrelatedLimit1(cur)
@@ -2057,7 +2124,11 @@ object RedshiftScript {
     /** Redshift DDL type → Spark type (ADD COLUMN / CREATE TABLE (cols)). */
     private def redshiftType(t: String): org.apache.spark.sql.types.DataType = {
       import org.apache.spark.sql.types._
-      val base = t.trim.toLowerCase.replaceAll("\\s+(encode|not\\s+null|null|default|sortkey|distkey).*$", "").trim
+      // `identity(seed, step)` is an auto-increment decoration on the base
+      // type (`supermetrics_extracts_config.sql` `int identity(1,1)`) —
+      // the sequence itself has no analogue here (inserts supply values)
+      val base = t.trim.toLowerCase.replaceAll(
+        "\\s+(encode|not\\s+null|null|default|sortkey|distkey|identity\\s*\\([^)]*\\)|primary\\s+key|unique|references).*$", "").trim
       val Dec = "(?:numeric|decimal)\\s*\\(\\s*(\\d+)\\s*,\\s*(\\d+)\\s*\\)".r
       val DecP = "(?:numeric|decimal)\\s*\\(\\s*(\\d+)\\s*\\)".r
       base match {
@@ -2471,16 +2542,25 @@ object RedshiftScript {
           case NoopRe(verb) =>
             report(s"${verb.toUpperCase} (no-op)")
           case CreateDdlRe(temp, ifNotExists, name, colsDdl) =>
-            val fields = splitTop(colsDdl)
-              .filterNot(_.toUpperCase.matches("^(PRIMARY|FOREIGN|UNIQUE|CONSTRAINT)\\b.*"))
-              .map { c =>
-                val parts = c.trim.split("\\s+", 2)
-                org.apache.spark.sql.types.StructField(
-                  parts(0).replaceAll("\"", ""), redshiftType(parts(1)))
-              }
-            val empty = spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              org.apache.spark.sql.types.StructType(fields))
+            // `CREATE [TEMP] TABLE t (LIKE src)` clones src's schema empty
+            // (`0_ods_core/00_inventory_reservations.sql:3` stages a temp
+            // shaped like the warehouse table before the INSERT)
+            val LikeRe = "(?is)^\\s*LIKE\\s+([\\w.\"]+)\\s*$".r
+            val empty = colsDdl.trim match {
+              case LikeRe(src) =>
+                currentState(src.replace("\"", "")).limit(0).toDF()
+              case _ =>
+                val fields = splitTop(colsDdl)
+                  .filterNot(_.toUpperCase.matches("^(PRIMARY|FOREIGN|UNIQUE|CONSTRAINT)\\b.*"))
+                  .map { c =>
+                    val parts = c.trim.split("\\s+", 2)
+                    org.apache.spark.sql.types.StructField(
+                      parts(0).replaceAll("\"", ""), redshiftType(parts(1)))
+                  }
+                spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  org.apache.spark.sql.types.StructType(fields))
+            }
             if (temp != null) {
               reclaimViewName(norm(name))
               empty.createOrReplaceTempView(norm(name))
@@ -2502,7 +2582,10 @@ object RedshiftScript {
           StatementReport(
             stmt.split("\\s+").headOption.getOrElse("?").toUpperCase,
             None, ok = false, (System.nanoTime() - t0) / 1e9,
-            Some(e.getMessage))
+            // a null/blank message (e.g. a bare MatchError) leaves the
+            // failure unclassifiable downstream — fall back to toString
+            Some(Option(e.getMessage).filter(_.trim.nonEmpty)
+              .getOrElse(e.toString)))
       }
     }
 

@@ -84,7 +84,18 @@ object LayerHarness {
     */
   private def dayStep(c: String): Int = math.abs(c.hashCode % 37) + 1
 
-  def colExpr(c: String, t: ColType): Column = t match {
+  /** Kafka/S3 partition-folder columns are stringly date PARTS that
+    * scripts concatenate into castable dates (`s.year||'-'||s."month"||
+    * '-'||s."day"`, `0_ods_core/00_inventory_reservations.sql:29`) —
+    * generic `__id` values would make the cast throw under ANSI.
+    */
+  private val partValues = Map(
+    "year" -> "2024", "month" -> "06", "day" -> "14", "hour" -> "07")
+
+  def colExpr(c: String, t: ColType): Column =
+    partValues.get(c).map(v => F.lit(v).as(c)).getOrElse(colExprTyped(c, t))
+
+  private def colExprTyped(c: String, t: ColType): Column = t match {
     case TBool => (F.col("__id") % 2 === 0).as(c)
     case TTs => F.expr(
       s"timestampadd(DAY, CAST(__id * ${dayStep(c)} AS INT), TIMESTAMP '2024-01-05 08:00:00')").as(c)
@@ -170,7 +181,22 @@ object LayerHarness {
       * uniquely name a dotted source in this statement.
       */
     protected[graft] def tableBindings(rawSpan: String): Seq[(String, String)] = {
-      val span = rawSpan.replace("\"", "")
+      // strip `--` line comments (outside string literals) BEFORE the
+      // scan: `FROM stg_api_production.spree_users u --getting the
+      // customer_id to join on google sheet file` (`0_ods_core/
+      // 00_companies.sql:15`) otherwise loses the binding — the comment's
+      // own word "join" reads as a stop keyword mid-item
+      val sb = new StringBuilder
+      var ci = 0; var inS = false
+      while (ci < rawSpan.length) {
+        val c = rawSpan.charAt(ci)
+        if (inS) { if (c == '\'') inS = false; sb.append(c); ci += 1 }
+        else if (c == '\'') { inS = true; sb.append(c); ci += 1 }
+        else if (c == '-' && ci + 1 < rawSpan.length && rawSpan.charAt(ci + 1) == '-') {
+          while (ci < rawSpan.length && rawSpan.charAt(ci) != '\n') ci += 1
+        } else { sb.append(c); ci += 1 }
+      }
+      val span = sb.toString.replace("\"", "")
       val out = mutable.ListBuffer.empty[(String, String)]
       def bind(tblRaw: String, alias: Option[String]): Unit = {
         val tbl = norm(tblRaw)
@@ -282,9 +308,44 @@ object LayerHarness {
     val colTypes: mutable.Map[(String, String), ColType] =
       mutable.Map(seedTypes.map { case ((t, c), ty) => (norm(t), c.toLowerCase) -> ty }.toSeq: _*)
 
+    /** Fixtures whose column ORDER is schema-bearing (LIKE-clone sources
+      * feeding positional INSERTs) — stage() preserves it, appending any
+      * later harvest additions at the end.
+      */
+    private val orderedFix = mutable.Map.empty[String, Seq[String]]
+
+    /** Output column names of a SELECT body's top-level select list;
+      * empty when any item defeats the name parse (a star) or names
+      * collide.
+      */
+    private def selectListNames(body: String): Seq[String] = {
+      val translated = RedshiftScript.translate(body, pinned)
+      val selIdx = RedshiftScript.topKeywordIndex(translated, "SELECT")
+      if (selIdx < 0) return Seq.empty
+      val listText = RedshiftScript.splitTopKeyword(
+        translated.substring(selIdx + 6), "FROM")._1
+      if (RedshiftScript.splitTop(listText).exists(_.trim.matches("\\*|[\\w.]+\\.\\*")))
+        return Seq.empty
+      val AsAlias = "(?is)^.*\\s+as\\s+(\\w+)\\s*$".r
+      val Implicit = "(?is)^.*[)'\"`\\w]\\s+(\\w+)\\s*$".r
+      val CastCol =
+        "(?is)^\\s*[\\w.]*?(\\w+)\\s*(?:::\\s*\\w+(?:\\s*\\(\\s*\\d+(?:\\s*,\\s*\\d+)?\\s*\\))?)+\\s*$".r
+      val Qual = "(?is)^[\\w.]*?(\\w+)\\s*$".r
+      val cols = RedshiftScript.splitTop(listText).zipWithIndex.map {
+        case (AsAlias(a), _) => a.toLowerCase
+        case (Implicit(a), _) if !a.matches("(?i)end|null|true|false") => a.toLowerCase
+        case (CastCol(a), _) => a.toLowerCase
+        case (Qual(a), _) => a.toLowerCase
+        case (_, i) => s"col_$i"
+      }
+      if (cols.distinct.size != cols.size) Seq.empty else cols
+    }
+
     // ---- 2. stage ----------------------------------------------------
     def stage(name: String): Unit = {
-      val cols = fixtureCols(name).toSeq.sorted
+      val cols = orderedFix.get(name)
+        .map(o => o ++ fixtureCols(name).toSeq.filterNot(o.contains).sorted)
+        .getOrElse(fixtureCols(name).toSeq.sorted)
       if (cols.isEmpty) return
       val fields = cols.map { c =>
         overrides.get((name, c)).map(_.as(c)).getOrElse(
@@ -320,25 +381,12 @@ object LayerHarness {
           return
         }
       }
-      val selIdx = RedshiftScript.topKeywordIndex(translated, "SELECT")
-      if (selIdx < 0) return
-      val listText = RedshiftScript.splitTopKeyword(
-        translated.substring(selIdx + 6), "FROM")._1
-      val AsAlias = "(?is)^.*\\s+as\\s+(\\w+)\\s*$".r
-      val Implicit = "(?is)^.*[)'\"`\\w]\\s+(\\w+)\\s*$".r
-      // Redshift derives `date` from `s.date::date` — the cast keeps the
-      // source column's name (`monthly_reporting_historical.sql:23`)
-      val CastCol =
-        "(?is)^\\s*[\\w.]*?(\\w+)\\s*(?:::\\s*\\w+(?:\\s*\\(\\s*\\d+(?:\\s*,\\s*\\d+)?\\s*\\))?)+\\s*$".r
-      val Qual = "(?is)^[\\w.]*?(\\w+)\\s*$".r
-      val cols = RedshiftScript.splitTop(listText).zipWithIndex.map {
-        case (AsAlias(a), _) => a.toLowerCase
-        case (Implicit(a), _) if !a.matches("(?i)end|null|true|false") => a.toLowerCase
-        case (CastCol(a), _) => a.toLowerCase
-        case (Qual(a), _) => a.toLowerCase
-        case (_, i) => s"col_$i"
-      }
-      if (cols.isEmpty || cols.distinct.size != cols.size) return
+      // a star item defeats the name parse (selectListNames returns
+      // empty) — deriving would register a bogus `col_0` schema that
+      // later INSERTs arity-mismatch against; the StarFrom clone above
+      // is the only safe star derivation
+      val cols = selectListNames(body)
+      if (cols.isEmpty) return
       // register as a fixture: the table pre-exists in the real warehouse,
       // and registration lets the retype repair reach its columns (the
       // select-list heuristic can mis-type, e.g. `day_is_last_of_month`
@@ -403,8 +451,14 @@ object LayerHarness {
         case Some(m) =>
           val tbl = s"${m.group(1)}.${m.group(2)}".toLowerCase
           // built/bootstrapped targets materialize once their producing
-          // script is fixed — nothing to patch here
-          if (built(tbl) || insertTargets.exists(_._1 == tbl)) return false
+          // script is fixed — nothing to patch here. If the producer ran
+          // LATER in this same round (alphabetical order), the table
+          // exists NOW: claim progress so converge loops once more and
+          // the consumer sees it (`00_inventory_store_variant_
+          // availability.sql` UPDATEs `ods_production.variant`, built by
+          // the later `00_variant.sql`).
+          if (built(tbl) || insertTargets.exists(_._1 == tbl))
+            return spark.catalog.tableExists(tbl)
           if (!fixtureCols.contains(tbl)) {
             log(s"auto-stage missing table $tbl")
             fixtureCols(tbl) = mutable.Set("id")
@@ -460,6 +514,62 @@ object LayerHarness {
           }
         case None => ()
       }
+      // INSERT arity mismatches have two classified causes:
+      //  (a) a bootstrap mis-derivation left a wrongly-shaped
+      //      pre-existing target — drop it so rebootstrapMissing
+      //      re-derives after this round's lenient re-run;
+      //  (b) the target is a `CREATE … (LIKE <fixture>)` clone and the
+      //      fixture's harvested columns under-cover the warehouse
+      //      table's true schema — which IS the INSERT body's select
+      //      list, positionally (`0_ods_core/00_inventory_reservations
+      //      .sql:3-89`): re-derive the fixture exactly, in list order.
+      if (err.contains("INSERT arity")) {
+        failing.map(RedshiftScript.stripLeadingComments).foreach {
+          case RedshiftScript.InsertRe(name, cl, rawBody) =>
+            val t = norm(name)
+            if (insertTargets.exists(_._1 == t)) {
+              log(s"drop mis-derived insert target $t for re-derivation")
+              spark.sql(s"DROP TABLE IF EXISTS $t")
+              return true
+            }
+            val LikeCreate = ("(?is)CREATE\\s+(?:TEMP(?:ORARY)?\\s+)?TABLE\\s+" +
+              java.util.regex.Pattern.quote(name) +
+              "\\s*\\(\\s*LIKE\\s+([\\w.\"]+)\\s*\\)").r
+            LikeCreate.findFirstMatchIn(text).foreach { lm =>
+              val src = norm(lm.group(1))
+              if (fixtureCols.contains(src)) {
+                val (_, body) = RedshiftScript.parseInsert(cl, rawBody)
+                val cols = selectListNames(body)
+                if (cols.nonEmpty && cols.distinct.size == cols.size) {
+                  log(s"re-derive LIKE source $src from INSERT list (${cols.size} cols)")
+                  orderedFix(src) = cols
+                  fixtureCols(src) = mutable.Set(cols.map(_.toLowerCase): _*)
+                  stage(src)
+                  return true
+                }
+              }
+            }
+          case _ => ()
+        }
+      }
+      // UPDATE target fixture lacks a SET column — the harvest only sees
+      // alias-qualified references, but `UPDATE t SET price = …` names
+      // the target's columns bare (`2_ods_catman/00_pricing_live_feed.sql`)
+      locally {
+        val UpdateUnknown =
+          "UPDATE ([\\w.]+)(?: SET)? references unknown column\\(s\\): (.+)".r
+        UpdateUnknown.findFirstMatchIn(err) match {
+          case Some(m) =>
+            val t = norm(m.group(1))
+            val cols = m.group(2).split(",").map(_.trim.toLowerCase)
+              .filter(_.matches("\\w+"))
+            if (fixtureCols.contains(t) && cols.exists(!fixtureCols(t)(_))) {
+              cols.foreach { c => log(s"auto-add UPDATE SET $t.$c"); fixtureCols(t) += c }
+              stage(t); return true
+            }
+          case None => ()
+        }
+      }
       // an over-eager unqualified guess put the column on several joined
       // fixtures: remove the guessed placements (keep at least one)
       Ambiguous.findFirstMatchIn(err) match {
@@ -486,6 +596,34 @@ object LayerHarness {
           return false
         case None => ()
       }
+      // `SELECT a.*, b.x` duplicating an output name because a guess put
+      // `x` on BOTH starred fixtures — same removal rule as ambiguity
+      locally {
+        val AlreadyExists = "COLUMN_ALREADY_EXISTS[^`]*`([^`]+)`".r
+        AlreadyExists.findFirstMatchIn(err) match {
+          case Some(m) =>
+            val col = m.group(1).split("\\.").last.toLowerCase
+            val span = failing.getOrElse(text)
+            val holders = bindingsIn(span).map(_._2).distinct
+              .filter(t => fixtureCols.get(t).exists(_(col)))
+            if (holders.size > 1) {
+              val removable =
+                holders.filter(t => guessed((t, col)) || weak((t, col))) match {
+                  case all if all.size == holders.size => all.tail
+                  case some => some
+                }
+              if (removable.nonEmpty) {
+                removable.foreach { t =>
+                  log(s"auto-drop duplicated $t.$col")
+                  fixtureCols(t) -= col; guessed -= ((t, col)); weak -= ((t, col))
+                  tabu += ((t, col)); stage(t)
+                }
+                return true
+              }
+            }
+          case None => ()
+        }
+      }
       // type repair: the analyzer/runtime names the offending expression;
       // retype the fixture columns appearing in it
       val frag = MismatchExpr.findFirstMatchIn(err).map(_.group(1))
@@ -510,9 +648,21 @@ object LayerHarness {
               (if (frag.contains("+") || frag.contains("-")) Some(TDate) else Some(TInt))
             else if (err.contains("BINARY_OP_DIFF_TYPES") &&
                 err.contains("\"BOOLEAN\"") && hasInt) Some(TInt)
+            // `coalesce(max(is_discount), 0)` — the is_ heuristic said
+            // boolean but the script treats it as a 0/1 int flag
+            else if (err.contains("DATA_DIFF_TYPES") &&
+                err.contains("\"BOOLEAN\"") && hasInt) Some(TInt)
             else if (err.contains("DATA_DIFF_TYPES") && err.contains("\"STRING\"") &&
                 (err.contains("\"DOUBLE\"") || err.contains("\"DECIMAL\""))) Some(TNum)
             else if (err.contains("UNEXPECTED_INPUT_TYPE") && hasInt) Some(TInt)
+            // `sum(is_paid)` — aggregate needs NUMERIC over a bool flag
+            else if (err.contains("UNEXPECTED_INPUT_TYPE") &&
+                err.contains("\"NUMERIC\"") && err.contains("\"BOOLEAN\"")) Some(TInt)
+            // `CASE WHEN paypal_verified THEN …` over a string fixture
+            // column used as a predicate (`2_ods_risk/01_order_manual_
+            // review.sql:58`)
+            else if (err.contains("UNEXPECTED_INPUT_TYPE") &&
+                err.contains("requires the \"BOOLEAN\"")) Some(TBool)
             else None
         }
       wanted match {
@@ -583,9 +733,28 @@ object LayerHarness {
         }
         if (failures.isEmpty) return Map.empty
         var applied = 0
-        failures.foreach { case (name, (stmt, err)) =>
+        failures.foreach { case (name, (stmt0, err0)) =>
           val text = scripts.collectFirst { case (`name`, t) => t }.get
-          if (applyFix(name, text, stmt, err)) applied += 1
+          // DRAIN this script's fixable defects in one round: a wide
+          // statement can need dozens of one-column repairs (the
+          // `00_pricing_live_feed.sql` star-CTE statements each miss
+          // ~14 unqualified columns) — one-fix-per-round exhausts
+          // maxRounds before converging
+          var cur: Option[(Option[String], String)] = Some((stmt0, err0))
+          var drain = 0
+          while (drain < 80 && cur.exists(c => applyFix(name, text, c._1, c._2))) {
+            applied += 1; drain += 1
+            val r = new RedshiftScript.Runner(spark, root, pinned).run(text)
+            cur =
+              if (r.ok) None
+              else {
+                val idx = r.reports.indexWhere(!_.ok)
+                val stmt = RedshiftScript.splitStatements(text).lift(idx)
+                Some((stmt, r.reports.filterNot(_.ok)
+                  .map(sr => s"[${sr.verb} ${sr.target.getOrElse("")}] ${sr.error.getOrElse("")}")
+                  .mkString("; ")))
+              }
+          }
         }
         lastErr = failures.map { case (n, (_, e)) => n -> e }.toMap
         if (applied == 0) return lastErr
