@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Runs two more reference dwh mart layers VERBATIM:
+  *
+  *  - `4_dwh_risk/` — 40+ scripts: approval funnel, credit-bureau
+  *    reporting, asset-risk datamarts; heavy CASE/window/date-spine use
+  *    over the order/asset spine.
+  *  - `4_dwh_catman/` — 60+ scripts: daily fact asset, portfolio
+  *    overview, utilization, pricing-history marts; the widest
+  *    fact-table select lists in the corpus.
+  *
+  * Top-level `.sql` files only (subdirectories are separate DAG feeds).
+  * Each layer must converge to zero failures and re-run idempotently.
+  */
+class DwhRiskCatmanLayerSpec extends SparkSpec {
+
+  private val Pinned = "2024-06-15"
+
+  private def scriptsOf(dir: String): Seq[(String, String)] = {
+    val p = Paths.get(dir)
+    Files.list(p).iterator.asScala
+      .filter(_.toString.endsWith(".sql")).toSeq.sortBy(_.getFileName.toString)
+      .map(f => f.getFileName.toString -> new String(Files.readAllBytes(f)))
+  }
+
+  private def runLayer(name: String, scripts: Seq[(String, String)],
+      broken: Set[String] = Set.empty): Unit = {
+    val layer = new LayerHarness.Layer(spark, scripts, Some(Pinned),
+      broken = broken, log = m => info(s"harness[$name]: $m"))
+    val failures = layer.converge()
+    println(layer.summaryJson(name, failures))
+    failures.foreach { case (n, e) => info(s"FAILED $n: ${e.take(900)}") }
+    assert(failures === Map.empty, name)
+    val root = Files.createTempDirectory(s"graft-$name").toString
+    val rerun = layer.runAll(root)
+    rerun.foreach { case (n, e) => info(s"RERUN FAILED $n: ${e.take(900)}") }
+    assert(rerun === Map.empty, name)
+  }
+
+  test("the 4_dwh_risk layer runs verbatim, twice") {
+    val dir = "/root/reference/Datawarehouse-ETL/4_dwh_risk"
+    assume(Files.exists(Paths.get(dir)))
+    runLayer("dwh_risk", scriptsOf(dir))
+  }
+
+  test("the 4_dwh_catman layer runs verbatim, twice") {
+    val dir = "/root/reference/Datawarehouse-ETL/4_dwh_catman"
+    assume(Files.exists(Paths.get(dir)))
+    runLayer("dwh_catman", scriptsOf(dir))
+  }
+}

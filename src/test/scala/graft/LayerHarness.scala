@@ -438,6 +438,14 @@ object LayerHarness {
       * walks down the candidate list instead */
     private val tabu = mutable.Set.empty[(String, String)]
 
+    /** placements the analyzer DEMANDED after every candidate was tabu
+      * (a prior scope-blind ambiguity drop removed the true owner, e.g.
+      * `asset_condition` at `9_SPV/Pricing_V2/00_step_outlier_removal_1
+      * .sql:179` whose subquery binds only s=union_sources/p=product
+      * while the statement-wide holder list led with mm_price_data) —
+      * never droppable again */
+    private val pinnedCols = mutable.Set.empty[(String, String)]
+
     /** Apply one fix for this failure. True = something changed. */
     private def applyFix(
         script: String, text: String, failing: Option[String], err: String): Boolean = {
@@ -493,11 +501,18 @@ object LayerHarness {
               // the analyzer's suggestions name the IN-SCOPE aliases
               // (`[`f`.`fact_day`, `s`.`sold_date`]`) — an unqualified
               // guess must land inside that scope, not on a table another
-              // part of the statement binds
-              val sugg = "`(\\w+)`\\.`\\w+`".r.findAllMatchIn(err)
-                .map(_.group(1).toLowerCase).toSet
-              val scoped = binds.collect { case (a, t) if sugg(a) => t }.distinct
-              if (scoped.nonEmpty) scoped else binds.map(_._2).distinct
+              // part of the statement binds. Rank by suggestion count:
+              // the alias contributing most in-scope columns is the wide
+              // source table likeliest to own an unqualified reference
+              val suggPairs = "`(\\w+)`\\.`\\w+`".r.findAllMatchIn(err)
+                .map(_.group(1).toLowerCase).toSeq
+              val sugg = suggPairs.toSet
+              val byAlias = suggPairs.groupBy(identity).map { case (a, o) => a -> o.size }
+              val scoped = binds.collect { case (a, t) if sugg(a) => (a, t) }
+              if (scoped.nonEmpty)
+                scoped.sortBy { case (a, _) => -byAlias.getOrElse(a, 0) }
+                  .map(_._2).distinct
+              else binds.map(_._2).distinct
           }
           // add to the first candidate fixture that lacks it; repeated
           // rounds walk down the list until the analyzer is satisfied —
@@ -510,7 +525,18 @@ object LayerHarness {
               if (qual.isEmpty) guessed += ((t, col))
               else weak -= ((t, col)) // analyzer-confirmed: no longer droppable
               stage(t); return true
-            case None => return false
+            case None =>
+              // every candidate is tabu from a prior ambiguity drop, yet
+              // the analyzer demands the column HERE: re-add to the best
+              // candidate and PIN it so the repair can't drop it again
+              candidates.find(t => fixtureCols.contains(t) && !fixtureCols(t)(col)) match {
+                case Some(t) =>
+                  log(s"re-add pinned $t.$col (tabu override)")
+                  tabu -= ((t, col)); fixtureCols(t) += col
+                  pinnedCols += ((t, col)); guessed -= ((t, col))
+                  stage(t); return true
+                case None => return false
+              }
           }
         case None => ()
       }
@@ -576,11 +602,23 @@ object LayerHarness {
         case Some(m) =>
           val col = m.group(1).split("\\.").last.toLowerCase
           val span = failing.getOrElse(text)
-          val holders = bindingsIn(span).map(_._2).distinct
-            .filter(t => fixtureCols.get(t).exists(_(col)))
+          val binds = bindingsIn(span)
+          // the analyzer names the ambiguous candidates as
+          // `alias`.`col` pairs — restrict the drop to THAT scope, not
+          // every table the statement binds (a statement-wide drop can
+          // keep a holder no subquery scope actually sees)
+          val aliasesInErr = ("`(\\w+)`\\.`" +
+            java.util.regex.Pattern.quote(col) + "`").r
+            .findAllMatchIn(err).map(_.group(1).toLowerCase).toSet
+          val scopedTables = binds.collect {
+            case (a, t) if aliasesInErr(a) => t }.distinct
+          val holderPool =
+            if (scopedTables.nonEmpty) scopedTables else binds.map(_._2).distinct
+          val holders = holderPool.filter(t => fixtureCols.get(t).exists(_(col)))
           if (holders.size > 1) {
             val removable =
-              holders.filter(t => guessed((t, col)) || weak((t, col))) match {
+              holders.filter(t => (guessed((t, col)) || weak((t, col))) &&
+                  !pinnedCols((t, col))) match {
                 case all if all.size == holders.size => all.tail
                 case some => some
               }
@@ -608,7 +646,8 @@ object LayerHarness {
               .filter(t => fixtureCols.get(t).exists(_(col)))
             if (holders.size > 1) {
               val removable =
-                holders.filter(t => guessed((t, col)) || weak((t, col))) match {
+                holders.filter(t => (guessed((t, col)) || weak((t, col))) &&
+                    !pinnedCols((t, col))) match {
                   case all if all.size == holders.size => all.tail
                   case some => some
                 }
