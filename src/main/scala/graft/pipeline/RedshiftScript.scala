@@ -66,7 +66,15 @@ object RedshiftScript {
     * inside single-quoted strings ('' escapes), line comments and block
     * comments. Empty statements are dropped.
     */
-  def splitStatements(script: String): Seq[String] = {
+  def splitStatements(script0: String): Seq[String] = {
+    // invisible unicode (BOM, zero-width space `v_rfm_segmentation_metrics
+    // .sql:245`, non-breaking space) reads as a ghost statement verb or a
+    // mid-token break — normalize to plain spaces before scanning
+    val script = script0.replace('\ufeff', ' ').replace('\u200b', ' ')
+      .replace('\u00a0', ' ')
+      // a decoder replacement char between statements (mis-encoded
+      // invisible bytes) would otherwise read as a ghost verb
+      .replaceAll("(?m)^\ufffd+$", " ")
     val out = mutable.ListBuffer.empty[String]
     val cur = new StringBuilder
     var i = 0
@@ -496,12 +504,67 @@ object RedshiftScript {
       val content = sql.substring(s + 1, e) // inside the quotes
       !content.trim.matches("-?\\d+(\\.\\d+)?")
     }
+    // definitely-string function heads: a `+` touching one of these calls
+    // is concatenation (`'%'+voucher_prefix_code+split_part(pv
+    // .partnership_name,' ',2)+'%'` — `11_marketing_reporting/
+    // dm_marketing.v_partnership_reporting.sql:91`)
+    val StringFns = Set("split_part", "concat", "lower", "upper", "trim",
+      "ltrim", "rtrim", "btrim", "replace", "translate", "substring",
+      "substr", "repeat", "reverse", "initcap", "md5", "regexp_replace",
+      "to_char", "chr", "rpad", "lpad")
+    // right side: `+ fn(…)` or `+ ident … ||` (the operand continues into
+    // an existing concat chain)
+    def stringyRight(r0: Int): Boolean = {
+      var r = r0
+      var seenIdent = false
+      while (r < n && (sql.charAt(r).isLetterOrDigit ||
+          sql.charAt(r) == '_' || sql.charAt(r) == '.')) { r += 1; seenIdent = true }
+      if (!seenIdent) return false
+      val tok = sql.substring(r0, r).toLowerCase.split("\\.").last
+      var k = r
+      while (k < n && sql.charAt(k).isWhitespace) k += 1
+      if (k < n && sql.charAt(k) == '(' && StringFns(tok)) true
+      else k + 1 < n && sql.charAt(k) == '|' && sql.charAt(k + 1) == '|'
+    }
+    // left side: `fn(…) +` (match the call head backwards over balanced
+    // parens) or `|| … ident +`
+    def stringyLeft(l0: Int): Boolean = {
+      var l = l0
+      if (l >= 0 && sql.charAt(l) == ')') {
+        var d = 0
+        while (l >= 0) {
+          sql.charAt(l) match {
+            case ')' => d += 1
+            case '(' => d -= 1; if (d == 0) {
+              var e = l - 1
+              while (e >= 0 && sql.charAt(e).isWhitespace) e -= 1
+              var s2 = e
+              while (s2 >= 0 && (sql.charAt(s2).isLetterOrDigit || sql.charAt(s2) == '_')) s2 -= 1
+              return StringFns(sql.substring(s2 + 1, e + 1).toLowerCase)
+            }
+            case _ => ()
+          }
+          l -= 1
+        }
+        false
+      } else {
+        // walk back over the identifier operand, then spaces: `|| ident +`
+        var s2 = l
+        var seenIdent = false
+        while (s2 >= 0 && (sql.charAt(s2).isLetterOrDigit ||
+            sql.charAt(s2) == '_' || sql.charAt(s2) == '.')) { s2 -= 1; seenIdent = true }
+        if (!seenIdent) return false
+        while (s2 >= 0 && sql.charAt(s2).isWhitespace) s2 -= 1
+        s2 >= 1 && sql.charAt(s2) == '|' && sql.charAt(s2 - 1) == '|'
+      }
+    }
     val toConcat = plusPos.filter { p =>
       var l = p - 1
       while (l >= 0 && sql.charAt(l).isWhitespace) l -= 1
       var r = p + 1
       while (r < n && sql.charAt(r).isWhitespace) r += 1
-      nonNumericLiteralAt(l) || (r < n && nonNumericLiteralAt(r))
+      nonNumericLiteralAt(l) || (r < n && nonNumericLiteralAt(r)) ||
+        stringyLeft(l) || (r < n && stringyRight(r))
     }.toSet
     if (toConcat.isEmpty) sql
     else sql.zipWithIndex.map { case (c, j) =>
@@ -1301,7 +1364,20 @@ object RedshiftScript {
             outerNames(a.toLowerCase) && !have(a.toLowerCase)
           }
         }
-      val aliases = inner ++ outer
+      // an alias whose definition aggregates (or windows) can never be
+      // valid in WHERE — Redshift resolves such a name to the SOURCE
+      // column instead (`11_marketing_reporting/marketing.v_user_price_
+      // drop.sql:330` `WHERE variant_id IS NOT NULL` beside item 313
+      // `MAX(nullif(wl.variant_id,'')) AS variant_id`); substituting it
+      // would fabricate an aggregate predicate and mask the real
+      // unresolved-column diagnosis
+      val AggRe = ("(?i)\\b(sum|min|max|avg|count|median|listagg|" +
+        "percentile_cont|percentile_disc|stddev(?:_samp|_pop)?|" +
+        "var(?:iance|_samp|_pop)|bool_or|bool_and|approximate)\\s*\\(|" +
+        "(?i)\\bover\\s*\\(").r
+      val aliases = (inner ++ outer).filterNot { case (_, e) =>
+        AggRe.findFirstIn(e.replaceAll("'[^']*'", "''")).isDefined
+      }
       if (aliases.nonEmpty) {
         val pred = substAliases(s.substring(wPos + 5, predEnd), aliases)
         out.replace(wPos + 5, predEnd, pred)
@@ -1373,6 +1449,127 @@ object RedshiftScript {
       } else searchFrom = listStart + 1
     }
     out.toString
+  }
+
+  /** Inline the definition of lateral alias `name` into LATER items of
+    * every select list that defines it, and into that select's GROUP BY
+    * span. Fallback for Spark's LATERAL_COLUMN_ALIAS_IN_GROUP_BY
+    * (`11_marketing_reporting/marketing.marketing_daily_asv_targets
+    * .sql:28-39`: `'B2B' || ' ' || country AS store … GROUP BY 1..6`
+    * where `country` is itself an alias of the same list): the repair
+    * loop's conf-off probe proved `name` resolves ONLY laterally — no
+    * real source column shadows it — so textual inlining matches both
+    * Spark's and Redshift's effective semantics, and unlike a session
+    * conf it yields self-contained text a stored VIEW can re-analyze.
+    */
+  private[graft] def inlineLateralAlias(sql: String, name: String): String = {
+    def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    val q = java.util.regex.Pattern.quote(name)
+    val bareRef = s"(?i)(?<![.\\w:`\"\\u0001])$q(?![\\w`\"])(?!\\s+from\\b)"
+    val DefRe = ("(?is)^(.*\\S)\\s+as\\s+\"?" + q + "\"?$").r
+    val upperAll = sql.toUpperCase
+    val sb = new StringBuilder
+    var last = 0
+    var search = 0
+    var changed = false
+    var guard = 0
+    while (guard < 64) {
+      guard += 1
+      val (selIdx, _) = nextKeywordOutsideStack(sql, "SELECT", search)
+      if (selIdx < 0) {
+        if (!changed) return sql
+        sb.append(sql.substring(last)); return sb.toString
+      }
+      search = selIdx + 6
+      // the list span: relative depth 0 from just after SELECT until FROM,
+      // a scope-closing ')', or a top-level stop keyword (a FROM-less
+      // select). GROUP BY span: after that, same depth discipline.
+      var j = selIdx + 6
+      var d = 0; var inS = false; var lc = false; var bc = false
+      var listEnd = -1; var scopeEnd = sql.length
+      var groupStart = -1; var groupEnd = -1
+      val stops = Seq("ORDER", "LIMIT", "UNION", "INTERSECT", "EXCEPT",
+        "MINUS", "HAVING", "QUALIFY", "WINDOW")
+      while (j < sql.length && (listEnd < 0 || groupStart < 0 || groupEnd < 0)) {
+        val c = sql.charAt(j)
+        val next = if (j + 1 < sql.length) sql.charAt(j + 1) else ' '
+        if (lc) { if (c == '\n') lc = false }
+        else if (bc) { if (c == '*' && next == '/') { bc = false; j += 1 } }
+        else if (inS) { if (c == '\'') inS = false }
+        else c match {
+          case '\'' => inS = true
+          case '-' if next == '-' => lc = true; j += 1
+          case '/' if next == '*' => bc = true; j += 1
+          case '(' => d += 1
+          case ')' =>
+            if (d == 0) {
+              if (listEnd < 0) listEnd = j
+              if (groupStart >= 0 && groupEnd < 0) groupEnd = j
+              scopeEnd = j; j = sql.length
+            } else d -= 1
+          case _ if d == 0 && (j == 0 || !isWord(sql.charAt(j - 1))) =>
+            def kwAt(k: String) = upperAll.startsWith(k, j) &&
+              (j + k.length >= sql.length || !isWord(sql.charAt(j + k.length)))
+            if (listEnd < 0 && kwAt("FROM")) listEnd = j
+            else if (listEnd < 0 && (kwAt("GROUP") || stops.exists(kwAt))) {
+              listEnd = j
+              if (kwAt("GROUP")) groupStart = j
+            }
+            else if (listEnd >= 0 && groupStart < 0 && kwAt("GROUP")) groupStart = j
+            else if (listEnd >= 0 && groupStart >= 0 && groupEnd < 0 &&
+                stops.exists(kwAt)) groupEnd = j
+            else if (kwAt("SELECT") && listEnd >= 0) {
+              // a sibling UNION's select — this scope ends here
+              if (groupStart >= 0 && groupEnd < 0) groupEnd = j
+              scopeEnd = j; j = sql.length
+            }
+          case _ => ()
+        }
+        j += 1
+      }
+      if (listEnd < 0) listEnd = scopeEnd
+      if (groupStart >= 0 && groupEnd < 0) groupEnd = scopeEnd
+      val rawList = sql.substring(selIdx + 6, listEnd)
+      // a leading DISTINCT/ALL must not fold into item 1's expression —
+      // inlining `(DISTINCT CASE … END)` is unparseable
+      val prefix = "(?is)^(\\s*(?:DISTINCT|ALL)\\b)".r
+        .findFirstMatchIn(rawList).map(_.group(1)).getOrElse("")
+      val listText = rawList.substring(prefix.length)
+      val items = splitTop(listText)
+      val defIdx = items.indexWhere(it => DefRe.findFirstMatchIn(stripComments(it).trim).isDefined)
+      if (defIdx >= 0) {
+        val expr = DefRe.findFirstMatchIn(stripComments(items(defIdx)).trim).get.group(1)
+        val eOutsideStrings = expr.replaceAll("'[^']*'", "''")
+        // self-shadowed definitions can't inline (infinite regress)
+        if (bareRef.r.findFirstIn(eOutsideStrings).isEmpty) {
+          val repl = java.util.regex.Matcher.quoteReplacement(s"($expr)")
+          val newItems = items.zipWithIndex.map { case (it, i) =>
+            if (i <= defIdx) it else rewriteOutsideStrings(it, bareRef, repl)
+          }
+          // rejoin with the comma on a FRESH line: an item whose last
+          // line ends in a `--` comment would otherwise swallow the
+          // separator (and the next item) into the comment
+          val newList = newItems.mkString("\n, ")
+          if (newList != listText) {
+            changed = true
+            sb.append(sql.substring(last, selIdx + 6)).append(prefix)
+              .append(' ').append(newList).append('\n')
+            last = listEnd
+          }
+          if (groupStart >= 0) {
+            val g = sql.substring(groupStart, groupEnd)
+            val g2 = rewriteOutsideStrings(g, bareRef, repl)
+            if (g2 != g) {
+              changed = true
+              sb.append(sql.substring(last, groupStart)).append(g2).append('\n')
+              last = groupEnd
+            }
+          }
+        }
+      }
+    }
+    if (!changed) sql
+    else { sb.append(sql.substring(last)); sb.toString }
   }
 
   private[graft] def substituteAliasesInWindows(sql: String): String = {
@@ -1924,9 +2121,21 @@ object RedshiftScript {
           // rewriter's own corruption and would mask it
           case e: org.apache.spark.sql.catalyst.parser.ParseException
               if tries > 0 && first != null =>
+            if (sys.env.contains("GRAFT_REPAIR_DUMP")) {
+              val dir = java.nio.file.Paths.get("/tmp/graft_repair")
+              java.nio.file.Files.createDirectories(dir)
+              java.nio.file.Files.write(
+                dir.resolve(s"corrupt-${java.lang.System.nanoTime()}.txt"),
+                (String.valueOf(e.getMessage) + "\n----\n" + cur).getBytes("UTF-8"))
+            }
             first.addSuppressed(e)
             throw first
-          case e: org.apache.spark.sql.AnalysisException if tries < 8 =>
+          // cap high enough for one-alias-per-pass chains: a view with
+          // several lateral aliases across UNION branches needs a pass
+          // per (alias, branch) — `dm_marketing.v_marketing_runrates
+          // .sql` takes ~15; the unproductive-pass rethrow still
+          // terminates early when a rewrite stops helping
+          case e: org.apache.spark.sql.AnalysisException if tries < 48 =>
             if (first == null) first = e
             tries += 1
             val msg = Option(e.getMessage).getOrElse("")
@@ -1959,6 +2168,56 @@ object RedshiftScript {
                   RedshiftScript.substituteAliasesInWhere(
                     RedshiftScript.dedupeSelectItems(cur), unresolved))
               }
+              else if (msg.contains("LATERAL_COLUMN_ALIAS_IN_GROUP_BY") ||
+                  msg.contains("LATERAL_COLUMN_ALIAS_IN_AGGREGATE_FUNC")) {
+                // AGGREGATE_FUNC names the alias; GROUP_BY does not —
+                // diagnose the latter by probing with implicit lateral
+                // resolution off: the lateral-only name must surface as
+                // UNRESOLVED_COLUMN (a real source column of that name
+                // would have shadowed the alias and avoided this error
+                // entirely). Then inline that alias textually, which a
+                // stored VIEW body can re-analyze without confs.
+                val named =
+                  if (msg.contains("AGGREGATE_FUNC"))
+                    "`([^`]+)`".r.findFirstMatchIn(msg)
+                      .map(_.group(1).split("\\.").last.toLowerCase)
+                  else None
+                val probeName = named.orElse {
+                  val saved = spark.conf.get(LateralConf)
+                  spark.conf.set(LateralConf, "false")
+                  try { spark.sql(cur); None }
+                  catch {
+                    case pe: Exception =>
+                      // any error shape that names the lateral-only
+                      // identifier: UNRESOLVED ("with name `x`"),
+                      // AMBIGUOUS ("Reference `x` is ambiguous"), …
+                      val pm = Option(pe.getMessage).getOrElse("")
+                      if (sys.env.contains("GRAFT_REPAIR_DUMP")) {
+                        val dir = java.nio.file.Paths.get("/tmp/graft_repair")
+                        java.nio.file.Files.createDirectories(dir)
+                        java.nio.file.Files.write(
+                          dir.resolve(s"probe-${java.lang.System.nanoTime()}.txt"),
+                          (pm + "\n----\n" + cur).getBytes("UTF-8"))
+                      }
+                      "(?:with name|Reference) `([^`]+)`".r
+                        .findFirstMatchIn(pm)
+                        .orElse("`([\\w.]+)`".r.findFirstMatchIn(pm))
+                        .map(_.group(1).split("\\.").last.toLowerCase)
+                  } finally spark.conf.set(LateralConf, saved)
+                }
+                probeName
+                  .map(nm => RedshiftScript.inlineLateralAlias(cur, nm))
+                  .getOrElse(cur)
+              }
+              else if (msg.contains("MISSING_AGGREGATION")) {
+                // a window PARTITION/ORDER BY over select-list aliases in
+                // a grouped query (`dm_marketing.v_product_sku_vs_paid_
+                // orders.sql:26-28`): Spark reports the alias as a
+                // non-aggregating expression before the lateral-window
+                // diagnosis can fire — substituting the alias expressions
+                // into the OVER clauses makes them grouping expressions
+                RedshiftScript.substituteAliasesInWindows(cur)
+              }
               else if (msg.contains("STAR_GROUP_BY_POS"))
                 RedshiftScript.rewriteStarGroupByOrdinal(cur)
               else if (msg.contains("UNSUPPORTED_SUBQUERY_EXPRESSION") ||
@@ -1983,7 +2242,16 @@ object RedshiftScript {
               lateralOff = true
               spark.conf.set(LateralConf, "false")
             }
-            else if (next == cur) throw e
+            else if (next == cur) {
+              if (sys.env.contains("GRAFT_REPAIR_DUMP")) {
+                val dir = java.nio.file.Paths.get("/tmp/graft_repair")
+                java.nio.file.Files.createDirectories(dir)
+                java.nio.file.Files.write(
+                  dir.resolve(s"stuck-${java.lang.System.nanoTime()}.txt"),
+                  (msg + "\n----\n" + cur).getBytes("UTF-8"))
+              }
+              throw e
+            }
             if (sys.env.contains("GRAFT_REPAIR_DUMP")) {
               val dir = java.nio.file.Paths.get("/tmp/graft_repair")
               java.nio.file.Files.createDirectories(dir)
@@ -2541,7 +2809,26 @@ object RedshiftScript {
             report("ALTER RENAME", Some(toName))
           case NoopRe(verb) =>
             report(s"${verb.toUpperCase} (no-op)")
-          case CreateDdlRe(temp, ifNotExists, name, colsDdl) =>
+          case CreateDdlRe(temp, ifNotExists, name, _) =>
+            // the regex column group is greedy and swallows trailing
+            // parenthesised table options (`supermetrics_extracts_config
+            // .sql:14-16`: `is_active bool) DISTSTYLE auto
+            // sortkey(extract_name)`) — re-derive the true column span by
+            // balanced-paren scan from the first `(`
+            val colsDdl = {
+              val open = stmt.indexOf('(')
+              var d = 0; var j = open; var close = -1
+              while (j < stmt.length && close < 0) {
+                stmt.charAt(j) match {
+                  case '(' => d += 1
+                  case ')' => d -= 1; if (d == 0) close = j
+                  case _ => ()
+                }
+                j += 1
+              }
+              if (open >= 0 && close > open) stmt.substring(open + 1, close)
+              else ""
+            }
             // `CREATE [TEMP] TABLE t (LIKE src)` clones src's schema empty
             // (`0_ods_core/00_inventory_reservations.sql:3` stages a temp
             // shaped like the warehouse table before the INSERT)

@@ -28,7 +28,7 @@ class DimDatesSpec extends SparkSpec {
 
   test("dim_dates.sql runs verbatim (recursive CTE) and appends idempotently") {
     assume(Files.exists(script))
-    val text = new String(Files.readAllBytes(script))
+    val text = new String(Files.readAllBytes(script), java.nio.charset.StandardCharsets.UTF_8)
     val layer = new LayerHarness.Layer(spark,
       Seq("dim_dates.sql" -> text), Some(Pinned), log = m => info(s"harness: $m"))
     val failures = layer.converge()

@@ -25,7 +25,7 @@ class DwhCoreLayerSpec extends SparkSpec {
     assume(Files.exists(layerDir))
     val scripts = Files.list(layerDir).iterator.asScala
       .filter(_.toString.endsWith(".sql")).toSeq.sortBy(_.getFileName.toString)
-      .map(p => p.getFileName.toString -> new String(Files.readAllBytes(p)))
+      .map(p => p.getFileName.toString -> new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8))
 
     // `reporting_churn_store_commercial.sql:366` concatenates with `+`
     // (`'Grover-'+ store_label`) — Redshift's `+` is numeric-only, the

@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Runs the remaining 4_dwh_* mart layers VERBATIM, grouped by domain
+  * the way the reference's Airflow DAGs fan out after `3_master`:
+  * finance, product, ops, grover_card, marketing, b2b, bd, dc,
+  * embedded_finance, referral, sustainability, accounting — plus the
+  * small reporting marts (12_Mix, 14_b2b, 15_dc, 16_payment,
+  * 6_procurement, loyalty, 5_dwh_widgets).
+  *
+  * Top-level `.sql` files per directory (subdirectories are separate
+  * DAG feeds). Each group must converge to zero failures and re-run
+  * idempotently.
+  */
+class DwhMartsLayerSpec extends SparkSpec {
+
+  private val Base = "/root/reference/Datawarehouse-ETL"
+  private val Pinned = "2024-06-15"
+
+  private def scriptsOf(dir: String): Seq[(String, String)] = {
+    val p = Paths.get(dir)
+    if (!Files.exists(p)) return Seq.empty
+    Files.list(p).iterator.asScala
+      .filter(_.toString.endsWith(".sql")).toSeq.sortBy(_.getFileName.toString)
+      .map(f => s"${p.getFileName}/${f.getFileName}" ->
+        new String(Files.readAllBytes(f), java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def runLayer(name: String, dirs: Seq[String],
+      broken: Set[String] = Set.empty): Unit = {
+    val scripts = dirs.flatMap(d => scriptsOf(s"$Base/$d"))
+    assume(scripts.nonEmpty)
+    val layer = new LayerHarness.Layer(spark, scripts, Some(Pinned),
+      broken = broken, log = m => info(s"harness[$name]: $m"))
+    val failures = layer.converge()
+    println(layer.summaryJson(name, failures))
+    failures.foreach { case (n, e) => info(s"FAILED $n: ${e.take(900)}") }
+    assert(failures === Map.empty, name)
+    val root = Files.createTempDirectory(s"graft-$name").toString
+    val rerun = layer.runAll(root)
+    rerun.foreach { case (n, e) => info(s"RERUN FAILED $n: ${e.take(900)}") }
+    assert(rerun === Map.empty, name)
+  }
+
+  test("the 4_dwh_finance + accounting + embedded_finance layers run verbatim, twice") {
+    runLayer("dwh_finance",
+      Seq("4_dwh_finance", "4_dwh_accounting", "4_dwh_embedded_finance"))
+  }
+
+  test("the 4_dwh_product + 4_dwh_ops layers run verbatim, twice") {
+    runLayer("dwh_product_ops", Seq("4_dwh_product", "4_dwh_ops"))
+  }
+
+  test("the 4_dwh_grover_card + 4_dwh_marketing layers run verbatim, twice") {
+    runLayer("dwh_card_marketing", Seq("4_dwh_grover_card", "4_dwh_marketing"))
+  }
+
+  test("the 4_dwh b2b/bd/dc/referral/sustainability layers run verbatim, twice") {
+    runLayer("dwh_small",
+      Seq("4_dwh_b2b", "4_dwh_bd", "4_dwh_dc", "4_dwh_referral",
+        "4_dwh_sustainability"))
+  }
+
+  test("the small reporting marts run verbatim, twice") {
+    runLayer("small_marts",
+      Seq("12_Mix_reporting", "14_b2b_reporting", "15_dc_reporting",
+        "16_payment_reporting", "6_procurement_reporting", "loyalty"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Runs two more reference layers VERBATIM:
+  *
+  *  - `13_finance_reporting/` top level — 32 dm_finance view/mart
+  *    scripts (ASV cohorts, churn, collection curves, asset yield).
+  *  - `8_monitoring/` recursive — the gdpr anonymization chain
+  *    (UPDATE-heavy, `gdpr/gdpr_personal_info.sql`), grover_issues and
+  *    system_issues monitors, permission grants.
+  *
+  * Each layer must converge to zero failures and re-run idempotently.
+  */
+class FinanceMonitoringLayerSpec extends SparkSpec {
+
+  private val Pinned = "2024-06-15"
+
+  private def scriptsOf(dir: String, recursive: Boolean = false): Seq[(String, String)] = {
+    val p = Paths.get(dir)
+    val stream = if (recursive) Files.walk(p) else Files.list(p)
+    val files: Seq[Path] = stream.iterator.asScala
+      .filter(f => f.toString.endsWith(".sql") && Files.isRegularFile(f)).toSeq
+    files.sortBy(_.toString)
+      .map(f => p.relativize(f).toString -> new String(Files.readAllBytes(f), java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def runLayer(name: String, scripts: Seq[(String, String)],
+      broken: Set[String] = Set.empty): Unit = {
+    val layer = new LayerHarness.Layer(spark, scripts, Some(Pinned),
+      broken = broken, log = m => info(s"harness[$name]: $m"))
+    val failures = layer.converge()
+    println(layer.summaryJson(name, failures))
+    failures.foreach { case (n, e) => info(s"FAILED $n: ${e.take(900)}") }
+    assert(failures === Map.empty, name)
+    val root = Files.createTempDirectory(s"graft-$name").toString
+    val rerun = layer.runAll(root)
+    rerun.foreach { case (n, e) => info(s"RERUN FAILED $n: ${e.take(900)}") }
+    assert(rerun === Map.empty, name)
+  }
+
+  test("the 13_finance_reporting layer runs verbatim, twice") {
+    val dir = "/root/reference/Datawarehouse-ETL/13_finance_reporting"
+    assume(Files.exists(Paths.get(dir)))
+    runLayer("finance_reporting", scriptsOf(dir))
+  }
+
+  test("the 8_monitoring layer runs verbatim, twice") {
+    val dir = "/root/reference/Datawarehouse-ETL/8_monitoring"
+    assume(Files.exists(Paths.get(dir)))
+    runLayer("monitoring", scriptsOf(dir, recursive = true))
+  }
+}

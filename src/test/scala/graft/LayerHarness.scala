@@ -101,9 +101,17 @@ object LayerHarness {
       s"timestampadd(DAY, CAST(__id * ${dayStep(c)} AS INT), TIMESTAMP '2024-01-05 08:00:00')").as(c)
     case TDate => F.expr(
       s"date_add(DATE '2024-01-05', CAST(__id * ${dayStep(c)} AS INT))").as(c)
-    case TNum => F.col("__id").cast("double").as(c)
-    case TInt => F.col("__id").cast("int").as(c)
-    case TStr => F.col("__id").cast("string").as(c)
+    // 1-based, never 0: staged numerics appear as divisors
+    // (`customer_rfm_segmentation_historical.sql:9` `csv/subscriptions`)
+    // and Redshift throws on a zero divisor exactly like ANSI Spark — the
+    // reference's real data is nonzero wherever it divides
+    case TNum => (F.col("__id") + 1).cast("double").as(c)
+    case TInt => (F.col("__id") + 1).cast("int").as(c)
+    // 1-based like the numerics: string-typed fixture columns get cast
+    // to numerics by scripts (`customer_rfm_segmentation_historical
+    // .sql:9` `c.subscriptions::float` as a divisor) and "0" would
+    // divide-by-zero under ANSI — as it would in Redshift
+    case TStr => (F.col("__id") + 1).cast("string").as(c)
   }
 
   final class Layer(
@@ -446,6 +454,10 @@ object LayerHarness {
       * never droppable again */
     private val pinnedCols = mutable.Set.empty[(String, String)]
 
+    /** placements already restored to heuristic type once by the
+      * INCOMPATIBLE_COLUMN_TYPE repair — never flipped again */
+    private val flipped = mutable.Set.empty[(String, String)]
+
     /** Apply one fix for this failure. True = something changed. */
     private def applyFix(
         script: String, text: String, failing: Option[String], err: String): Boolean = {
@@ -615,11 +627,20 @@ object LayerHarness {
           val holderPool =
             if (scopedTables.nonEmpty) scopedTables else binds.map(_._2).distinct
           val holders = holderPool.filter(t => fixtureCols.get(t).exists(_(col)))
-          if (holders.size > 1) {
+          // candidates the analyzer named that are NOT droppable fixtures
+          // (a CTE, temp, or built table owns the column there): those
+          // anchor the name, so EVERY removable fixture holder may drop
+          // (`…out_of_stock_pdp.sql:69` `AND continent = ss.continent`
+          // where ss is a CTE — traffic.sessions must LOSE the guessed
+          // continent; Redshift resolved the bare name to the CTE's)
+          val immovable = aliasesInErr.exists(a =>
+            !binds.exists { case (a2, t) =>
+              a2 == a && fixtureCols.get(t).exists(_(col)) })
+          if (holders.size > 1 || (holders.nonEmpty && immovable)) {
             val removable =
               holders.filter(t => (guessed((t, col)) || weak((t, col))) &&
                   !pinnedCols((t, col))) match {
-                case all if all.size == holders.size => all.tail
+                case all if all.size == holders.size && !immovable => all.tail
                 case some => some
               }
             if (removable.nonEmpty) {
@@ -644,11 +665,19 @@ object LayerHarness {
             val span = failing.getOrElse(text)
             val holders = bindingsIn(span).map(_._2).distinct
               .filter(t => fixtureCols.get(t).exists(_(col)))
-            if (holders.size > 1) {
+            // `SELECT o.*, … AS col`: the explicit alias anchors the
+            // output name, so EVERY guessed fixture placement may drop —
+            // even a single holder (`dm_marketing.v_order_and_product_
+            // category.sql:86` computes marketing_channel_detailed over
+            // `o.*` after a guess parked it on master.order)
+            val definesExplicitly = ("(?i)\\bas\\s+\"?" +
+              java.util.regex.Pattern.quote(col) + "\"?\\b").r
+              .findFirstIn(span.replaceAll("'[^']*'", "''")).isDefined
+            if (holders.size > 1 || (holders.nonEmpty && definesExplicitly)) {
               val removable =
                 holders.filter(t => (guessed((t, col)) || weak((t, col))) &&
                     !pinnedCols((t, col))) match {
-                  case all if all.size == holders.size => all.tail
+                  case all if all.size == holders.size && !definesExplicitly => all.tail
                   case some => some
                 }
               if (removable.nonEmpty) {
@@ -704,10 +733,48 @@ object LayerHarness {
                 err.contains("requires the \"BOOLEAN\"")) Some(TBool)
             else None
         }
+      // a UNION mixing TRUE/FALSE literals with a flag column an earlier
+      // repair forced to int (`dm_marketing.v_marketing_runrates.sql`
+      // is_paid CTE: `SELECT …, is_paid FROM traffic.sessions UNION
+      // SELECT 'Paid Social', TRUE`): the literal side can't change, so
+      // FLIP the named bool/int flag columns bound in the failing span
+      if (err.contains("INCOMPATIBLE_COLUMN_TYPE") &&
+          err.contains("\"BOOLEAN\"") &&
+          (err.contains("\"INT\"") || err.contains("\"BIGINT\""))) {
+        val flipIds = "\\b([a-z_]\\w*)\\b".r.findAllMatchIn(frag.toLowerCase)
+          .map(_.group(1)).toSet
+        var changed = false
+        bindingsIn(failing.getOrElse(text)).map(_._2).distinct.foreach { t =>
+          fixtureCols.get(t).foreach(_.foreach { c =>
+            // only restore DRIFTED placements to their heuristic type —
+            // the plan fragment names many identifiers, and flipping a
+            // flag that never drifted would churn unrelated columns.
+            // Once per placement: the restore must not tug-of-war with
+            // the retype that caused the drift
+            if (flipIds(c) && !overrides.contains((t, c)) &&
+                !flipped((t, c))) {
+              val cur = colTypes.getOrElse((t, c), heuristicType(c))
+              val home = heuristicType(c)
+              if (cur != home && Set[ColType](TInt, TBool)(cur) &&
+                  Set[ColType](TInt, TBool)(home)) {
+                log(s"flip $t.$c $cur -> $home (restore heuristic)")
+                colTypes((t, c)) = home; flipped += ((t, c)); changed = true
+              }
+            }
+          })
+        }
+        if (changed) { stageAll(); return true }
+      }
       wanted match {
         case Some(ty) =>
           val ids = "\\b([a-z_]\\w*)\\b".r.findAllMatchIn(frag.toLowerCase)
             .map(_.group(1)).toSet
+          // retype only fixtures the FAILING statement binds (whole
+          // script as fallback): a name-global retype bleeds across
+          // scripts — forcing web.session_conversions.is_paid to int
+          // because THIS statement sums it must not also flip
+          // master.order.is_paid, which another statement unions with
+          // TRUE literals
           var changed = false
           fixtureCols.foreach { case (t, cols) =>
             cols.foreach { c =>

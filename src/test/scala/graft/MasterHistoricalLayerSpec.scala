@@ -78,7 +78,7 @@ class MasterHistoricalLayerSpec extends SparkSpec {
     }
 
   private def plan(p: Path): ScriptPlan = {
-    val text = new String(Files.readAllBytes(p))
+    val text = new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8)
     val stmts = RedshiftScript.splitStatements(text)
       .map(RedshiftScript.stripLeadingComments)
     val shapes = stmts.flatMap {

@@ -328,7 +328,7 @@ class MasterLayerSpec extends SparkSpec {
     assume(Files.exists(layerDir))
     val scripts = Files.list(layerDir).iterator().asScala
       .filter(_.toString.endsWith(".sql")).toSeq.sortBy(_.getFileName.toString)
-      .map(p => (p.getFileName.toString, new String(Files.readAllBytes(p))))
+      .map(p => (p.getFileName.toString, new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8)))
     assert(scripts.size === 15)
 
     FixtureCols.foreach { case (t, cols) => stage(t, cols) }

@@ -317,7 +317,7 @@ class OdsCoreLayerSpec extends SparkSpec {
   test("the 1_ods_core layer (beyond the flagship) runs verbatim, twice") {
     assume(Files.exists(layerDir))
     def read(n: String): String =
-      new String(Files.readAllBytes(layerDir.resolve(n)))
+      new String(Files.readAllBytes(layerDir.resolve(n)), java.nio.charset.StandardCharsets.UTF_8)
 
     FixtureCols.foreach { case (t, cols) => stage(t, cols) }
 

@@ -23,7 +23,7 @@ class OdsStagingLayersSpec extends SparkSpec {
     val p = Paths.get(dir)
     Files.list(p).iterator.asScala
       .filter(_.toString.endsWith(".sql")).toSeq.sortBy(_.getFileName.toString)
-      .map(f => f.getFileName.toString -> new String(Files.readAllBytes(f)))
+      .map(f => f.getFileName.toString -> new String(Files.readAllBytes(f), java.nio.charset.StandardCharsets.UTF_8))
   }
 
   private def runLayer(name: String, scripts: Seq[(String, String)],

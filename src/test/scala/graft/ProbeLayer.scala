@@ -18,7 +18,7 @@ object ProbeLayer {
       Set("reporting_churn_store_commercial.sql"))
     val scripts = Files.list(layerDir).iterator.asScala
       .filter(_.toString.endsWith(".sql")).toSeq.sortBy(_.getFileName.toString)
-      .map(p => p.getFileName.toString -> new String(Files.readAllBytes(p)))
+      .map(p => p.getFileName.toString -> new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8))
     val layer = new LayerHarness.Layer(spark, scripts, Some("2024-06-15"),
       broken = broken, log = m => println(s"harness: $m"))
     val failures =

@@ -199,7 +199,7 @@ class SegmentSessionsLayerSpec extends SparkSpec {
   test("the whole 31_segment_page_view_and_sessions layer runs verbatim, twice") {
     assume(Files.exists(layerDir))
     def read(n: String): String =
-      new String(Files.readAllBytes(layerDir.resolve(n)))
+      new String(Files.readAllBytes(layerDir.resolve(n)), java.nio.charset.StandardCharsets.UTF_8)
     val all = Files.list(layerDir).iterator().asScala
       .filter(_.toString.endsWith(".sql")).map(_.getFileName.toString).toSeq
     assert(all.toSet === (PhaseA ++ PhaseB ++ BrokenInReference).toSet,

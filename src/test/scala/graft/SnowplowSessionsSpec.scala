@@ -18,7 +18,7 @@ class SnowplowSessionsSpec extends SparkSpec {
 
   test("7_snowplow/2_sessions/01_sessions.sql runs verbatim, twice") {
     assume(Files.exists(path))
-    val script = new String(Files.readAllBytes(path))
+    val script = new String(Files.readAllBytes(path), java.nio.charset.StandardCharsets.UTF_8)
     import sqlImplicits._
 
     // one page view per session; engagement seconds pick distinct tiers

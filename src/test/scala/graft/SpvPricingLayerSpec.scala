@@ -31,7 +31,7 @@ class SpvPricingLayerSpec extends SparkSpec {
     assume(Files.exists(layerDir))
     val scripts = Files.list(layerDir).iterator.asScala
       .filter(_.toString.endsWith(".sql")).toSeq.sortBy(_.getFileName.toString)
-      .map(p => p.getFileName.toString -> new String(Files.readAllBytes(p)))
+      .map(p => p.getFileName.toString -> new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8))
 
     val layer = new LayerHarness.Layer(spark, scripts, Some(Pinned),
       log = m => info(s"harness: $m"))
