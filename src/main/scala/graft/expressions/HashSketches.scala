@@ -327,7 +327,9 @@ object DateMinusDateAsDays
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.{
     Add, DateDiff, Divide, DivideDTInterval, Multiply, MultiplyDTInterval,
-    Subtract, SubtractDates, SubtractTimestamps, TimestampAdd, UnaryMinus}
+    Subtract, SubtractDates, SubtractTimestamps, TimestampAdd,
+    TimestampAddInterval,
+    UnaryMinus}
   import org.apache.spark.sql.types.{ByteType, DataType,
     DayTimeIntervalType, IntegerType, LongType, ShortType,
     TimestampNTZType, TimestampType}
@@ -366,5 +368,13 @@ object DateMinusDateAsDays
           !l.dataType.isInstanceOf[DayTimeIntervalType] => Divide(l, r)
       case MultiplyDTInterval(l, r) if l.resolved &&
           !l.dataType.isInstanceOf[DayTimeIntervalType] => Multiply(l, r)
+      // ResolveBinaryArithmetic also specialises `n + <interval-expr>` to
+      // TimeAdd while the operand is still interval-typed; once the
+      // walk-backs above turn it numeric, TimeAdd is stranded demanding a
+      // TIMESTAMP first operand (`1 + (date-date)/30*0.03`,
+      // `4_dwh_risk/dm_risk.v_asset_value_written_off_and_lost.sql`)
+      case TimestampAddInterval(l, r, _) if l.resolved && r.resolved &&
+          !isTs(l.dataType) &&
+          !r.dataType.isInstanceOf[DayTimeIntervalType] => Add(l, r)
     }
 }

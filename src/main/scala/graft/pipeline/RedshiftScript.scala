@@ -512,6 +512,17 @@ object RedshiftScript {
       "ltrim", "rtrim", "btrim", "replace", "translate", "substring",
       "substr", "repeat", "reverse", "initcap", "md5", "regexp_replace",
       "to_char", "chr", "rpad", "lpad")
+    // string-typed cast targets: `cpro::varchar + cmun::varchar` concatenates
+    // (`4_dwh_risk/credit_bureau_spain.sql:28`), in both the `::type` and
+    // the already-translated `CAST(x AS STRING)` spellings
+    val StringTypes = Set("varchar", "text", "char", "character", "nvarchar",
+      "bpchar", "string")
+    def stringCastInner(open: Int, close: Int): Boolean = {
+      val inner = sql.substring(open + 1, close).toLowerCase
+        .replaceAll("\\s+", " ").trim
+      StringTypes.exists(t => inner.endsWith(" as " + t) ||
+        inner.matches(".*\\bas " + t + " ?\\(\\d+(, ?\\d+)?\\)$"))
+    }
     // right side: `+ fn(…)` or `+ ident … ||` (the operand continues into
     // an existing concat chain)
     def stringyRight(r0: Int): Boolean = {
@@ -524,6 +535,27 @@ object RedshiftScript {
       var k = r
       while (k < n && sql.charAt(k).isWhitespace) k += 1
       if (k < n && sql.charAt(k) == '(' && StringFns(tok)) true
+      else if (k < n && sql.charAt(k) == '(' && tok == "cast") {
+        // `+ CAST(x AS STRING)` — translated string-cast operand
+        var d = 0; var j = k
+        var close = -1
+        while (j < n && close < 0) {
+          sql.charAt(j) match {
+            case '(' => d += 1
+            case ')' => d -= 1; if (d == 0) close = j
+            case _ => ()
+          }
+          j += 1
+        }
+        close > 0 && stringCastInner(k, close)
+      }
+      // `+ cmun::varchar` — a string-cast suffix on the identifier
+      else if (k + 1 < n && sql.charAt(k) == ':' && sql.charAt(k + 1) == ':') {
+        var j = k + 2
+        val s0 = j
+        while (j < n && (sql.charAt(j).isLetterOrDigit || sql.charAt(j) == '_')) j += 1
+        StringTypes(sql.substring(s0, j).toLowerCase)
+      }
       else k + 1 < n && sql.charAt(k) == '|' && sql.charAt(k + 1) == '|'
     }
     // left side: `fn(…) +` (match the call head backwards over balanced
@@ -540,7 +572,10 @@ object RedshiftScript {
               while (e >= 0 && sql.charAt(e).isWhitespace) e -= 1
               var s2 = e
               while (s2 >= 0 && (sql.charAt(s2).isLetterOrDigit || sql.charAt(s2) == '_')) s2 -= 1
-              return StringFns(sql.substring(s2 + 1, e + 1).toLowerCase)
+              val head = sql.substring(s2 + 1, e + 1).toLowerCase
+              // `CAST(x AS STRING) +` — translated string-cast operand
+              return StringFns(head) ||
+                (head == "cast" && stringCastInner(l, l0))
             }
             case _ => ()
           }
@@ -554,6 +589,10 @@ object RedshiftScript {
         while (s2 >= 0 && (sql.charAt(s2).isLetterOrDigit ||
             sql.charAt(s2) == '_' || sql.charAt(s2) == '.')) { s2 -= 1; seenIdent = true }
         if (!seenIdent) return false
+        // `cpro::varchar +` — a string-cast suffix ends the left operand
+        val tok = sql.substring(s2 + 1, l + 1).toLowerCase.split("\\.").last
+        if (s2 >= 1 && sql.charAt(s2) == ':' && sql.charAt(s2 - 1) == ':' &&
+            StringTypes(tok)) return true
         while (s2 >= 0 && sql.charAt(s2).isWhitespace) s2 -= 1
         s2 >= 1 && sql.charAt(s2) == '|' && sql.charAt(s2 - 1) == '|'
       }
@@ -998,7 +1037,8 @@ object RedshiftScript {
       "\"([^\"]+)\"" -> "`$1`") ++
       // the pin runs LAST so the DATE '…' it splices in is never re-matched
       currentDate.map(d => "(?i)\\bcurrent_date\\b" -> s"DATE '$d'").toSeq
-    rewriteOutsideStrings(rewriteQualify(dropDanglingCommas(pre)), rules)
+    addMissingWindowOrder(
+      rewriteOutsideStrings(rewriteQualify(dropDanglingCommas(pre)), rules))
   }
 
   /** Rewrite `QUALIFY <pred>` (Redshift/Snowflake window filter — Spark's
@@ -1353,6 +1393,36 @@ object RedshiftScript {
       }
       val inner = enclosingSelectAliases(s, regionStart, wPos)
       val innerNames = inner.map(_._1.toLowerCase).toSet
+      // this WHERE's own enclosing derived-table alias (`… WHERE …) pv`):
+      // an OUTER alias whose definition references `pv.…` resolves
+      // THROUGH this subquery — substituting it into the subquery's own
+      // WHERE is circular and corrupts the statement
+      // (`4_dwh_risk/v_manual_review_time.sql:79-83`, `pending_value`)
+      val selfAlias: Option[String] =
+        if (wOpen < 0) None
+        else {
+          var j = wOpen + 1; var d = 1; var inS = false
+          while (j < s.length && d > 0) {
+            val c = s.charAt(j)
+            if (inS) { if (c == '\'') inS = false }
+            else c match {
+              case '\'' => inS = true
+              case '(' => d += 1
+              case ')' => d -= 1
+              case _ => ()
+            }
+            j += 1
+          }
+          while (j < s.length && s.charAt(j).isWhitespace) j += 1
+          if (upper.startsWith("AS", j) && j + 2 < s.length &&
+              !isWord(s.charAt(j + 2))) {
+            j += 2
+            while (j < s.length && s.charAt(j).isWhitespace) j += 1
+          }
+          val a0 = j
+          while (j < s.length && isWord(s.charAt(j))) j += 1
+          Some(s.substring(a0, j).toLowerCase).filter(_.nonEmpty)
+        }
       // outer scopes, nearest first; only reported-unresolved names and
       // only where an inner alias doesn't already shadow them
       val outer =
@@ -1360,8 +1430,12 @@ object RedshiftScript {
         else (wStack.drop(1).map(_ + 1) :+ 0).foldLeft(
           Seq.empty[(String, String)]) { (acc, rs) =>
           val have = innerNames ++ acc.map(_._1.toLowerCase)
-          acc ++ enclosingSelectAliases(s, rs, wPos).filter { case (a, _) =>
-            outerNames(a.toLowerCase) && !have(a.toLowerCase)
+          acc ++ enclosingSelectAliases(s, rs, wPos).filter { case (a, e) =>
+            outerNames(a.toLowerCase) && !have(a.toLowerCase) &&
+              !selfAlias.exists(sa =>
+                ("(?i)(?<![.\\w])" + java.util.regex.Pattern.quote(sa) +
+                  "\\s*\\.").r.findFirstIn(
+                    e.replaceAll("'[^']*'", "''")).isDefined)
           }
         }
       // an alias whose definition aggregates (or windows) can never be
@@ -1570,6 +1644,81 @@ object RedshiftScript {
     }
     if (!changed) sql
     else { sb.append(sql.substring(last)); sb.toString }
+  }
+
+  /** Redshift runs rank-family window functions with an OPTIONAL window
+    * ORDER BY (`ROW_NUMBER() OVER (PARTITION BY customer_id)` numbers the
+    * partition in arbitrary order — `4_dwh_risk/customer_datamart_v1.sql`,
+    * `v_asset_vintage_report.sql`); Spark's analyzer rejects the unordered
+    * window outright. Append a constant `ORDER BY 1` to such specs: Spark
+    * accepts literal sort keys in window specs, and an all-ties order IS
+    * Redshift's arbitrary-order semantics.
+    */
+  private[graft] def addMissingWindowOrder(sql: String): String = {
+    val Fn = ("(?i)\\b(row_number|rank|dense_rank|ntile|percent_rank|" +
+      "cume_dist|lag|lead)\\s*\\(").r
+    def scanClose(s: CharSequence, open: Int): Int = {
+      var i = open + 1; var depth = 1; var inStr = false
+      while (i < s.length && depth > 0) {
+        val c = s.charAt(i)
+        if (inStr) { if (c == '\'') inStr = false }
+        else c match {
+          case '\'' => inStr = true
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ => ()
+        }
+        i += 1
+      }
+      if (depth == 0) i - 1 else -1
+    }
+    val out = new StringBuilder(sql)
+    var from = 0
+    var guard = 0
+    while (guard < 512) {
+      guard += 1
+      Fn.findAllMatchIn(out).find(_.start >= from) match {
+        case None => return out.toString
+        case Some(m) =>
+          from = m.end
+          val argsClose = scanClose(out, m.end - 1)
+          if (argsClose >= 0) {
+            // skip whitespace to an OVER ( head
+            var j = argsClose + 1
+            while (j < out.length && Character.isWhitespace(out.charAt(j))) j += 1
+            if (j + 4 <= out.length &&
+                out.substring(j, j + 4).equalsIgnoreCase("over")) {
+              var k = j + 4
+              while (k < out.length && Character.isWhitespace(out.charAt(k))) k += 1
+              if (k < out.length && out.charAt(k) == '(') {
+                val specClose = scanClose(out, k)
+                if (specClose >= 0) {
+                  // top-level ORDER BY check inside the spec (mask nested
+                  // parens and string literals before matching)
+                  val spec = out.substring(k + 1, specClose)
+                  val masked = new StringBuilder(spec.length)
+                  var d = 0; var inStr = false
+                  spec.foreach { c =>
+                    if (inStr) { if (c == '\'') inStr = false; masked += ' ' }
+                    else c match {
+                      case '\'' => inStr = true; masked += ' '
+                      case '(' => d += 1; masked += ' '
+                      case ')' => d -= 1; masked += ' '
+                      case _ => masked += (if (d == 0) c else ' ')
+                    }
+                  }
+                  if (!"(?i)\\border\\s+by\\b".r
+                      .findFirstIn(masked).isDefined) {
+                    out.insert(specClose, " order by 1")
+                    from = specClose + 11
+                  } else from = specClose
+                }
+              }
+            }
+          }
+      }
+    }
+    out.toString
   }
 
   private[graft] def substituteAliasesInWindows(sql: String): String = {
@@ -2223,6 +2372,28 @@ object RedshiftScript {
               else if (msg.contains("UNSUPPORTED_SUBQUERY_EXPRESSION") ||
                 msg.contains("must be aggregated"))
                 RedshiftScript.rewriteCorrelatedLimit1(cur)
+              else if (msg.contains("BINARY_OP_DIFF_TYPES") &&
+                  msg.contains("\"BOOLEAN\"") &&
+                  (msg.contains("\"INT\"") || msg.contains("\"BIGINT\""))) {
+                // Redshift coerces integer literals to booleans in
+                // comparisons (`day_is_last_of_month = 1`, dim_dates
+                // consumers) — rewrite the named comparison's int-literal
+                // side to the boolean it denotes
+                val CmpRe = """\(([\w.]+) (=|<>|!=) (\d+)\)""".r
+                CmpRe.findFirstMatchIn(msg) match {
+                  case Some(cm) =>
+                    val col = cm.group(1).split("\\.").last
+                    val op = cm.group(2)
+                    val b = if (cm.group(3) == "0") "false" else "true"
+                    RedshiftScript.rewriteOutsideStrings(cur,
+                      "(?i)\\b((?:\\w+\\.)?" +
+                        java.util.regex.Pattern.quote(col) +
+                        ")\\s*" + java.util.regex.Pattern.quote(op) +
+                        "\\s*" + cm.group(3) + "\\b",
+                      "$1 " + op + " " + b)
+                  case None => cur
+                }
+              }
               else if (msg.contains("BINARY_OP_WRONG_TYPE") && msg.contains(" + ")) {
                 val viaOperands = RedshiftScript.PlusMismatchRe.findFirstMatchIn(msg)
                   .map(m => RedshiftScript.rewritePlusOperands(cur, m.group(1), m.group(2)))
@@ -2725,23 +2896,33 @@ object RedshiftScript {
             report("ALTER LAYOUT (no-op)")
           case UnloadRe(query, optsRaw) =>
             val optsKw = optsRaw.replaceAll("'[^']*'", "''")
-            val to = "(?is)\\bTO\\s+'([^']*)'".r.findFirstMatchIn(optsRaw)
+            // No TO clause: invalid as committed (Redshift requires TO) —
+            // the reference's orchestration injects the S3 path at render
+            // time (`4_dwh_risk/sku_market_valuation.sql:146` ships only
+            // IAM_ROLE/format options). Validate the query body and record
+            // the export as a path-injection no-op instead of failing the
+            // script's otherwise-runnable CTAS chain.
+            val toOpt = "(?is)\\bTO\\s+'([^']*)'".r.findFirstMatchIn(optsRaw)
               .map(m => remapPath(m.group(1)))
-              .getOrElse(throw new IllegalArgumentException(
-                "UNLOAD: no TO '<path>' (the reference's orchestration injects it — pass a TO clause)"))
             val df = sqlBody(tr(query.replaceAll("''", "'")))
-            val single = "(?i)\\bPARALLEL\\s+(?:OFF|FALSE)\\b".r.findFirstIn(optsKw).isDefined
-            val out = if (single) df.coalesce(1) else df
-            if ("(?i)\\bPARQUET\\b".r.findFirstIn(optsKw).isDefined)
-              out.write.mode("overwrite").parquet(to)
-            else {
-              val delim = "(?is)\\bDELIMITER\\s+(?:AS\\s+)?'([^']*)'".r
-                .findFirstMatchIn(optsRaw).map(_.group(1)).getOrElse("|")
-              out.write.mode("overwrite").option("delimiter", delim)
-                .option("header", "(?i)\\bHEADER\\b".r.findFirstIn(optsKw).isDefined.toString)
-                .csv(to)
+            toOpt match {
+              case None =>
+                df.queryExecution.analyzed
+                report("UNLOAD (no TO: validated only, path is render-injected)")
+              case Some(to) =>
+                val single = "(?i)\\bPARALLEL\\s+(?:OFF|FALSE)\\b".r.findFirstIn(optsKw).isDefined
+                val out = if (single) df.coalesce(1) else df
+                if ("(?i)\\bPARQUET\\b".r.findFirstIn(optsKw).isDefined)
+                  out.write.mode("overwrite").parquet(to)
+                else {
+                  val delim = "(?is)\\bDELIMITER\\s+(?:AS\\s+)?'([^']*)'".r
+                    .findFirstMatchIn(optsRaw).map(_.group(1)).getOrElse("|")
+                  out.write.mode("overwrite").option("delimiter", delim)
+                    .option("header", "(?i)\\bHEADER\\b".r.findFirstIn(optsKw).isDefined.toString)
+                    .csv(to)
+                }
+                report("UNLOAD")
             }
-            report("UNLOAD")
           case AlterOwnerRe() =>
             report("ALTER OWNER (no-op)")
           case AlterConstraintRe(_, _) =>

@@ -36,12 +36,35 @@ object LayerHarness {
   case object TNum extends ColType
   case object TInt extends ColType
   case object TBool extends ColType
+  /** Redshift TIME (dim_times.time) — staged as a day-time interval so
+    * `datum + time` composes to a TIMESTAMP the way Redshift's
+    * date+time addition does. */
+  case object TTime extends ColType
 
   def heuristicType(c: String): ColType =
-    if (isBoolCol(c)) TBool
-    else if (isDateCol(c)) TTs
+    if (c == "time") TTime
+    else if (isBoolCol(c)) TBool
+    // Redshift naming convention splits the temporal families: `*_date`/
+    // `datum`/`*_day` columns are DATE (so `x_date - y_date` is INTEGER
+    // day arithmetic, `dm_risk.v_asset_value_written_off_and_lost.sql`
+    // subtracts purchased_date bare), `*_at`/`*stamp` are TIMESTAMP
+    else if (isTsCol(c)) TTs
+    else if (isDateCol(c)) TDate
+    else if (isIntCol(c)) TInt
     else if (isNumCol(c)) TNum
     else TStr
+
+  private def isTsCol(c: String): Boolean =
+    c == "timestamp" || c.endsWith("_at") || c.endsWith("modstamp") ||
+      c.endsWith("tstamp") || c.endsWith("_timestamp") ||
+      c.endsWith("_datetime") ||
+      (c.endsWith("__c") && isDateCol(c))
+
+  /** Integer-typed warehouse columns that flow into INT-only contexts
+    * (`date_sub(date, max_dpd)` — days-past-due feeds day arithmetic,
+    * `4_dwh_risk/spain_customer_limit.sql`). */
+  private def isIntCol(c: String): Boolean =
+    c == "dpd" || c.endsWith("_dpd") || c == "payment_number"
 
   private def isDateCol(c: String): Boolean =
     c == "date" || c == "datum" || c == "createddate" || c == "timestamp" ||
@@ -65,7 +88,7 @@ object LayerHarness {
 
   private def isBoolCol(c: String): Boolean =
     c.startsWith("is_") || c.startsWith("has_") || c.endsWith("_flag") ||
-      c == "day_is_weekday" || c == "taxincluded"
+      c.startsWith("day_is_") || c == "taxincluded"
 
   private def isNumCol(c: String): Boolean =
     c.startsWith("amount") || c.endsWith("_amount") || c.contains("price") ||
@@ -107,6 +130,8 @@ object LayerHarness {
     // reference's real data is nonzero wherever it divides
     case TNum => (F.col("__id") + 1).cast("double").as(c)
     case TInt => (F.col("__id") + 1).cast("int").as(c)
+    case TTime => F.expr(
+      s"make_dt_interval(0, CAST(__id + 8 AS INT), ${dayStep(c) % 60}, 0)").as(c)
     // 1-based like the numerics: string-typed fixture columns get cast
     // to numerics by scripts (`customer_rfm_segmentation_historical
     // .sql:9` `c.subscriptions::float` as a divisor) and "0" would
@@ -122,6 +147,13 @@ object LayerHarness {
       seedTypes: Map[(String, String), ColType] = Map.empty,
       overrides: Map[(String, String), Column] = Map.empty,
       broken: Set[String] = Set.empty,
+      /** curated (table, column) placements the real warehouse provably
+        * lacks — the guess/pin machinery may never add them, and the
+        * ambiguity repair always drops them. Breaks repair fights where
+        * a forwarding CTE keeps ranking a column onto the wrong spine
+        * table (`master.customer` + `subscription_id`,
+        * `4_dwh_risk/v_b2b_payments_report.sql`). */
+      neverCols: Set[(String, String)] = Set.empty,
       log: String => Unit = _ => ()) {
 
     /** broken-in-reference scripts don't run; their output tables become
@@ -356,8 +388,16 @@ object LayerHarness {
         .getOrElse(fixtureCols(name).toSeq.sorted)
       if (cols.isEmpty) return
       val fields = cols.map { c =>
-        overrides.get((name, c)).map(_.as(c)).getOrElse(
-          colExpr(c, colTypes.getOrElse((name, c), heuristicType(c))))
+        structFields.get((name, c)) match {
+          // SUPER columns navigated with quoted field names (Airbyte
+          // `"_airbyte_data"."Customer ID"`) stage as STRUCTs carrying
+          // the demanded fields; digit-string values survive the
+          // scripts' VARCHAR and regexp-stripped DECIMAL casts
+          case Some(fs) => F.struct(fs.toSeq.sorted.map(f =>
+            (F.col("__id") + 1).cast("string").as(f)): _*).as(c)
+          case None => overrides.get((name, c)).map(_.as(c)).getOrElse(
+            colExpr(c, colTypes.getOrElse((name, c), heuristicType(c))))
+        }
       }
       val df = spark.range(3).toDF("__id").select(fields: _*)
       val parts = name.split("\\.")
@@ -458,6 +498,25 @@ object LayerHarness {
       * INCOMPATIBLE_COLUMN_TYPE repair — never flipped again */
     private val flipped = mutable.Set.empty[(String, String)]
 
+    /** SUPER fixture columns staged as structs: (table, column) →
+      * demanded field names (original spelling — they carry spaces and
+      * punctuation, `"Amount Overdue** (PbI Adjusted)"`) */
+    private val structFields =
+      mutable.Map.empty[(String, String), mutable.Set[String]]
+
+    /** placements a repair moved TO a temporal type — analyzer-demanded
+      * DATE/TIMESTAMP evidence beats the weaker operator-shape
+      * inferences, so these never demote back to int/num (the
+      * `purchased_date` TInt↔TDate tug-of-war, `4_dwh_risk`) */
+    private val temporalDemanded = mutable.Set.empty[(String, String)]
+
+    /** every type a placement has already HELD — a retype back to one of
+      * these is a repair cycle (two statements demanding incompatible
+      * types); refuse it and leave the residual to a statement-text
+      * repair instead of spinning the round budget */
+    private val typeHistory =
+      mutable.Map.empty[(String, String), mutable.Set[ColType]]
+
     /** Apply one fix for this failure. True = something changed. */
     private def applyFix(
         script: String, text: String, failing: Option[String], err: String): Boolean = {
@@ -488,68 +547,140 @@ object LayerHarness {
       }
       Unresolved.findFirstMatchIn(err) match {
         case Some(m) =>
-          val (qual, col) = Option(m.group(2)) match {
+          val span = failing.getOrElse(text)
+          val binds = bindingsIn(span)
+          /** One placement attempt for an unresolved (qual, col); the
+            * error-named column first, then other unresolved attributes
+            * harvested from the plan dump (Spark reports ONE name and it
+            * may be a DOWNSTREAM casualty: `duplicate_subscriptions`'s
+            * `subscription_id` is unresolvable only because `base_`'s
+            * `subscription_bo_id`/`date` are the real gaps —
+            * `4_dwh_risk/v_b2b_payments_report.sql`). */
+          def tryPlace(qual: Option[String], col: String,
+              fieldCase: Option[String]): Boolean = {
+            // `"_airbyte_data"."Customer ID"`: the "qualifier" is itself
+            // a SUPER column on a bound fixture (Airbyte raw landing,
+            // `4_dwh_risk/pbi_customer_tracking.sql:10`) — stage that
+            // column as a STRUCT carrying the demanded field. Only when
+            // no alias of this name is bound (a real alias always wins).
+            for (q <- qual) {
+              if (!binds.exists(_._1 == q) && (q.startsWith("_airbyte") ||
+                  binds.map(_._2).exists(t => fixtureCols.get(t).exists(_(q))))) {
+                val holder = binds.map(_._2).distinct
+                  .find(t => fixtureCols.get(t).exists(_(q)))
+                  .orElse(binds.map(_._2).headOption)
+                for (t <- holder) {
+                  fixtureCols.get(t).foreach(_ += q)
+                  val fs = structFields.getOrElseUpdate((t, q), mutable.Set.empty)
+                  val field = fieldCase.getOrElse(col)
+                  if (!fs.exists(_.equalsIgnoreCase(field))) {
+                    log(s"auto-add struct field $t.$q.`$field`")
+                    fs += field; stage(t); return true
+                  }
+                }
+              }
+            }
+            val candidates = qual match {
+              case Some(q) =>
+                val direct = binds.collect { case (a, t) if a == q => t }.distinct
+                if (direct.nonEmpty) direct
+                else {
+                  // the alias names a CTE (`targets AS (SELECT *, … FROM
+                  // dwh.commercial_targets_daily_country)`): a `SELECT *`
+                  // CTE forwards a fixture's columns, so rank fixtures by
+                  // how many of the analyzer's sibling suggestions
+                  // (`t`.`id`, `t`.`country`) they already hold
+                  val sibs = ("`" + java.util.regex.Pattern.quote(q) + "`\\.`(\\w+)`").r
+                    .findAllMatchIn(err).map(_.group(1).toLowerCase).toSet - col
+                  binds.map(_._2).distinct
+                    .sortBy(t => -fixtureCols.get(t).map(cs => sibs.count(cs)).getOrElse(0))
+                }
+              case None =>
+                // the analyzer's suggestions name the IN-SCOPE aliases
+                // (`[`f`.`fact_day`, `s`.`sold_date`]`) — an unqualified
+                // guess must land inside that scope, not on a table another
+                // part of the statement binds. Rank by suggestion count:
+                // the alias contributing most in-scope columns is the wide
+                // source table likeliest to own an unqualified reference
+                val suggPairs = "`(\\w+)`\\.`\\w+`".r.findAllMatchIn(err)
+                  .map(_.group(1).toLowerCase).toSeq
+                val sugg = suggPairs.toSet
+                val byAlias = suggPairs.groupBy(identity).map { case (a, o) => a -> o.size }
+                val scoped = binds.collect { case (a, t) if sugg(a) => (a, t) }
+                if (scoped.nonEmpty)
+                  scoped.sortBy { case (a, _) => -byAlias.getOrElse(a, 0) }
+                    .map(_._2).distinct
+                else binds.map(_._2).distinct
+            }
+            // `<entity>_id` columns almost surely live on the `<entity>`
+            // table — rank candidates by that affinity (stable: preserves
+            // the suggestion ranking within equal affinity) so guesses and
+            // pins land on master.subscription_historical for
+            // `subscription_id`, not master.customer
+            def affinity(t: String): Int = {
+              val base = t.split("\\.").last
+              if (col.endsWith("_id") &&
+                  base.startsWith(col.stripSuffix("_id"))) 1
+              else 0
+            }
+            val ranked = candidates.sortBy(t => -affinity(t))
+            // add to the first candidate fixture that lacks it; repeated
+            // rounds walk down the list until the analyzer is satisfied.
+            // Only a DIRECTLY-bound alias is analyzer-confirmed evidence
+            // of ownership; CTE-sibling-ranked placements are still
+            // guesses — they mark guessed and respect tabu like
+            // unqualified ones
+            val directQual = qual.exists(q => binds.exists(_._1 == q))
+            ranked.find(t => fixtureCols.contains(t) && !fixtureCols(t)(col) &&
+                !neverCols((t, col)) && (directQual || !tabu((t, col)))) match {
+              case Some(t) =>
+                log(s"auto-add $t.$col")
+                fixtureCols(t) += col
+                if (!directQual) guessed += ((t, col))
+                else weak -= ((t, col)) // analyzer-confirmed: no longer droppable
+                stage(t); true
+              case None =>
+                // every candidate is tabu from a prior ambiguity drop, yet
+                // the analyzer demands the column HERE: re-add to the
+                // best-ranked candidate and PIN it so the repair can't
+                // drop it again — but never pin a SECOND holder for the
+                // same name (pinning both sides is what froze the
+                // v_b2b_payments_report ambiguity)
+                val alreadyPinned = candidates.exists(t => pinnedCols((t, col)))
+                ranked.find(t => fixtureCols.contains(t) &&
+                    !fixtureCols(t)(col) && !neverCols((t, col)) &&
+                    !alreadyPinned) match {
+                  case Some(t) =>
+                    log(s"re-add pinned $t.$col (tabu override)")
+                    tabu -= ((t, col)); fixtureCols(t) += col
+                    pinnedCols += ((t, col)); guessed -= ((t, col))
+                    stage(t); true
+                  case None => false
+                }
+            }
+          }
+          val (qual0, col0) = Option(m.group(2)) match {
             case Some(c) => (Some(m.group(1).toLowerCase), c.toLowerCase)
             case None => (None, m.group(1).toLowerCase)
           }
-          val span = failing.getOrElse(text)
-          val binds = bindingsIn(span)
-          val candidates = qual match {
-            case Some(q) =>
-              val direct = binds.collect { case (a, t) if a == q => t }.distinct
-              if (direct.nonEmpty) direct
-              else {
-                // the alias names a CTE (`targets AS (SELECT *, … FROM
-                // dwh.commercial_targets_daily_country)`): a `SELECT *`
-                // CTE forwards a fixture's columns, so rank fixtures by
-                // how many of the analyzer's sibling suggestions
-                // (`t`.`id`, `t`.`country`) they already hold
-                val sibs = ("`" + java.util.regex.Pattern.quote(q) + "`\\.`(\\w+)`").r
-                  .findAllMatchIn(err).map(_.group(1).toLowerCase).toSet - col
-                binds.map(_._2).distinct
-                  .sortBy(t => -fixtureCols.get(t).map(cs => sibs.count(cs)).getOrElse(0))
-              }
-            case None =>
-              // the analyzer's suggestions name the IN-SCOPE aliases
-              // (`[`f`.`fact_day`, `s`.`sold_date`]`) — an unqualified
-              // guess must land inside that scope, not on a table another
-              // part of the statement binds. Rank by suggestion count:
-              // the alias contributing most in-scope columns is the wide
-              // source table likeliest to own an unqualified reference
-              val suggPairs = "`(\\w+)`\\.`\\w+`".r.findAllMatchIn(err)
-                .map(_.group(1).toLowerCase).toSeq
-              val sugg = suggPairs.toSet
-              val byAlias = suggPairs.groupBy(identity).map { case (a, o) => a -> o.size }
-              val scoped = binds.collect { case (a, t) if sugg(a) => (a, t) }
-              if (scoped.nonEmpty)
-                scoped.sortBy { case (a, _) => -byAlias.getOrElse(a, 0) }
-                  .map(_._2).distinct
-              else binds.map(_._2).distinct
-          }
-          // add to the first candidate fixture that lacks it; repeated
-          // rounds walk down the list until the analyzer is satisfied —
-          // unqualified guesses skip tabu placements (prior ambiguity drops)
-          candidates.find(t => fixtureCols.contains(t) && !fixtureCols(t)(col) &&
-              (qual.nonEmpty || !tabu((t, col)))) match {
-            case Some(t) =>
-              log(s"auto-add $t.$col")
-              fixtureCols(t) += col
-              if (qual.isEmpty) guessed += ((t, col))
-              else weak -= ((t, col)) // analyzer-confirmed: no longer droppable
-              stage(t); return true
-            case None =>
-              // every candidate is tabu from a prior ambiguity drop, yet
-              // the analyzer demands the column HERE: re-add to the best
-              // candidate and PIN it so the repair can't drop it again
-              candidates.find(t => fixtureCols.contains(t) && !fixtureCols(t)(col)) match {
-                case Some(t) =>
-                  log(s"re-add pinned $t.$col (tabu override)")
-                  tabu -= ((t, col)); fixtureCols(t) += col
-                  pinnedCols += ((t, col)); guessed -= ((t, col))
-                  stage(t); return true
-                case None => return false
-              }
-          }
+          if (tryPlace(qual0, col0, Option(m.group(2)))) return true
+          // fallback: the plan dump marks every unresolved attribute with
+          // a leading apostrophe — try those (dotted first: they carry
+          // their own alias evidence). Function heads are excluded by the
+          // no-`(`-follows guard; plan node names start uppercase.
+          val keywords = Set("asc", "desc", "nulls", "first", "last", "true",
+            "false", "null", "interval", "list")
+          val dotted = "'(\\w+)\\.(\\w+)\\b(?![\\w(.])".r.findAllMatchIn(err)
+            .map(mm => (Some(mm.group(1).toLowerCase), mm.group(2).toLowerCase))
+            .toSeq
+          val bare = "'([a-z_]\\w*)\\b(?![\\w(.])".r.findAllMatchIn(err)
+            .map(mm => (None: Option[String], mm.group(1).toLowerCase)).toSeq
+          val fallbacks = (dotted ++ bare).distinct
+            .filterNot { case (q2, c2) =>
+              (q2, c2) == (qual0, col0) || keywords(c2) }
+          for ((q2, c2) <- fallbacks)
+            if (tryPlace(q2, c2, None)) return true
+          return false
         case None => ()
       }
       // INSERT arity mismatches have two classified causes:
@@ -638,8 +769,9 @@ object LayerHarness {
               a2 == a && fixtureCols.get(t).exists(_(col)) })
           if (holders.size > 1 || (holders.nonEmpty && immovable)) {
             val removable =
-              holders.filter(t => (guessed((t, col)) || weak((t, col))) &&
-                  !pinnedCols((t, col))) match {
+              holders.filter(t => neverCols((t, col)) ||
+                  ((guessed((t, col)) || weak((t, col))) &&
+                  !pinnedCols((t, col)))) match {
                 case all if all.size == holders.size && !immovable => all.tail
                 case some => some
               }
@@ -654,6 +786,29 @@ object LayerHarness {
           }
           return false
         case None => ()
+      }
+      // a second field demanded from an already-struct-staged SUPER
+      // column (`"_airbyte_data"."Amount Overdue** (PbI Adjusted)"` after
+      // "Customer ID" made `_airbyte_data` a struct)
+      locally {
+        val FieldNotFound = "FIELD_NOT_FOUND[^`]*`([^`]+)`".r
+        FieldNotFound.findFirstMatchIn(err) match {
+          case Some(m) =>
+            val field = m.group(1)
+            val spanTables = bindingsIn(failing.getOrElse(text)).map(_._2).toSet
+            val targets = structFields.keys
+              .filter(k => spanTables.isEmpty || spanTables(k._1)).toSeq
+            val fresh = targets.filterNot(k =>
+              structFields(k).exists(_.equalsIgnoreCase(field)))
+            if (fresh.nonEmpty) {
+              fresh.foreach { k =>
+                log(s"auto-add struct field ${k._1}.${k._2}.`$field`")
+                structFields(k) += field; stage(k._1)
+              }
+              return true
+            }
+          case None => ()
+        }
       }
       // `SELECT a.*, b.x` duplicating an output name because a guess put
       // `x` on BOTH starred fixtures — same removal rule as ambiguity
@@ -694,12 +849,27 @@ object LayerHarness {
       }
       // type repair: the analyzer/runtime names the offending expression;
       // retype the fixture columns appearing in it
-      val frag = MismatchExpr.findFirstMatchIn(err).map(_.group(1))
+      val fragWhole = MismatchExpr.findFirstMatchIn(err).map(_.group(1))
         .orElse(Some(err.substring(err.indexOf("==") match {
           case -1 => 0; case i => i
         }))).getOrElse(err)
+      // UNEXPECTED_INPUT_TYPE names the exact offending operand after
+      // `however "…" has` — retyping ids from the WHOLE call would drag
+      // innocent arguments along (`date_sub(date, max_dpd)`: the second
+      // parameter's INT demand must not retype `date`)
+      val frag =
+        if (err.contains("UNEXPECTED_INPUT_TYPE"))
+          """however "([^"]+)" has""".r.findFirstMatchIn(err)
+            .map(_.group(1)).getOrElse(fragWhole)
+        else fragWhole
+      // `CAST(submitted_date AS DATE)` over a fixture column an earlier
+      // repair (or mis-heuristic) left INT — the analyzer names the
+      // impossible cast's target (CAST_WITH_FUNC_SUGGESTION /
+      // CANNOT_CAST); retype the named columns to the target type
+      val CastTo2 = """cannot cast "\w+" to "(\w+)""".r
       val wanted: Option[ColType] =
-        CastTo.findFirstMatchIn(err).map(_.group(1)) match {
+        CastTo.findFirstMatchIn(err).map(_.group(1))
+          .orElse(CastTo2.findFirstMatchIn(err).map(_.group(1))) match {
           case Some("TIMESTAMP") => Some(TTs)
           case Some("DATE") => Some(TDate)
           case Some("BOOLEAN") => Some(TBool)
@@ -710,6 +880,18 @@ object LayerHarness {
             val hasInt = err.contains("\"INT\"") || err.contains("\"BIGINT\"")
             if (err.contains("DATA_DIFF_TYPES") && err.contains("\"STRING\"") && hasTemporal)
               Some(TTs)
+            // string fixture column compared against a timestamp operand
+            // (`canceled_date >= fact_date`, dm_risk manual-review reports)
+            else if (err.contains("BINARY_OP_DIFF_TYPES") &&
+                err.contains("\"STRING\"") && hasTemporal) Some(TTs)
+            // `asset_was_delivered is true` over a string fixture column —
+            // the was_/flag column is boolean in the warehouse
+            else if (err.contains("BINARY_OP_DIFF_TYPES") &&
+                err.contains("\"BOOLEAN\"") && err.contains("\"STRING\""))
+              Some(TBool)
+            // `WHERE day_is_last_of_month` — non-boolean fixture column
+            // used bare as a predicate
+            else if (err.contains("FILTER_NOT_BOOLEAN")) Some(TBool)
             else if (err.contains("BINARY_OP_DIFF_TYPES") && hasTemporal && hasInt)
               // Redshift `date + n` day arithmetic vs a 0/1 int flag
               // compared with `=`: the operator disambiguates
@@ -722,15 +904,26 @@ object LayerHarness {
                 err.contains("\"BOOLEAN\"") && hasInt) Some(TInt)
             else if (err.contains("DATA_DIFF_TYPES") && err.contains("\"STRING\"") &&
                 (err.contains("\"DOUBLE\"") || err.contains("\"DECIMAL\""))) Some(TNum)
-            else if (err.contains("UNEXPECTED_INPUT_TYPE") && hasInt) Some(TInt)
-            // `sum(is_paid)` — aggregate needs NUMERIC over a bool flag
-            else if (err.contains("UNEXPECTED_INPUT_TYPE") &&
-                err.contains("\"NUMERIC\"") && err.contains("\"BOOLEAN\"")) Some(TInt)
-            // `CASE WHEN paypal_verified THEN …` over a string fixture
-            // column used as a predicate (`2_ods_risk/01_order_manual_
-            // review.sql:58`)
-            else if (err.contains("UNEXPECTED_INPUT_TYPE") &&
-                err.contains("requires the \"BOOLEAN\"")) Some(TBool)
+            // the analyzer states what the parameter REQUIRES — retype
+            // toward the required type, not toward whatever type the
+            // operand happens to have (`year((date - 30))` requires DATE
+            // because `date` drifted to INT; the old hasInt shortcut read
+            // the INT and retyped the wrong way, oscillating —
+            // `4_dwh_risk/sku_market_valuation.sql`)
+            else if (err.contains("UNEXPECTED_INPUT_TYPE")) {
+              val Req = """requires the \(?"(\w+)""".r
+              Req.findFirstMatchIn(err).map(_.group(1)) match {
+                case Some("DATE") => Some(TDate)
+                case Some("TIMESTAMP") => Some(TTs)
+                case Some("BOOLEAN") => Some(TBool)
+                case Some("INT") | Some("BIGINT") | Some("SMALLINT") |
+                    Some("INTEGRAL") => Some(TInt)
+                // `sum(is_paid)` — NUMERIC over a bool 0/1 flag
+                case Some("NUMERIC") | Some("DOUBLE") | Some("DECIMAL") =>
+                  Some(TInt)
+                case _ => if (hasInt) Some(TInt) else None
+              }
+            }
             else None
         }
       // a UNION mixing TRUE/FALSE literals with a flag column an earlier
@@ -782,9 +975,17 @@ object LayerHarness {
               // DATE satisfies TIMESTAMP contexts by coercion — never
               // walk a date back up, or +int repair would oscillate
               val skip = ty == TTs && cur == TDate
-              if (ids(c) && cur != ty && !skip && !overrides.contains((t, c))) {
+              // analyzer-demanded temporal placements never demote
+              val demote = Set[ColType](TInt, TNum, TBool, TStr)(ty) &&
+                temporalDemanded((t, c))
+              val cycle =
+                typeHistory.get((t, c)).exists(_(ty))
+              if (ids(c) && cur != ty && !skip && !demote && !cycle &&
+                  !overrides.contains((t, c))) {
                 log(s"retype $t.$c $cur -> $ty")
+                typeHistory.getOrElseUpdate((t, c), mutable.Set.empty) += cur
                 colTypes((t, c)) = ty; changed = true
+                if (ty == TDate || ty == TTs) temporalDemanded += ((t, c))
               }
             }
           }

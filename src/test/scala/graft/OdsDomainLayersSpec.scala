@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Runs the remaining `1_ods_*` / `2_ods_*` domain staging layers
+  * VERBATIM, grouped the way the reference's Airflow DAGs fan out
+  * between the raw extracts and `3_master`:
+  *
+  *  - finance: `1_ods_finance` (ledger/payment staging chain,
+  *    `01_payment_all.sql` UNION spine) + `2_ods_finance`
+  *    (settlement/refund curations).
+  *  - ops: `1_ods_ops` (allocation history, tracking events,
+  *    `02_allocation_return_condition.sql`) + `2_ods_ops`.
+  *  - the small domains: b2b, grover_card, marketing, product, risk
+  *    on both rungs.
+  *
+  * Each group must converge to zero failures and re-run idempotently.
+  */
+class OdsDomainLayersSpec extends SparkSpec {
+
+  private val Base = "/root/reference/Datawarehouse-ETL"
+  private val Pinned = "2024-06-15"
+
+  private def scriptsOf(dir: String): Seq[(String, String)] = {
+    val p = Paths.get(s"$Base/$dir")
+    if (!Files.exists(p)) return Seq.empty
+    Files.list(p).iterator.asScala
+      .filter(_.toString.endsWith(".sql")).toSeq.sortBy(_.getFileName.toString)
+      .map(f => s"$dir/${f.getFileName}" ->
+        new String(Files.readAllBytes(f), java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def runLayer(name: String, dirs: Seq[String],
+      broken: Set[String] = Set.empty): Unit = {
+    val scripts = dirs.flatMap(scriptsOf)
+    assume(scripts.nonEmpty)
+    val layer = new LayerHarness.Layer(spark, scripts, Some(Pinned),
+      broken = broken, log = m => info(s"harness[$name]: $m"))
+    val failures = layer.converge()
+    println(layer.summaryJson(name, failures))
+    failures.foreach { case (n, e) => info(s"FAILED $n: ${e.take(900)}") }
+    assert(failures === Map.empty, name)
+    val root = Files.createTempDirectory(s"graft-$name").toString
+    val rerun = layer.runAll(root)
+    rerun.foreach { case (n, e) => info(s"RERUN FAILED $n: ${e.take(900)}") }
+    assert(rerun === Map.empty, name)
+  }
+
+  test("the 1_ods_finance + 2_ods_finance staging layers run verbatim, twice") {
+    runLayer("ods_finance", Seq("1_ods_finance", "2_ods_finance"))
+  }
+
+  test("the 1_ods_ops + 2_ods_ops staging layers run verbatim, twice") {
+    runLayer("ods_ops", Seq("1_ods_ops", "2_ods_ops"))
+  }
+
+  test("the small ods domain staging layers run verbatim, twice") {
+    runLayer("ods_small",
+      Seq("1_ods_b2b", "1_ods_grover_card", "1_ods_marketing",
+        "1_ods_product", "1_ods_risk", "2_ods_b2b", "2_ods_grover_card",
+        "2_ods_marketing"))
+  }
+}

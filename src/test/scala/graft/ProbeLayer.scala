@@ -19,8 +19,19 @@ object ProbeLayer {
     val scripts = Files.list(layerDir).iterator.asScala
       .filter(_.toString.endsWith(".sql")).toSeq.sortBy(_.getFileName.toString)
       .map(p => p.getFileName.toString -> new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8))
+    // third arg: comma-separated `schema.table.column` never-placements
+    val never: Set[(String, String)] = args.lift(2) match {
+      case Some(a) => a.split(",").toSet
+        .filter((s0: String) => s0.count(_ == '.') == 2)
+        .map { s0: String =>
+          val i = s0.lastIndexOf('.')
+          (s0.substring(0, i), s0.substring(i + 1))
+        }
+      case None => Set.empty
+    }
     val layer = new LayerHarness.Layer(spark, scripts, Some("2024-06-15"),
-      broken = broken, log = m => println(s"harness: $m"))
+      broken = broken, neverCols = never,
+      log = m => println(s"harness: $m"))
     val failures =
       try layer.converge()
       catch {
