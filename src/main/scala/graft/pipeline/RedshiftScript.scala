@@ -303,9 +303,21 @@ object RedshiftScript {
           java.util.regex.Matcher.quoteReplacement(
             s"get_json_object(${m.group(1)}, '$$${m.group(2)}')"))
       }
+    // Redshift names an unaliased SUPER navigation select item by its
+    // LAST path segment (`f."entryTitle".en::text,` → column `en`,
+    // referenced downstream as `lp.en` — `4_dwh_catman/
+    // contentful_campaigns.sql:25,57`): alias the bare whole-line items
+    // the path rewrite produced
+    val implicitNamed = ("(?m)^([ \\t]*)(\\(?CAST\\(variant_get\\(\\w+, " +
+      "'\\$\\.([\\w.]+)'\\) AS STRING\\)\\)?(?:::\\w+)*)([ \\t]*,?[ \\t]*)$").r
+      .replaceAllIn(elemRewritten, m => {
+        val seg = m.group(3).split("\\.").last
+        java.util.regex.Matcher.quoteReplacement(
+          m.group(1) + m.group(2) + " AS " + seg + m.group(4))
+      })
     // JSON_PARSE materializes the variant once; invalid JSON yields NULL
     // (the reference guards with IS_VALID_JSON anyway)
-    elemRewritten.replaceAll("(?i)\\bjson_parse\\s*\\(", "try_parse_json(")
+    implicitNamed.replaceAll("(?i)\\bjson_parse\\s*\\(", "try_parse_json(")
   }
 
   /** Redshift's 2-arg `REGEXP_REPLACE(str, pattern)` deletes the matches
@@ -1031,6 +1043,19 @@ object RedshiftScript {
       // `atomic.levenshtein(...)`) — Spark has the builtin; drop the
       // schema qualifier
       "(?i)[\"`]?\\batomic[\"`]?\\.(levenshtein)\\s*\\(" -> "$1(",
+      // Redshift/Postgres `TIMEZONE('tz', ts)` ≡ CONVERT_TIMEZONE('tz', ts)
+      // (`4_dwh_catman/live_reporting.order.sql:115`); `timestamptz(x)`
+      // type-constructor ≡ a timestamp read of x. Spark has neither name.
+      "(?i)\\btimezone\\s*\\(" -> "convert_timezone(",
+      "(?i)\\btimestamptz\\s*\\(" -> "to_timestamp(",
+      // JSON_SERIALIZE over an already-stringified SUPER navigation
+      // (rewriteSuperPaths emits CAST(variant_get … AS STRING)) is the
+      // identity (`4_dwh_catman/contentful_campaigns.sql:50`)
+      "(?i)\\bjson_serialize\\s*\\(" -> "(",
+      // doubled schema qualifier `dm_catman.dm_catman.v_add_on_US`
+      // (`4_dwh_catman/add_on_US.sql:2`) — Redshift resolves the 3-part
+      // name through the same-named database; collapse the duplicate
+      "(?i)\\b(\\w+)\\.\\1\\.(\\w+)" -> "$1.$2",
       // Redshift double-quotes are ALWAYS identifiers (`i."key"::text`,
       // `master."order"`); Spark's default parser reads them as strings —
       // convert to backticks (single-quoted literals are never touched)
@@ -1476,10 +1501,120 @@ object RedshiftScript {
     * there), so grouping degenerates to row de-duplication — rewrite to
     * `SELECT DISTINCT * FROM t`.
     */
-  private[pipeline] def rewriteStarGroupByOrdinal(sql: String): String =
-    sql.replaceAll(
-      "(?is)\\bselect\\s+\\*\\s+from\\s+([\\w.]+)\\s+group\\s+by\\s+\\d+(?:\\s*,\\s*\\d+)*",
-      "select distinct * from $1")
+  private[graft] def rewriteStarGroupByOrdinal(sql: String): String = {
+    // general form: any `SELECT * [, extras] … GROUP BY n[, n…]` — the
+    // statement is valid in Redshift only if the ordinals cover every
+    // starred column (an omitted one would be an ungrouped-column error
+    // there), so the grouping is row de-duplication: DISTINCT the select
+    // and drop the ordinal list. Extras beyond `*` are window/case items
+    // Redshift evaluates over the grouped rows
+    // (`4_dwh_catman/widget_0_feed.sql:121-135`) — with unique input
+    // rows (and grouped rows ARE unique) distinct-after-window agrees.
+    val GroupOrd = "(?i)\\bgroup\\s+by\\s+\\d+(?:\\s*,\\s*\\d+)*".r
+    // the SELECT owning `pos`: the latest SELECT seen at pos's own paren
+    // depth with no depth dip in between (CTE bodies sit at depth ≥ 1,
+    // which enclosingSelectStart's depth-0 walk never reaches)
+    def scopeSelect(s: String, pos: Int): Int = {
+      val upper = s.toUpperCase
+      def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+      val lastSel = mutable.Map.empty[Int, Int]
+      var j = 0; var d = 0
+      var inS = false; var lc = false; var bc = false
+      while (j < pos) {
+        val c = s.charAt(j)
+        val next = if (j + 1 < s.length) s.charAt(j + 1) else ' '
+        if (lc) { if (c == '\n') lc = false }
+        else if (bc) { if (c == '*' && next == '/') { bc = false; j += 1 } }
+        else if (inS) { if (c == '\'') inS = false }
+        else c match {
+          case '\'' => inS = true
+          case '-' if next == '-' => lc = true; j += 1
+          case '/' if next == '*' => bc = true; j += 1
+          case '(' => d += 1
+          case ')' => lastSel.remove(d); d -= 1
+          case _ =>
+            if (upper.startsWith("SELECT", j) &&
+                (j == 0 || !isWord(s.charAt(j - 1))) &&
+                (j + 6 >= s.length || !isWord(s.charAt(j + 6))))
+              lastSel(d) = j
+        }
+        j += 1
+      }
+      lastSel.getOrElse(d, -1)
+    }
+    var out = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 64) {
+      guard += 1
+      changed = false
+      val s = out
+      val hits = GroupOrd.findAllMatchIn(s).toSeq
+      def scanClose(str: String, open: Int): Int = {
+        var i = open + 1; var depth = 1; var inStr = false
+        while (i < str.length && depth > 0) {
+          val c = str.charAt(i)
+          if (inStr) { if (c == '\'') inStr = false }
+          else c match {
+            case '\'' => inStr = true
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ => ()
+          }
+          i += 1
+        }
+        if (depth == 0) i - 1 else -1
+      }
+      // an aggregate call NOT followed by OVER means the query genuinely
+      // groups: `SELECT b.*, max(…) GROUP BY 1,2,3` (the ordinals cover
+      // b.* — `4_dwh_catman/purchase_discount_report.sql:122-129`) maps
+      // to Spark's GROUP BY ALL; a windows-only list is row dedup
+      def hasPlainAgg(list: String): Boolean = {
+        val AggHead = ("(?i)\\b(sum|min|max|avg|count|median|listagg|" +
+          "stddev|variance|bool_or|bool_and|percentile_cont)\\s*\\(").r
+        AggHead.findAllMatchIn(list).exists { am =>
+          val close = scanClose(list, am.end - 1)
+          close >= 0 && {
+            var k = close + 1
+            while (k < list.length && list.charAt(k).isWhitespace) k += 1
+            !(k + 4 <= list.length &&
+              list.substring(k, k + 4).equalsIgnoreCase("over"))
+          }
+        }
+      }
+      hits.find { m =>
+        val sel = scopeSelect(s, m.start)
+        if (sys.env.contains("GRAFT_SG_DEBUG"))
+          System.err.println(s"SGDBG hit@${m.start} sel=$sel head=" +
+            (if (sel >= 0) s.substring(sel, math.min(s.length, sel + 40))
+              .replaceAll("\\s+", " ") else ""))
+        sel >= 0 && {
+          val head = s.substring(sel + 6, math.min(s.length, sel + 80))
+            .replaceAll("(?s)/\\*.*?\\*/", " ").trim
+            .replaceFirst("(?i)^distinct\\s+", "")
+          head.startsWith("*") || head.matches("(?is)^\\w+\\.\\*.*")
+        }
+      } match {
+        case Some(m) =>
+          val sel = scopeSelect(s, m.start)
+          val isDistinct = s.substring(sel + 6, math.min(s.length, sel + 80))
+            .trim.toLowerCase.startsWith("distinct")
+          val list = s.substring(sel + 6, m.start).replaceAll("'[^']*'", "''")
+          if (hasPlainAgg(list)) {
+            out = s.substring(0, m.start) + "group by all" + s.substring(m.end)
+          } else {
+            val cut = s.substring(0, m.start) + s.substring(m.end)
+            out =
+              if (isDistinct) cut
+              else cut.substring(0, sel + 6) + " distinct " +
+                cut.substring(sel + 6)
+          }
+          changed = true
+        case None => ()
+      }
+    }
+    out
+  }
 
   /** Drop EXACT-duplicate select-list items (same expression, same alias,
     * whitespace-insensitive) — the reference duplicates a whole line in
@@ -2359,13 +2494,23 @@ object RedshiftScript {
                   .getOrElse(cur)
               }
               else if (msg.contains("MISSING_AGGREGATION")) {
-                // a window PARTITION/ORDER BY over select-list aliases in
-                // a grouped query (`dm_marketing.v_product_sku_vs_paid_
-                // orders.sql:26-28`): Spark reports the alias as a
-                // non-aggregating expression before the lateral-window
-                // diagnosis can fire — substituting the alias expressions
-                // into the OVER clauses makes them grouping expressions
-                RedshiftScript.substituteAliasesInWindows(cur)
+                // Two Redshift-resolvable shapes behind one error class:
+                //  (a) a window PARTITION/ORDER BY over select-list
+                //      aliases in a grouped query (`dm_marketing
+                //      .v_product_sku_vs_paid_orders.sql:26-28`) —
+                //      substituting the alias expressions into the OVER
+                //      clauses makes them grouping expressions;
+                //  (b) a lateral alias OVER AGGREGATES (`count(…) AS
+                //      stock_on_hand, …, stock_on_hand + reserved_count
+                //      AS available_count`, `4_dwh_catman/
+                //      contentful_campaigns.sql:646-656`) — inline the
+                //      named alias's defining aggregate.
+                val viaWindows = RedshiftScript.substituteAliasesInWindows(cur)
+                if (viaWindows != cur) viaWindows
+                else "non-aggregating expression \"(\\w+)\"".r
+                  .findFirstMatchIn(msg)
+                  .map(am => RedshiftScript.inlineLateralAlias(cur, am.group(1)))
+                  .getOrElse(cur)
               }
               else if (msg.contains("STAR_GROUP_BY_POS"))
                 RedshiftScript.rewriteStarGroupByOrdinal(cur)
@@ -2746,7 +2891,12 @@ object RedshiftScript {
     }
 
     def runStatement(raw: String): StatementReport = {
+      // doubled schema qualifier on a DDL target
+      // (`CREATE VIEW dm_catman.dm_catman.v_add_on_US`,
+      // `4_dwh_catman/add_on_US.sql:2`) — collapse before verb parsing;
+      // the translate-time rule only reaches query bodies
       val stmt = stripLeadingComments(raw.trim)
+        .replaceAll("(?i)\\b(\\w+)\\.\\1\\.(\\w+)", "$1.$2")
       val t0 = System.nanoTime()
       def report(verb: String, target: Option[String] = None) =
         StatementReport(verb, target, ok = true, (System.nanoTime() - t0) / 1e9, None)

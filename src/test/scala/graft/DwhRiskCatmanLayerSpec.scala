@@ -67,6 +67,22 @@ class DwhRiskCatmanLayerSpec extends SparkSpec {
   test("the 4_dwh_catman layer runs verbatim, twice") {
     val dir = "/root/reference/Datawarehouse-ETL/4_dwh_catman"
     assume(Files.exists(Paths.get(dir)))
-    runLayer("dwh_catman", scriptsOf(dir))
+    // Broken IN THE REFERENCE (fail on a fresh Redshift run too):
+    //  - bi_ods.store.sql: the dangling second THEN with no WHEN
+    //    (`THEN 'Grover - Germany'::text` directly followed by
+    //    `THEN 'Grover - '::text + c.name`, lines 33-34) — the same
+    //    defect family as 0_ods_core/00_store.sql.
+    //  - v_actuals_vs_targets_new.sql: the payment_type IN-list never
+    //    closes (lines 59-66: `'FIRST' AND paid_date… GROUP BY`) —
+    //    unparseable anywhere.
+    //  - 1_utilization.sql: `0::float AS number_of_assets_inbound` twice
+    //    (lines 125-126, a commented arity pad) in the FIRST branch of
+    //    the CTAS union — duplicate CTAS column names are rejected by
+    //    Redshift as well.
+    //  - US_Customer_Analysis.sql: `c.subscription_limit` twice (lines
+    //    113, 121) in one CTAS select list — same defect.
+    runLayer("dwh_catman", scriptsOf(dir),
+      broken = Set("bi_ods.store.sql", "v_actuals_vs_targets_new.sql",
+        "1_utilization.sql", "US_Customer_Analysis.sql"))
   }
 }
