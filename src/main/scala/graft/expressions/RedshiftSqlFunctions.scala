@@ -83,6 +83,16 @@ object RedshiftSqlFunctions {
       require(children.size == 2, "date_part_rs(unit, ts)")
       ex(R.datePart(litString(children.head, "date_part unit"), col(children(1))))
     }
+    // Redshift TIMEZONE('tz', naive_ts): interpret ts AS BEING IN tz and
+    // convert to UTC — the INVERSE of convert_timezone('tz', ts); the
+    // dialect layer routes only naive-operand calls here (timestamptz
+    // operands keep convert_timezone). Argument order is Redshift's
+    // (tz, ts), swapped onto Spark's to_utc_timestamp(ts, tz).
+    inject("timezone_rs") { children =>
+      require(children.size == 2, "timezone_rs(tz, ts)")
+      ex(org.apache.spark.sql.functions.to_utc_timestamp(
+        col(children(1)), col(children.head)))
+    }
     inject("getdate") { children =>
       require(children.isEmpty, "getdate()")
       org.apache.spark.sql.catalyst.expressions.CurrentTimestamp()

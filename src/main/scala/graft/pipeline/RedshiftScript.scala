@@ -912,6 +912,19 @@ object RedshiftScript {
       .replaceAll(
         "(?i)(?<![\\w.:])(\\w+(?:\\.\\w+)*(?:::\\w+(?:\\(\\d+(?:,\\s*\\d+)?\\))?)*)\\s+at\\s+time\\s+zone\\s+'([^']+)'",
         "to_utc_timestamp($1, '$2')")
+      // prefix TIMEZONE('tz', x) — same direction split as AT TIME ZONE:
+      // a TIMESTAMPTZ operand (timestamptz(…)/current_timestamp/sysdate/
+      // getdate(), the only shape the reference uses —
+      // `4_dwh_catman/live_reporting.order.sql:115`) converts TO the
+      // zone (convert_timezone); a naive TIMESTAMP operand is
+      // INTERPRETED AS BEING IN the zone and converted to UTC — the
+      // opposite offset sign — so it routes to timezone_rs
+      // (= to_utc_timestamp with Redshift's (tz, ts) argument order)
+      .replaceAll(
+        "(?i)\\btimezone\\s*\\(\\s*'([^']+)'\\s*,\\s*(?=timestamptz\\s*\\(|current_timestamp\\b|sysdate\\b|getdate\\s*\\()",
+        "convert_timezone('$1', ")
+      .replaceAll(
+        "(?i)\\btimezone\\s*\\(\\s*'([^']+)'\\s*,", "timezone_rs('$1',")
       .replaceAll(IgnoreNullsRe, "$1($2) $3 nulls")
       .replaceAll(AggIgnoreNullsRe, "$1($2)")
       // postgres current-date idiom `'now'::text::date` (the reference's
@@ -1043,15 +1056,18 @@ object RedshiftScript {
       // `atomic.levenshtein(...)`) — Spark has the builtin; drop the
       // schema qualifier
       "(?i)[\"`]?\\batomic[\"`]?\\.(levenshtein)\\s*\\(" -> "$1(",
-      // Redshift/Postgres `TIMEZONE('tz', ts)` ≡ CONVERT_TIMEZONE('tz', ts)
-      // (`4_dwh_catman/live_reporting.order.sql:115`); `timestamptz(x)`
-      // type-constructor ≡ a timestamp read of x. Spark has neither name.
-      "(?i)\\btimezone\\s*\\(" -> "convert_timezone(",
+      // `timestamptz(x)` type-constructor ≡ a timestamp read of x
+      // (TIMEZONE('tz', …) itself splits by operand type in the pre0
+      // whole-text pass — its tz literal is invisible to this
+      // segment-aware rewriter)
       "(?i)\\btimestamptz\\s*\\(" -> "to_timestamp(",
       // JSON_SERIALIZE over an already-stringified SUPER navigation
       // (rewriteSuperPaths emits CAST(variant_get … AS STRING)) is the
-      // identity (`4_dwh_catman/contentful_campaigns.sql:50`)
-      "(?i)\\bjson_serialize\\s*\\(" -> "(",
+      // identity (`4_dwh_catman/contentful_campaigns.sql:50`); any OTHER
+      // operand is a genuine variant — dropping the call there would
+      // change its type, so serialize it for real with to_json
+      "(?i)\\bjson_serialize\\s*\\((?=\\s*cast\\s*\\(\\s*variant_get\\b)" -> "(",
+      "(?i)\\bjson_serialize\\s*\\(" -> "to_json(",
       // doubled schema qualifier `dm_catman.dm_catman.v_add_on_US`
       // (`4_dwh_catman/add_on_US.sql:2`) — Redshift resolves the 3-part
       // name through the same-named database; collapse the duplicate
@@ -1570,8 +1586,17 @@ object RedshiftScript {
       // b.* — `4_dwh_catman/purchase_discount_report.sql:122-129`) maps
       // to Spark's GROUP BY ALL; a windows-only list is row dedup
       def hasPlainAgg(list: String): Boolean = {
-        val AggHead = ("(?i)\\b(sum|min|max|avg|count|median|listagg|" +
-          "stddev|variance|bool_or|bool_and|percentile_cont)\\s*\\(").r
+        // every aggregate head the reference (or Spark) could put in a
+        // SELECT-* + ordinal-GROUP-BY list — a miss here silently turns
+        // GROUP BY into DISTINCT. Explicit alternatives rather than
+        // stddev\w*/var\w* prefixes: `varchar(` / `varbyte(` in a cast
+        // must not count as an aggregate
+        val AggHead = ("(?i)\\b(sum|min|max|avg|count|count_if|median|" +
+          "listagg|string_agg|array_agg|collect_list|collect_set|" +
+          "stddev|stddev_samp|stddev_pop|variance|var_samp|var_pop|" +
+          "bool_or|bool_and|every|any_value|" +
+          "percentile_cont|percentile_disc|approx_percentile|" +
+          "approximate_percentile_disc|approx_count_distinct)\\s*\\(").r
         AggHead.findAllMatchIn(list).exists { am =>
           val close = scanClose(list, am.end - 1)
           close >= 0 && {
@@ -2894,9 +2919,11 @@ object RedshiftScript {
       // doubled schema qualifier on a DDL target
       // (`CREATE VIEW dm_catman.dm_catman.v_add_on_US`,
       // `4_dwh_catman/add_on_US.sql:2`) — collapse before verb parsing;
-      // the translate-time rule only reaches query bodies
-      val stmt = stripLeadingComments(raw.trim)
-        .replaceAll("(?i)\\b(\\w+)\\.\\1\\.(\\w+)", "$1.$2")
+      // the translate-time rule only reaches query bodies. String-aware:
+      // a literal holding an x.x.y triple (version '1.1.2', dotted
+      // bucket path, IP) must pass through untouched
+      val stmt = RedshiftScript.rewriteOutsideStrings(
+        stripLeadingComments(raw.trim), "(?i)\\b(\\w+)\\.\\1\\.(\\w+)", "$1.$2")
       val t0 = System.nanoTime()
       def report(verb: String, target: Option[String] = None) =
         StatementReport(verb, target, ok = true, (System.nanoTime() - t0) / 1e9, None)
@@ -2985,11 +3012,56 @@ object RedshiftScript {
             Catalog.refreshMaterializedView(spark, name)
             report("REFRESH MATERIALIZED VIEW", Some(name))
           case InsertRe(name, colList, rawBody) =>
-            val (cols, body) = parseInsert(colList, rawBody)
-            require(body.nonEmpty, s"unparseable INSERT body: ${rawBody.take(60)}")
-            val incoming = alignTo(currentState(name), cols, sqlBody(tr(body)))
-            stage(name, currentState(name).unionByName(incoming))
-            report("INSERT", Some(name))
+            // Postgres-flavor upsert tail (`ds-airflow-prod/dags/labels/
+            // sql/insert_on_conflict.sql`): conflict keys match on the
+            // target, DO UPDATE rewrites the matched rows from EXCLUDED
+            // (= the incoming row), DO NOTHING keeps them
+            val OnConflictRe =
+              ("(?is)^(.*?)\\bON\\s+CONFLICT\\s*\\(([^)]*)\\)\\s*DO\\s+" +
+                "(NOTHING|UPDATE\\s+SET\\s+.*)$").r
+            rawBody match {
+              case OnConflictRe(bodyPart, keyList, action) =>
+                val (cols, body) = parseInsert(colList, bodyPart)
+                require(body.nonEmpty, s"unparseable INSERT body: ${bodyPart.take(60)}")
+                val cur = currentState(name)
+                val incoming = alignTo(cur, cols, sqlBody(tr(body)))
+                val keys = keyList.split(",")
+                  .map(_.trim.replaceAll("\"", "").toLowerCase).filter(_.nonEmpty).toSeq
+                val inserts = incoming.join(
+                  cur.select(keys.map(col): _*), keys, "left_anti")
+                val existing =
+                  if (action.trim.equalsIgnoreCase("NOTHING")) cur
+                  else {
+                    val assigns = splitAssignments(
+                      action.replaceFirst("(?is)^UPDATE\\s+SET\\s+", ""))
+                      .map { case (c, v) =>
+                        c.replaceAll("\"", "").toLowerCase ->
+                          tr(v).replaceAll("(?i)\\bexcluded\\s*\\.", "e.")
+                      }.toMap
+                    val joined = cur.alias("t").join(
+                      incoming.withColumn("__graft_m", lit(1)).alias("e"),
+                      keys.map(k => col(s"t.$k") === col(s"e.$k")).reduce(_ && _),
+                      "left")
+                    val out = cur.schema.fields.map { f =>
+                      assigns.get(f.name.toLowerCase) match {
+                        case Some(v) =>
+                          when(col("e.__graft_m").isNotNull, expr(v))
+                            .otherwise(col(s"t.${f.name}"))
+                            .cast(f.dataType).as(f.name)
+                        case None => col(s"t.${f.name}").as(f.name)
+                      }
+                    }
+                    joined.select(out.toIndexedSeq: _*)
+                  }
+                stage(name, existing.unionByName(inserts))
+                report("INSERT (on conflict)", Some(name))
+              case _ =>
+                val (cols, body) = parseInsert(colList, rawBody)
+                require(body.nonEmpty, s"unparseable INSERT body: ${rawBody.take(60)}")
+                val incoming = alignTo(currentState(name), cols, sqlBody(tr(body)))
+                stage(name, currentState(name).unionByName(incoming))
+                report("INSERT", Some(name))
+            }
           case UpdateHeadRe(name, tAliasOpt, rest) =>
             splitTopKeyword(rest, "FROM") match {
               case (setClause, Some(fromRest)) =>

@@ -755,10 +755,15 @@ object LayerHarness {
           // no-`(`-follows guard; plan node names start uppercase.
           val keywords = Set("asc", "desc", "nulls", "first", "last", "true",
             "false", "null", "interval", "list")
-          val dotted = "'(\\w+)\\.(\\w+)\\b(?![\\w(.])".r.findAllMatchIn(err)
+          // mask CLOSED single-quoted literals first (`= 'delivered'`)
+          // so they are not harvested as guessed columns — plan-style
+          // markers ('name, no closing quote) survive: a marker run like
+          // `'a, 'b` contains a comma/space the mask pattern excludes
+          val errMasked = err.replaceAll("'[a-z_][\\w.]*'", "''")
+          val dotted = "'(\\w+)\\.(\\w+)\\b(?![\\w(.])".r.findAllMatchIn(errMasked)
             .map(mm => (Some(mm.group(1).toLowerCase), mm.group(2).toLowerCase))
             .toSeq
-          val bare = "'([a-z_]\\w*)\\b(?![\\w(.])".r.findAllMatchIn(err)
+          val bare = "'([a-z_]\\w*)\\b(?![\\w(.])".r.findAllMatchIn(errMasked)
             .map(mm => (None: Option[String], mm.group(1).toLowerCase)).toSeq
           val fallbacks = (dotted ++ bare).distinct
             .filterNot { case (q2, c2) =>

@@ -1054,6 +1054,68 @@ class RedshiftScriptSpec extends SparkSpec {
     assert(parts(1) == "b" && parts(2) == "c")
   }
 
+  test("advice r8: literal-safe qualifier collapse, agg-head breadth, json_serialize, TIMEZONE direction") {
+    // (1) runStatement's doubled-qualifier collapse must not reach into
+    // string literals: a version string / IP / dotted path with an x.x.y
+    // triple passes through verbatim …
+    val r = new RedshiftScript.Runner(spark, root())
+    assert(r.run(
+      "CREATE TEMP TABLE adv8_lit AS SELECT '1.1.2' AS ver, '10.10.0.1' AS ip, 'a.a.b' AS p;").ok)
+    val row = spark.table("adv8_lit").collect().head
+    assert(row.getString(0) == "1.1.2", row)
+    assert(row.getString(1) == "10.10.0.1")
+    assert(row.getString(2) == "a.a.b")
+    // … while a doubled qualifier on a DML target still collapses
+    import sqlImplicits._
+    Catalog.replaceTable(Seq((1, "x")).toDF("id", "name"), "adv8s", "tgt")
+    val r2 = new RedshiftScript.Runner(spark, root()).run(
+      "UPDATE adv8s.adv8s.tgt SET name = 'y' WHERE id = 1;")
+    assert(r2.ok, r2.reports.mkString("; "))
+    assert(spark.table("adv8s.tgt").collect().head.getString(1) == "y")
+
+    // (2) SELECT-* + ordinal GROUP BY with a non-core aggregate head must
+    // map to GROUP BY ALL (grouping), not the windows-only DISTINCT path
+    val g = RedshiftScript.rewriteStarGroupByOrdinal(
+      "SELECT b.*, stddev_samp(x) AS sd FROM t b GROUP BY 1,2")
+    assert(g.toLowerCase.contains("group by all"), g)
+    val g2 = RedshiftScript.rewriteStarGroupByOrdinal(
+      "SELECT b.*, array_agg(x) AS xs FROM t b GROUP BY 1,2")
+    assert(g2.toLowerCase.contains("group by all"), g2)
+    // a varchar( cast is NOT an aggregate head (prefix regexes like
+    // var\w* would have matched it) — windows-only list stays the
+    // DISTINCT de-dup path
+    val g3 = RedshiftScript.rewriteStarGroupByOrdinal(
+      "SELECT b.*, cast(x as varchar(10)) AS s, row_number() over (order by x) AS rn " +
+        "FROM t b GROUP BY 1,2,3")
+    assert(!g3.toLowerCase.contains("group by all"), g3)
+
+    // (3) json_serialize: identity ONLY over the already-stringified
+    // SUPER navigation rewriteSuperPaths emits; a genuine variant operand
+    // serializes for real via to_json
+    val js = RedshiftScript.translate(
+      "WITH l AS (SELECT JSON_PARSE(fields) AS f FROM src) " +
+        "SELECT json_serialize(f.\"productIDs\".en)::text AS ids, " +
+        "JSON_SERIALIZE(raw_super) AS s2 FROM l")
+    assert(js.contains("(CAST(variant_get(f, '$.productIDs.en') AS STRING))"), js)
+    assert(!js.toLowerCase.contains("to_json(cast(variant_get"), js)
+    assert(js.toLowerCase.contains("to_json(raw_super)"), js)
+
+    // (4) prefix TIMEZONE('tz', x) splits by operand type like AT TIME
+    // ZONE: timestamptz-typed operands convert TO the zone; a naive
+    // column is interpreted AS the zone → UTC (inverse sign)
+    val tz = RedshiftScript.translate(
+      "SELECT TIMEZONE('US/Eastern', timestamptz(current_timestamp)) AS a, " +
+        "TIMEZONE('Europe/Berlin', created_at) AS b FROM t")
+    assert(tz.contains("convert_timezone('US/Eastern', timestamp(current_timestamp))"), tz)
+    assert(tz.contains("timezone_rs('Europe/Berlin', created_at)"), tz)
+    // live: Berlin winter local noon is 11:00 UTC — convert_timezone
+    // ('Europe/Berlin', …) would have said 13:00 local instead
+    val u = spark.sql(
+      "SELECT timezone_rs('Europe/Berlin', timestamp'2026-01-15 12:00:00') AS u")
+      .collect().head.getTimestamp(0).toString
+    assert(u.startsWith("2026-01-15 11:00:00"), u)
+  }
+
   test("correlated ORDER BY + LIMIT 1 rewrites to min_by/max_by and executes") {
     // the 00_allocation.sql:251-258 shape: latest warehouse code
     // at-or-before the allocation, nearest by minute distance
