@@ -93,6 +93,15 @@ object RedshiftSqlFunctions {
       ex(org.apache.spark.sql.functions.to_utc_timestamp(
         col(children(1)), col(children.head)))
     }
+    // warehouse UDF guarding numeric casts (`7_snowplow/2_sessions/
+    // Order_Mapping/4_01_session_table.sql:5`, `Price Collection Views/
+    // staging_price_collection.ods_amazon.sql:245`): true when the text
+    // parses as a signed integer/decimal
+    inject("isnumeric") { children =>
+      require(children.size == 1, "isnumeric(text)")
+      ex(col(children.head).cast("string")
+        .rlike("^\\s*[+-]?\\d+(\\.\\d+)?\\s*$"))
+    }
     inject("getdate") { children =>
       require(children.isEmpty, "getdate()")
       org.apache.spark.sql.catalyst.expressions.CurrentTimestamp()

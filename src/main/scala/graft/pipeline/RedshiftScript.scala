@@ -1056,6 +1056,10 @@ object RedshiftScript {
       // `atomic.levenshtein(...)`) — Spark has the builtin; drop the
       // schema qualifier
       "(?i)[\"`]?\\batomic[\"`]?\\.(levenshtein)\\s*\\(" -> "$1(",
+      // Redshift UDF wrapper over SHA1 used by the snowplow user decode
+      // (`7_snowplow/1_page_view/14_decoding_user.sql:14`) — Spark has
+      // the builtin
+      "(?i)\\bfunc_sha1\\s*\\(" -> "sha1(",
       // `timestamptz(x)` type-constructor ≡ a timestamp read of x
       // (TIMEZONE('tz', …) itself splits by operand type in the pre0
       // whole-text pass — its tz literal is invisible to this
@@ -1951,6 +1955,44 @@ object RedshiftScript {
     * ORDER BY clause — resolution then lands on the select-list alias,
     * which is the column Redshift sorted by.
     */
+  /** `SELECT DISTINCT … GROUP BY … ORDER BY count(distinct user_id)`:
+    * Redshift resolves the ORDER BY aggregate against the pre-DISTINCT
+    * aggregate output; Spark cannot add attributes below a Distinct. A
+    * top-level ORDER BY with no LIMIT/OFFSET is semantically void for
+    * CTAS/INSERT/VIEW bodies (it only affected Redshift's physical
+    * layout), so drop the clause when it is what references the
+    * unresolved name (`7_snowplow/1_page_view/10_url_mapping.sql:21`).
+    */
+  private[graft] def dropUnresolvableTopSort(sql: String, unresolved: Set[String]): String = {
+    // locate the LAST depth-0 `ORDER BY` (the two-word form — a bare
+    // topKeywordIndex("ORDER") probe would hit the reference's
+    // `ods_production.order` TABLE NAME and truncate the FROM clause)
+    val OrderBy = "(?i)(?<![.\\w])order\\s+by\\b".r
+    var idx = -1
+    OrderBy.findAllMatchIn(sql).foreach { m =>
+      var d = 0; var inS = false; var i = 0
+      while (i < m.start) {
+        val c = sql.charAt(i)
+        if (inS) { if (c == '\'') inS = false }
+        else c match {
+          case '\'' => inS = true
+          case '(' => d += 1
+          case ')' => d -= 1
+          case _ => ()
+        }
+        i += 1
+      }
+      if (d == 0 && !inS) idx = m.start
+    }
+    if (idx < 0) return sql
+    val clause = sql.substring(idx).takeWhile(_ != ';')
+    if ("(?i)\\b(limit|offset)\\b".r.findFirstIn(clause).isDefined) return sql
+    val names = unresolved.map(_.split("\\.").last.toLowerCase)
+    val refs = "(?i)\\b(\\w+)\\b".r.findAllMatchIn(clause)
+      .map(_.group(1).toLowerCase).toSet
+    if (names.exists(refs)) sql.substring(0, idx).stripTrailing() else sql
+  }
+
   private[graft] def stripSortQualifier(sql: String, qual: String, col: String): String = {
     val Ref = ("(?i)\\b" + java.util.regex.Pattern.quote(qual) +
       "\\s*\\.\\s*[\"`]?" + java.util.regex.Pattern.quote(col) + "[\"`]?\\b").r
@@ -2323,8 +2365,12 @@ object RedshiftScript {
     }
     if (clIsQuery) (None, insertBody(colList + " " + body))
     else {
+      // the column list may carry commented-out entries
+      // (`7_snowplow/0_atomic_kafka/events.sql:93` `--br_colordepth,`)
+      // — strip line comments before splitting or the arity inflates
       val cols = clOpt
-        .map(_.stripPrefix("(").stripSuffix(")").split(",")
+        .map(_.replaceAll("--[^\n]*", "")
+          .stripPrefix("(").stripSuffix(")").split(",")
           .map(_.trim.replaceAll("\"", "")).filter(_.nonEmpty).toSeq)
         .filter(_.nonEmpty)
       (cols, insertBody(body))
@@ -2471,8 +2517,15 @@ object RedshiftScript {
                         .stripSortQualifier(cur, m.group(1), m.group(2)))
                       .getOrElse(cur)
                   else cur
+                // a void top-level ORDER BY referencing a pre-DISTINCT
+                // aggregate input — drop it
+                val unsorted =
+                  if (named == cur && sorted == cur && msg.contains("'Sort"))
+                    RedshiftScript.dropUnresolvableTopSort(cur, unresolved)
+                  else cur
                 if (named != cur) named
                 else if (sorted != cur) sorted
+                else if (unsorted != cur) unsorted
                 else RedshiftScript.substituteAliasesInWindows(
                   RedshiftScript.substituteAliasesInWhere(
                     RedshiftScript.dedupeSelectItems(cur), unresolved))

@@ -3,6 +3,7 @@ package graft
 import graft.pipeline.{Catalog, RedshiftScript}
 import org.apache.spark.sql.{Column, SparkSession, functions => F}
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 /** Self-healing fixture stager for running whole reference layers
   * VERBATIM. The curated-map approach of the earlier layer specs
@@ -99,7 +100,11 @@ object LayerHarness {
       c.endsWith("_usd") || c.endsWith("_euro") || c.endsWith("_pct") ||
       c.endsWith("_rate") || c.endsWith("_share") || c.endsWith("_score") ||
       c.endsWith("_limit") || c.contains("revenue") || c.contains("discount") ||
-      c.endsWith("_fee") || c.endsWith("_cost") || c.endsWith("costs")
+      c.endsWith("_fee") || c.endsWith("_cost") || c.endsWith("costs") ||
+      // snowplow page-ping pixel coordinates (`pp_xoffset_min`,
+      // `pp_yoffset_max` — `1_page_view/04_events_scroll_incremental
+      // .sql` folds them through least/greatest/min/max with 0 literals)
+      c.contains("offset")
 
   // ------------------------------------------------------------ staging
   /** Deterministic per-column day step so joined date columns don't all
@@ -139,6 +144,100 @@ object LayerHarness {
     case TStr => (F.col("__id") + 1).cast("string").as(c)
   }
 
+  // --------------------------------------------------- seed persistence
+  /** Converged fixture knowledge, serializable so a later run stages the
+    * final fixtures immediately instead of re-deriving every repair —
+    * the committed seed cache turns a 30-minute from-scratch convergence
+    * into a single verification pass. Deleting the cache file restores
+    * the from-scratch proof.
+    */
+  final case class Seeds(
+      cols: Map[String, Seq[String]],
+      types: Map[(String, String), ColType],
+      structs: Map[(String, String), Seq[String]],
+      order: Map[String, Seq[String]])
+
+  private val typeName: Map[ColType, String] = Map(
+    TStr -> "str", TTs -> "ts", TDate -> "date", TNum -> "num",
+    TInt -> "int", TBool -> "bool", TTime -> "time")
+  private val typeFromName: Map[String, ColType] = typeName.map(_.swap)
+
+  /** Committed seed-cache directory (tests run with cwd = repo root). */
+  val seedsDir = "src/test/resources/layer_seeds"
+
+  private def seedsPath(layerName: String) =
+    java.nio.file.Paths.get(seedsDir, layerName.replaceAll("[^\\w.-]", "_") + ".json")
+
+  def loadSeeds(layerName: String): Option[Seeds] = {
+    val p = seedsPath(layerName)
+    if (!java.nio.file.Files.exists(p)) return None
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(java.nio.file.Files.readString(p))
+    val cols = mutable.Map.empty[String, Seq[String]]
+    val types = mutable.Map.empty[(String, String), ColType]
+    val structs = mutable.Map.empty[(String, String), Seq[String]]
+    val order = mutable.Map.empty[String, Seq[String]]
+    root.fields().asScala.foreach { e =>
+      val t = e.getKey
+      val tn = e.getValue
+      val cn = tn.get("cols")
+      if (cn != null) {
+        val cs = mutable.ArrayBuffer.empty[String]
+        cn.fields().asScala.foreach { ce =>
+          cs += ce.getKey
+          typeFromName.get(ce.getValue.asText()).foreach(ty => types((t, ce.getKey)) = ty)
+        }
+        cols(t) = cs.toSeq
+      }
+      val on = tn.get("order")
+      if (on != null) order(t) = on.elements().asScala.map(_.asText()).toSeq
+      val sn = tn.get("structs")
+      if (sn != null) sn.fields().asScala.foreach { se =>
+        structs((t, se.getKey)) = se.getValue.elements().asScala.map(_.asText()).toSeq
+      }
+    }
+    Some(Seeds(cols.toMap, types.toMap, structs.toMap, order.toMap))
+  }
+
+  /** Write the seed cache if its content changed; returns true when the
+    * file was (re)written.
+    */
+  def saveSeeds(layerName: String, json: String): Boolean = {
+    val p = seedsPath(layerName)
+    val prev = if (java.nio.file.Files.exists(p))
+      Some(java.nio.file.Files.readString(p)) else None
+    if (prev.contains(json)) false
+    else {
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, json)
+      true
+    }
+  }
+
+  /** The standard layer-suite contract in one call: build a Layer with
+    * the committed seed cache, converge, persist what was learned
+    * (pass or fail — partial knowledge still shortens the next run),
+    * then prove whole-layer idempotence on a fresh warehouse root.
+    * Returns (convergeFailures, rerunFailures, summaryJson).
+    */
+  def runSeeded(
+      spark: SparkSession,
+      layerName: String,
+      scripts: Seq[(String, String)],
+      pinned: Option[String],
+      broken: Set[String] = Set.empty,
+      log: String => Unit = _ => ()): (Map[String, String], Map[String, String], String) = {
+    val layer = new Layer(spark, scripts, pinned, broken = broken,
+      seeds = loadSeeds(layerName), log = log)
+    val failures = layer.converge()
+    saveSeeds(layerName, layer.exportSeeds())
+    val rerun =
+      if (failures.nonEmpty) Map.empty[String, String]
+      else layer.runAll(
+        java.nio.file.Files.createTempDirectory(s"graft-rerun").toString)
+    (failures, rerun, layer.summaryJson(layerName, failures))
+  }
+
   final class Layer(
       val spark: SparkSession,
       allScripts: Seq[(String, String)],
@@ -154,6 +253,9 @@ object LayerHarness {
         * table (`master.customer` + `subscription_id`,
         * `4_dwh_risk/v_b2b_payments_report.sql`). */
       neverCols: Set[(String, String)] = Set.empty,
+      /** converged fixture knowledge from a committed seed cache —
+        * merged additively under the spec-passed seedCols/seedTypes */
+      seeds: Option[Seeds] = None,
       log: String => Unit = _ => ()) {
 
     /** broken-in-reference scripts don't run; their output tables become
@@ -185,7 +287,7 @@ object LayerHarness {
       * its owning script so a missing target can be re-derived after
       * running just that script (its temps feed the INSERT body).
       */
-    private val insertTargets: Seq[(String, String, String)] = scripts.flatMap {
+    private val insertTargets: Seq[(String, Option[Seq[String]], String, String)] = scripts.flatMap {
       case (script, text) =>
         RedshiftScript.splitStatements(text)
           .map(RedshiftScript.stripLeadingComments)
@@ -199,8 +301,8 @@ object LayerHarness {
               }
               if (created) None
               else {
-                val (_, body) = RedshiftScript.parseInsert(cl, rawBody)
-                if (body.nonEmpty) Some((norm(name), body, script)) else None
+                val (cols, body) = RedshiftScript.parseInsert(cl, rawBody)
+                if (body.nonEmpty) Some((norm(name), cols, body, script)) else None
               }
             case _ => None
           }
@@ -378,7 +480,15 @@ object LayerHarness {
         case (Qual(a), _) => a.toLowerCase
         case (_, i) => s"col_$i"
       }
-      if (cols.distinct.size != cols.size) Seq.empty else cols
+      // a DUPLICATE alias in a positional INSERT body is valid Redshift
+      // (`org_w3_performance_timing_1.sql` aliases ms_first_paint twice,
+      // a reference typo) — arity is what matters, so uniquify repeats
+      // instead of defeating derivation
+      val seen = mutable.Map.empty[String, Int]
+      cols.map { c =>
+        val n = seen.getOrElse(c, 0); seen(c) = n + 1
+        if (n == 0) c else s"${c}_dup$n"
+      }
     }
 
     // ---- 2. stage ----------------------------------------------------
@@ -441,6 +551,10 @@ object LayerHarness {
       // is a 0/1 flag, not a month date)
       log(s"derive self-referential target $t from its select list (${cols.size} cols)")
       fixtureCols(norm(t)) = mutable.Set(cols: _*)
+      // repairable like a placeholder (see deriveFromInsertCols): the
+      // real table may carry differently-spelled columns than the
+      // positional INSERT's aliases
+      placeholdered += norm(t)
       stage(norm(t))
     }
 
@@ -470,19 +584,47 @@ object LayerHarness {
           new RedshiftScript.Runner(spark, root, pinned, stopOnError = false)
             .run(sansDrops(text))
           insertTargets.filterNot(p => spark.catalog.tableExists(p._1))
-            .foreach { case (t, body, _) =>
-              try {
-                val df = spark.sql(RedshiftScript.translate(body, pinned)).limit(0)
-                val parts = t.split("\\.")
-                Catalog.replaceTable(df, parts(0), parts(1))
-              } catch { case _: Exception =>
-                try deriveFromSelectList(t, body)
-                catch { case _: Exception => () }
+            .foreach { case (t, cols, body, _) =>
+              if (!deriveFromInsertCols(t, cols)) {
+                try {
+                  val df = spark.sql(RedshiftScript.translate(body, pinned)).limit(0)
+                  val parts = t.split("\\.")
+                  Catalog.replaceTable(df, parts(0), parts(1))
+                } catch { case _: Exception =>
+                  try deriveFromSelectList(t, body)
+                  catch { case _: Exception => () }
+                }
               }
             }
         }
       }
     }
+
+    /** An INSERT with an EXPLICIT column list carries the pre-existing
+      * target's schema verbatim (Redshift binds positionally, so even a
+      * duplicate select-list alias — `events.sql:205` `pp_yoffset_max
+      * ::int AS pp_yoffset_min`, a reference typo — is valid there and
+      * must not defeat derivation). Register as an ORDERED fixture so
+      * positional reads and the retype repair both work.
+      */
+    private def deriveFromInsertCols(t: String, cols: Option[Seq[String]]): Boolean =
+      cols.filter(_.nonEmpty) match {
+        case Some(cs) =>
+          val lc = cs.map(_.toLowerCase)
+          log(s"derive pre-existing insert target $t from its column list (${lc.size} cols)")
+          fixtureCols.getOrElseUpdate(norm(t), mutable.Set.empty) ++= lc
+          if (!orderedFix.contains(norm(t))) orderedFix(norm(t)) = lc
+          // registered like a placeholder: the table is in `built` (its
+          // own INSERT targets it) but behaves as a fixture, so the
+          // column/type repairs must be allowed to reach it — the real
+          // warehouse table has MORE columns than the column list names
+          // (`08_timing_incremental.sql` reads pt.secure_connection_start
+          // that the loader never writes)
+          placeholdered += norm(t)
+          stage(norm(t))
+          true
+        case None => false
+      }
 
     // ---- 3. classify-and-fix loop ------------------------------------
     private val NotFound = "TABLE_OR_VIEW_NOT_FOUND.*?`([^`]+)`\\.`([^`]+)`".r
@@ -537,6 +679,57 @@ object LayerHarness {
       * inferences, so these never demote back to int/num (the
       * `purchased_date` TInt↔TDate tug-of-war, `4_dwh_risk`) */
     private val temporalDemanded = mutable.Set.empty[(String, String)]
+
+    // merge the committed seed cache (additive; spec-passed seedTypes
+    // and the layer's own built set win)
+    seeds.foreach { s =>
+      s.cols.foreach { case (t, cs) =>
+        val tn = norm(t)
+        if (!built(tn))
+          fixtureCols.getOrElseUpdate(tn, mutable.Set.empty) ++= cs.map(_.toLowerCase)
+      }
+      s.types.foreach { case ((t, c), ty) =>
+        val k = (norm(t), c.toLowerCase)
+        if (!built(k._1) && !colTypes.contains(k)) colTypes(k) = ty
+      }
+      s.structs.foreach { case ((t, c), fs) =>
+        if (!built(norm(t)))
+          structFields.getOrElseUpdate((norm(t), c.toLowerCase), mutable.Set.empty) ++= fs
+      }
+      s.order.foreach { case (t, o) =>
+        if (!built(norm(t)) && !orderedFix.contains(norm(t))) orderedFix(norm(t)) = o
+      }
+    }
+
+    /** Serialize the converged fixture knowledge — call after a green
+      * converge() and commit via [[LayerHarness.saveSeeds]].
+      */
+    def exportSeeds(): String = {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = new java.util.TreeMap[String, Object]()
+      fixtureCols.toSeq.sortBy(_._1).foreach { case (t, cs) =>
+        val tbl = new java.util.TreeMap[String, Object]()
+        val cols = new java.util.TreeMap[String, String]()
+        cs.toSeq.sorted.foreach { c =>
+          cols.put(c, typeName(colTypes.getOrElse((t, c), heuristicType(c))))
+        }
+        tbl.put("cols", cols)
+        orderedFix.get(t).foreach { o =>
+          val lst = new java.util.ArrayList[String](); o.foreach(lst.add); tbl.put("order", lst)
+        }
+        val st = structFields.toSeq.collect {
+          case ((`t`, c), fs) => c -> fs.toSeq.sorted }
+        if (st.nonEmpty) {
+          val sm = new java.util.TreeMap[String, Object]()
+          st.sortBy(_._1).foreach { case (c, fs) =>
+            val lst = new java.util.ArrayList[String](); fs.foreach(lst.add); sm.put(c, lst)
+          }
+          tbl.put("structs", sm)
+        }
+        root.put(t, tbl)
+      }
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root) + "\n"
+    }
 
     /** every type a placement has already HELD — a retype back to one of
       * these is a repair cycle (two statements demanding incompatible
@@ -649,7 +842,12 @@ object LayerHarness {
             // column as a STRUCT carrying the demanded field. Only when
             // no alias of this name is bound (a real alias always wins).
             for (q <- qual) {
-              if (!binds.exists(_._1 == q) && (q.startsWith("_airbyte") ||
+              // the alias check must include 1-part CTE binds: `slug.slug`
+              // where `slug` is a CTE over ods_production.product must NOT
+              // structify product.slug (`7_snowplow/1_page_view/
+              // 13_page_type.sql:3-4,41`)
+              val anyAlias = tableBindings(span).exists(_._1 == q)
+              if (!anyAlias && (q.startsWith("_airbyte") ||
                   binds.map(_._2).exists(t => fixtureCols.get(t).exists(_(q))))) {
                 val holder = binds.map(_._2).distinct
                   .find(t => fixtureCols.get(t).exists(_(q)))
@@ -1156,17 +1354,19 @@ object LayerHarness {
       */
     private def rebootstrapMissing(root: String): Unit =
       insertTargets.filterNot(p => spark.catalog.tableExists(p._1))
-        .foreach { case (t, body, script) =>
-          try {
-            val text = scripts.collectFirst { case (`script`, s) => s }.get
-            new RedshiftScript.Runner(spark, root, pinned, stopOnError = false)
-              .run(sansDrops(text))
-            val df = spark.sql(RedshiftScript.translate(body, pinned)).limit(0)
-            val parts = t.split("\\.")
-            Catalog.replaceTable(df, parts(0), parts(1))
-          } catch { case _: Exception =>
-            try deriveFromSelectList(t, body)
-            catch { case _: Exception => () }
+        .foreach { case (t, cols, body, script) =>
+          if (!deriveFromInsertCols(t, cols)) {
+            try {
+              val text = scripts.collectFirst { case (`script`, s) => s }.get
+              new RedshiftScript.Runner(spark, root, pinned, stopOnError = false)
+                .run(sansDrops(text))
+              val df = spark.sql(RedshiftScript.translate(body, pinned)).limit(0)
+              val parts = t.split("\\.")
+              Catalog.replaceTable(df, parts(0), parts(1))
+            } catch { case _: Exception =>
+              try deriveFromSelectList(t, body)
+              catch { case _: Exception => () }
+            }
           }
         }
 
