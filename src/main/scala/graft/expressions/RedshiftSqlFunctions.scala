@@ -102,6 +102,31 @@ object RedshiftSqlFunctions {
       ex(col(children.head).cast("string")
         .rlike("^\\s*[+-]?\\d+(\\.\\d+)?\\s*$"))
     }
+    // Redshift CHARINDEX(substring, string) — Spark's instr with the
+    // argument order swapped (`91_External/Gmail/
+    // partner_online_order_tracking.sql`)
+    inject("charindex") { children =>
+      require(children.size == 2, "charindex(substring, string)")
+      ex(org.apache.spark.sql.functions.instr(
+        col(children(1)), col(children.head)))
+    }
+    // JSON_SERIALIZE over a genuine variant/struct container serializes
+    // to JSON text; over a SUPER SCALAR (string field navigation,
+    // `91_External/Intercom/intercom_source_preparing.sql`) Redshift
+    // returns the value's JSON rendering — for strings that is the value
+    // itself, which downstream code treats as text
+    inject("json_serialize_rs") { children =>
+      require(children.size == 1, "json_serialize_rs(super)")
+      import org.apache.spark.sql.types._
+      val serializable =
+        try children.head.dataType match {
+          case _: StructType | _: ArrayType | _: MapType | _: VariantType => true
+          case _ => false
+        } catch { case _: Exception => true }
+      if (serializable) ex(org.apache.spark.sql.functions.to_json(col(children.head)))
+      else org.apache.spark.sql.catalyst.expressions.Cast(
+        children.head, StringType)
+    }
     inject("getdate") { children =>
       require(children.isEmpty, "getdate()")
       org.apache.spark.sql.catalyst.expressions.CurrentTimestamp()

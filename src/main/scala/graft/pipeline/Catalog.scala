@@ -57,7 +57,15 @@ object Catalog {
   def createOrReplaceView(spark: SparkSession, name: String, viewSql: String): Unit = {
     val parts = name.split("\\.")
     if (parts.length > 1) ensureDatabase(spark, parts.head)
-    spark.sql(s"CREATE OR REPLACE VIEW $name AS $viewSql")
+    try spark.sql(s"CREATE OR REPLACE VIEW $name AS $viewSql")
+    catch {
+      // the name is occupied by a TABLE (a fixture placeholder staged
+      // before the producing script ran) — the view definition wins
+      case e: Exception
+          if String.valueOf(e.getMessage).contains("EXPECT_VIEW_NOT_TABLE") =>
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        spark.sql(s"CREATE OR REPLACE VIEW $name AS $viewSql")
+    }
   }
 
   /** Materialized view as materialize-plus-refresh (the reference has 8;

@@ -1071,7 +1071,7 @@ object RedshiftScript {
       // operand is a genuine variant — dropping the call there would
       // change its type, so serialize it for real with to_json
       "(?i)\\bjson_serialize\\s*\\((?=\\s*cast\\s*\\(\\s*variant_get\\b)" -> "(",
-      "(?i)\\bjson_serialize\\s*\\(" -> "to_json(",
+      "(?i)\\bjson_serialize\\s*\\(" -> "json_serialize_rs(",
       // doubled schema qualifier `dm_catman.dm_catman.v_add_on_US`
       // (`4_dwh_catman/add_on_US.sql:2`) — Redshift resolves the 3-part
       // name through the same-named database; collapse the duplicate
@@ -1082,8 +1082,54 @@ object RedshiftScript {
       "\"([^\"]+)\"" -> "`$1`") ++
       // the pin runs LAST so the DATE '…' it splices in is never re-matched
       currentDate.map(d => "(?i)\\bcurrent_date\\b" -> s"DATE '$d'").toSeq
-    addMissingWindowOrder(
-      rewriteOutsideStrings(rewriteQualify(dropDanglingCommas(pre)), rules))
+    addMissingWindowOrder(rewriteSingleArgTrunc(
+      rewriteOutsideStrings(rewriteQualify(dropDanglingCommas(pre)), rules)))
+  }
+
+  /** Redshift 1-arg TRUNC(timestamp) → DATE (`trunc(datum)`,
+    * `91_External/Catman/0_commercial_targets_daily_store_country.sql`);
+    * Spark's trunc is the 2-arg format form. Every 1-arg use in the
+    * corpus is temporal, so rewrite to a date cast. Paren-aware: only
+    * calls whose argument list has no top-level comma.
+    */
+  private[graft] def rewriteSingleArgTrunc(sql: String): String = {
+    val M = "(?i)(?<![\\w.])trunc\\s*\\(".r
+    var out = sql
+    var guard = 0
+    while (guard < 256) {
+      guard += 1
+      val hit = M.findAllMatchIn(out).find { m =>
+        val open = out.indexOf('(', m.start)
+        val close = scanCloseAt(out, open)
+        close > 0 && splitTop(out.substring(open + 1, close)).size == 1
+      }
+      hit match {
+        case Some(m) =>
+          val open = out.indexOf('(', m.start)
+          val close = scanCloseAt(out, open)
+          out = out.substring(0, m.start) + "cast(" +
+            out.substring(open + 1, close) + " as date)" +
+            out.substring(close + 1)
+        case None => return out
+      }
+    }
+    out
+  }
+
+  private def scanCloseAt(s: CharSequence, open: Int): Int = {
+    var i = open + 1; var depth = 1; var inStr = false
+    while (i < s.length && depth > 0) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ => ()
+      }
+      i += 1
+    }
+    if (depth == 0) i - 1 else -1
   }
 
   /** Rewrite `QUALIFY <pred>` (Redshift/Snowflake window filter — Spark's
@@ -2592,6 +2638,26 @@ object RedshiftScript {
               }
               else if (msg.contains("STAR_GROUP_BY_POS"))
                 RedshiftScript.rewriteStarGroupByOrdinal(cur)
+              else if (msg.contains("UNEXPECTED_INPUT_TYPE") &&
+                  msg.contains("CASE WHEN") && msg.contains("\"BOOLEAN\"")) {
+                // Redshift implicitly coerces an integer CASE condition
+                // to boolean (`WHEN om.customer_id_order THEN …`,
+                // `7_snowplow/2_sessions/Order_Mapping/4_01_session_table
+                // .sql:7`) — rewrite the bare-column conditions the
+                // rendered expression names to the `<> 0` test Redshift
+                // evaluates (null stays null ≡ not matched)
+                val exprTxt = "Cannot resolve \"([^\"]+)\"".r
+                  .findFirstMatchIn(msg).map(_.group(1)).getOrElse("")
+                val bare = "(?i)WHEN\\s+(\\w+)\\s+THEN".r
+                  .findAllMatchIn(exprTxt).map(_.group(1).toLowerCase).toSet
+                  .filterNot(Set("true", "false", "null"))
+                bare.foldLeft(cur) { (acc, nm) =>
+                  RedshiftScript.rewriteOutsideStrings(acc,
+                    "(?i)\\bwhen\\s+((?:\\w+\\.)?" +
+                      java.util.regex.Pattern.quote(nm) + ")\\s+then\\b",
+                    "when ($1) <> 0 then")
+                }
+              }
               else if (msg.contains("UNSUPPORTED_SUBQUERY_EXPRESSION") ||
                 msg.contains("must be aggregated"))
                 RedshiftScript.rewriteCorrelatedLimit1(cur)
@@ -3030,10 +3096,15 @@ object RedshiftScript {
             val (_, distkey) = stripTableOptions(options)
             var df = sqlBody(tr(body))
             distkey.foreach(k => df = df.repartition(col(k)))
-            if (temp != null) {
+            if (temp != null && !norm(name).contains(".")) {
               reclaimViewName(norm(name)) // a temp table wins its name
               df.createOrReplaceTempView(norm(name))
             } else stage(name, df)
+            // a schema-QUALIFIED temp table (`CREATE TEMP TABLE
+            // data_engineer.price_drop_r_num`, `91_External/Braze`)
+            // materializes like a regular table — Spark temp views are
+            // single-part, and the script reads it back by the dotted
+            // name; session scoping is the runner's lifetime either way
             report(if (temp != null) "CREATE TEMP TABLE" else "CREATE TABLE", Some(name))
           case CteDeleteUsingRe(cte, name, srcName, aliasOpt, cond) =>
             // CTE-prefixed DELETE: the USING source is a CTE — build it

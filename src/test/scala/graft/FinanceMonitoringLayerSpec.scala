@@ -28,14 +28,12 @@ class FinanceMonitoringLayerSpec extends SparkSpec {
 
   private def runLayer(name: String, scripts: Seq[(String, String)],
       broken: Set[String] = Set.empty): Unit = {
-    val layer = new LayerHarness.Layer(spark, scripts, Some(Pinned),
-      broken = broken, log = m => info(s"harness[$name]: $m"))
-    val failures = layer.converge()
-    println(layer.summaryJson(name, failures))
+    val (failures, rerun, summary) = LayerHarness.runSeeded(
+      spark, name, scripts, Some(Pinned), broken,
+      log = m => info(s"harness[$name]: $m"))
+    println(summary)
     failures.foreach { case (n, e) => info(s"FAILED $n: ${e.take(900)}") }
     assert(failures === Map.empty, name)
-    val root = Files.createTempDirectory(s"graft-$name").toString
-    val rerun = layer.runAll(root)
     rerun.foreach { case (n, e) => info(s"RERUN FAILED $n: ${e.take(900)}") }
     assert(rerun === Map.empty, name)
   }
@@ -50,5 +48,24 @@ class FinanceMonitoringLayerSpec extends SparkSpec {
     val dir = "/root/reference/Datawarehouse-ETL/8_monitoring"
     assume(Files.exists(Paths.get(dir)))
     runLayer("monitoring", scriptsOf(dir, recursive = true))
+  }
+
+  /** The 13_finance_reporting SUBDIRECTORIES — the Luxco SPV monthly
+    * reporting family (V2 integrated steps, June/July-2023 new+old
+    * logic, Mozenda price collection, price collection views; ~51
+    * scripts incl. the 1,119-line `SPV Step 1 - EU.sql` MM/Saturn
+    * outlier chain) and the Asset Reconciliation upsert set. Top-level
+    * dm_finance scripts are covered by the test above.
+    */
+  test("the 13_finance_reporting Luxco + Asset Reconciliation subdirs run verbatim, twice") {
+    assume(LayerHarness.wipEnabled, "WIP layer \u2014 set GRAFT_WIP_LAYERS=1")
+    val base = "/root/reference/Datawarehouse-ETL/13_finance_reporting"
+    assume(Files.exists(Paths.get(base)))
+    val scripts =
+      scriptsOf(s"$base/Asset Reconciliation", recursive = true)
+        .map { case (n, t) => s"Asset Reconciliation/$n" -> t } ++
+      scriptsOf(s"$base/Luxco_Reporting", recursive = true)
+        .map { case (n, t) => s"Luxco_Reporting/$n" -> t }
+    runLayer("finance_luxco", scripts)
   }
 }

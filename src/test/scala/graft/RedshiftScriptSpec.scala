@@ -1097,8 +1097,8 @@ class RedshiftScriptSpec extends SparkSpec {
         "SELECT json_serialize(f.\"productIDs\".en)::text AS ids, " +
         "JSON_SERIALIZE(raw_super) AS s2 FROM l")
     assert(js.contains("(CAST(variant_get(f, '$.productIDs.en') AS STRING))"), js)
-    assert(!js.toLowerCase.contains("to_json(cast(variant_get"), js)
-    assert(js.toLowerCase.contains("to_json(raw_super)"), js)
+    assert(!js.toLowerCase.contains("json_serialize_rs(cast(variant_get"), js)
+    assert(js.toLowerCase.contains("json_serialize_rs(raw_super)"), js)
 
     // (4) prefix TIMEZONE('tz', x) splits by operand type like AT TIME
     // ZONE: timestamptz-typed operands convert TO the zone; a naive

@@ -46,4 +46,31 @@ class SpvPricingLayerSpec extends SparkSpec {
     rerun.foreach { case (n, e) => info(s"RERUN FAILED $n: ${e.take(900)}") }
     assert(rerun === Map.empty)
   }
+
+  /** The REST of 9_SPV beyond Pricing_V2: the numbered SPV valuation
+    * chain (`1_union_all_sources` → outlier removal → avg-3-lowest →
+    * price-per-sku → asset market value → sold-asset valuation →
+    * `7_0_final_output`), the Mozenda scrape-source normalizers, and
+    * the legacy `Pricing/` pipeline — 19 scripts.
+    */
+  test("the 9_SPV valuation chain + Mozenda + legacy Pricing run verbatim, twice") {
+    assume(LayerHarness.wipEnabled, "WIP layer \u2014 set GRAFT_WIP_LAYERS=1")
+    val base = Paths.get("/root/reference/Datawarehouse-ETL/9_SPV")
+    assume(Files.exists(base))
+    val scripts = java.nio.file.Files.walk(base).iterator.asScala
+      .filter(f => f.toString.endsWith(".sql") && Files.isRegularFile(f))
+      .filterNot(_.toString.contains("/Pricing_V2/"))
+      .toSeq.sortBy(_.toString)
+      .map(p => base.relativize(p).toString ->
+        new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8))
+    assert(scripts.size >= 19, s"expected the full chain, got ${scripts.size}")
+    val (failures, rerun, summary) = LayerHarness.runSeeded(
+      spark, "9_SPV", scripts, Some(Pinned),
+      log = m => info(s"harness[spv]: $m"))
+    println(summary)
+    failures.foreach { case (n, e) => info(s"FAILED $n: ${e.take(900)}") }
+    assert(failures === Map.empty)
+    rerun.foreach { case (n, e) => info(s"RERUN FAILED $n: ${e.take(900)}") }
+    assert(rerun === Map.empty)
+  }
 }
