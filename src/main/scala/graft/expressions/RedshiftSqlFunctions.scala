@@ -102,6 +102,29 @@ object RedshiftSqlFunctions {
       ex(col(children.head).cast("string")
         .rlike("^\\s*[+-]?\\d+(\\.\\d+)?\\s*$"))
     }
+    // Redshift REGEXP_SUBSTR(str, pat[, position[, occurrence[,
+    // parameters]]]) — Spark's builtin stops at 2 args
+    // (`91_External/Gmail/partner_online_order_tracking.sql:9` pulls
+    // the Nth tracking link). Non-match yields '' like Redshift.
+    inject("regexp_substr_rs") { children =>
+      require(children.size >= 2 && children.size <= 5,
+        "regexp_substr_rs(str, pat[, pos[, occurrence[, params]]])")
+      val F = org.apache.spark.sql.functions
+      val str0 = col(children.head)
+      val pat0 = col(children(1))
+      val pat =
+        if (children.size == 5 &&
+            litString(children(4), "regexp params").contains("i"))
+          F.concat(F.lit("(?i)"), pat0)
+        else pat0
+      val base =
+        if (children.size >= 3) str0.substr(col(children(2)), F.lit(Int.MaxValue))
+        else str0
+      val occ = if (children.size >= 4) col(children(3)) else F.lit(1)
+      ex(F.coalesce(
+        F.try_element_at(F.regexp_extract_all(base, pat, F.lit(0)), occ),
+        F.lit("")))
+    }
     // Redshift CHARINDEX(substring, string) — Spark's instr with the
     // argument order swapped (`91_External/Gmail/
     // partner_online_order_tracking.sql`)

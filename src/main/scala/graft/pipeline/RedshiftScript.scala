@@ -1060,6 +1060,10 @@ object RedshiftScript {
       // (`7_snowplow/1_page_view/14_decoding_user.sql:14`) — Spark has
       // the builtin
       "(?i)\\bfunc_sha1\\s*\\(" -> "sha1(",
+      // Redshift REGEXP_SUBSTR takes position/occurrence/params args
+      // Spark's builtin lacks — route every call through the dialect
+      // form (2-arg behavior is identical)
+      "(?i)\\bregexp_substr\\s*\\(" -> "regexp_substr_rs(",
       // `timestamptz(x)` type-constructor ≡ a timestamp read of x
       // (TIMEZONE('tz', …) itself splits by operand type in the pre0
       // whole-text pass — its tz literal is invisible to this

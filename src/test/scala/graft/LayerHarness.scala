@@ -1007,7 +1007,16 @@ object LayerHarness {
                 // same name (pinning both sides is what froze the
                 // v_b2b_payments_report ambiguity)
                 val alreadyPinned = candidates.exists(t => pinnedCols((t, col)))
-                ranked.find(t => fixtureCols.contains(t) &&
+                // pin onto the statement's FROM-anchor table first — an
+                // unqualified name overwhelmingly belongs to the anchor,
+                // and pinning a joined dim instead starts the pin war
+                // the ambiguity repair then has to unwind
+                // (5_dwh_widgets start_date/product_sku fights)
+                val anchorFirst = binds.headOption.map(_._2) match {
+                  case Some(a) => ranked.sortBy(t => if (t == a) 0 else 1)
+                  case None => ranked
+                }
+                anchorFirst.find(t => fixtureCols.contains(t) &&
                     !fixtureCols(t)(col) && !positionalTarget(t) &&
                     !neverCols((t, col)) &&
                     !anchoredDrops((t, col)) && !alreadyPinned) match {
@@ -1218,6 +1227,39 @@ object LayerHarness {
           }
           return false
         case None => ()
+      }
+      // dotted field access over a string-staged SUPER column
+      // (`tags_v1."tags"` / `source.delivered_as`,
+      // `91_External/Intercom/intercom_first_conversation.sql`) — stage
+      // the column as a STRUCT carrying every field the failing
+      // statement navigates
+      locally {
+        val BadExtract = """Can't extract a value from "(\w+)"""".r
+        BadExtract.findFirstMatchIn(err) match {
+          case Some(m) =>
+            val colName = m.group(1).toLowerCase
+            val span = failing.getOrElse(text)
+            val aliasBound = tableBindings(span).exists(_._1 == colName)
+            if (!aliasBound) {
+              val holder = bindingsIn(span).map(_._2).distinct
+                .find(t => fixtureCols.get(t).exists(_(colName)))
+              for (t <- holder) {
+                val q = java.util.regex.Pattern.quote(colName)
+                val fields =
+                  (("(?i)\\b" + q + "\\s*\\.\\s*\"([^\"]+)\"").r
+                    .findAllMatchIn(span).map(_.group(1)) ++
+                  ("(?i)\\b" + q + "\\s*\\.\\s*([a-z_]\\w*)").r
+                    .findAllMatchIn(span).map(_.group(1))).toSet
+                val fs = structFields.getOrElseUpdate((t, colName), mutable.Set.empty)
+                val fresh = fields.filterNot(f => fs.exists(_.equalsIgnoreCase(f)))
+                if (fresh.nonEmpty) {
+                  log(s"struct-stage $t.$colName fields ${fresh.mkString(",")}")
+                  fs ++= fresh; stage(t); return true
+                }
+              }
+            }
+          case None => ()
+        }
       }
       // a second field demanded from an already-struct-staged SUPER
       // column (`"_airbyte_data"."Amount Overdue** (PbI Adjusted)"` after
@@ -1494,9 +1536,15 @@ object LayerHarness {
               // name heuristic
               val intervalProof = err.contains("UNEXPECTED_INPUT_TYPE") &&
                 fragWhole.contains("INTERVAL") && fragWhole.contains("*")
+              // the script ITSELF casts the column to a numeric type
+              // (`updated_at::int`, 91_External/Intercom epoch columns)
+              // — Redshift can't cast timestamps to int either, so the
+              // column must be numeric in the warehouse
+              val ownNumCast = strongCast && castOperand.contains(c) &&
+                Set[ColType](TInt, TNum)(tyEff)
               val intDemote = Set[ColType](TInt, TNum)(tyEff) &&
                 Set[ColType](TDate, TTs, TTime)(heuristicType(c)) &&
-                !reversed && !intervalProof
+                !reversed && !intervalProof && !ownNumCast
               if (ids(c) && cur != tyEff && !skip && !demote && !cycle &&
                   !intDemote && !overrides.contains((t, c))) {
                 log(s"retype $t.$c $cur -> $tyEff")

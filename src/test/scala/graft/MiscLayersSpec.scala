@@ -57,7 +57,6 @@ class MiscLayersSpec extends SparkSpec {
   }
 
   test("the 90_Hightouch reverse-ETL layer runs verbatim, twice") {
-    assume(LayerHarness.wipEnabled, "WIP layer \u2014 set GRAFT_WIP_LAYERS=1")
     runLayer("hightouch", Seq("90_Hightouch"))
   }
 
