@@ -42,6 +42,11 @@ object Catalog {
   def replaceTable(df: DataFrame, db: String, table: String): Unit = {
     val spark = df.sparkSession
     ensureDatabase(spark, db)
+    // the name may currently be held by a VIEW (a prior run's CREATE
+    // VIEW over the same name, e.g. product_requests.feed) — DROP TABLE
+    // alone raises WRONG_COMMAND_FOR_OBJECT_TYPE on it
+    try spark.sql(s"DROP VIEW IF EXISTS $db.$table")
+    catch { case _: Exception => () }
     spark.sql(s"DROP TABLE IF EXISTS $db.$table")
     val loc = spark.sessionState.catalog.defaultTablePath(
       org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db)))

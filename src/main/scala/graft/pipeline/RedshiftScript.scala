@@ -269,8 +269,12 @@ object RedshiftScript {
         // with a quoted part (that's what distinguishes navigation from
         // a plain qualified column `t.f.y`), then quoted/unquoted/[n]
         // segments may follow (`f."entryTitle".en`)
+        // navigation may also start UNQUOTED (`tags_v1.tags`,
+        // `91_External/Intercom/intercom_first_conversation.sql:54`) —
+        // safe because group(1) only matches known json_parse aliases,
+        // which are variant-typed columns, never table aliases
         val pathRe = ("(?i)(?:\\b\\w+\\.)?\\b(" + alt + ")" +
-          "((?:\\.\"\\w+\")(?:\\.\"\\w+\"|\\.(?!\\d)\\w+\\b|\\[\\d+\\])*)").r
+          "((?:\\.\"\\w+\"|\\.(?!\\d)\\w+\\b)(?:\\.\"\\w+\"|\\.(?!\\d)\\w+\\b|\\[\\d+\\])*)").r
         pathRe.replaceAllIn(sql, m => {
           val path = m.group(2).replaceAll("\\.\"(\\w+)\"", ".$1")
           java.util.regex.Matcher.quoteReplacement(
@@ -287,8 +291,23 @@ object RedshiftScript {
     val UnnestRe =
       ("(?i)\\bLEFT\\s+JOIN\\s+CAST\\(variant_get\\((\\w+),\\s*'([^']+)'\\) AS STRING\\)" +
         "\\s+AS\\s+(\\w+)\\s+ON\\s+TRUE").r
-    val unnestAliases = UnnestRe.findAllMatchIn(pathRewritten).map(_.group(3)).toSet
-    val unnested = UnnestRe.replaceAllIn(pathRewritten, m =>
+    // PartiQL COMMA unnest of a JSON-array-text column (`FROM t2 AS ned,
+    // ned.tag_array AS t1`, `91_External/Intercom/
+    // intercom_first_conversation.sql:59`): the qualifier back-references
+    // the immediately preceding FROM item's alias, which is what
+    // distinguishes it from a select-list item
+    val CommaUnnestRe =
+      ("(?i)\\bFROM\\s+([\\w.]+)\\s+(?:AS\\s+)?(\\w+)\\s*,\\s*" +
+        "\\2\\.(\\w+)\\s+(?:AS\\s+)?(\\w+)\\b").r
+    val commaAliases = CommaUnnestRe.findAllMatchIn(pathRewritten).map(_.group(4)).toSet
+    val commaUnnested = CommaUnnestRe.replaceAllIn(pathRewritten, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"FROM ${m.group(1)} AS ${m.group(2)} LATERAL VIEW OUTER " +
+          s"explode(from_json(${m.group(2)}.${m.group(3)}, 'array<string>')) " +
+          s"__${m.group(4)} AS ${m.group(4)}"))
+    val unnestAliases =
+      UnnestRe.findAllMatchIn(commaUnnested).map(_.group(3)).toSet ++ commaAliases
+    val unnested = UnnestRe.replaceAllIn(commaUnnested, m =>
       java.util.regex.Matcher.quoteReplacement(
         s"LATERAL VIEW OUTER explode(from_json(to_json(variant_get(${m.group(1)}, " +
           s"'${m.group(2)}')), 'array<string>')) __${m.group(3)} AS ${m.group(3)}"))

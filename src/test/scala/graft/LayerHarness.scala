@@ -1516,9 +1516,16 @@ object LayerHarness {
               // DATE satisfies TIMESTAMP contexts by coercion — never
               // walk a date back up, or +int repair would oscillate
               val skip = tyEff == TTs && cur == TDate
+              // the script ITSELF casts the column to a numeric type
+              // (`updated_at::int`, 91_External/Intercom epoch columns)
+              // — Redshift can't cast timestamps to int either, so the
+              // column must be numeric in the warehouse; this explicit
+              // evidence overrides temporal demands and name heuristics
+              val ownNumCast = strongCast && castOperand.contains(c) &&
+                Set[ColType](TInt, TNum)(tyEff)
               // analyzer-demanded temporal placements never demote
               val demote = Set[ColType](TInt, TNum, TBool, TStr)(tyEff) &&
-                temporalDemanded((t, c))
+                temporalDemanded((t, c)) && !ownNumCast
               val cycle =
                 typeHistory.get((t, c)).exists(_(tyEff)) && !strongCast
               // a frag-derived int/num demand must not demote a column
@@ -1536,12 +1543,6 @@ object LayerHarness {
               // name heuristic
               val intervalProof = err.contains("UNEXPECTED_INPUT_TYPE") &&
                 fragWhole.contains("INTERVAL") && fragWhole.contains("*")
-              // the script ITSELF casts the column to a numeric type
-              // (`updated_at::int`, 91_External/Intercom epoch columns)
-              // — Redshift can't cast timestamps to int either, so the
-              // column must be numeric in the warehouse
-              val ownNumCast = strongCast && castOperand.contains(c) &&
-                Set[ColType](TInt, TNum)(tyEff)
               val intDemote = Set[ColType](TInt, TNum)(tyEff) &&
                 Set[ColType](TDate, TTs, TTime)(heuristicType(c)) &&
                 !reversed && !intervalProof && !ownNumCast

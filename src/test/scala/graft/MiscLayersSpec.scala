@@ -78,7 +78,6 @@ class MiscLayersSpec extends SparkSpec {
   }
 
   test("the 5_dwh_widgets layer runs verbatim, twice") {
-    assume(LayerHarness.wipEnabled, "WIP layer \u2014 set GRAFT_WIP_LAYERS=1")
     runLayer("widgets", Seq("5_dwh_widgets"))
   }
 }
