@@ -154,5 +154,14 @@ object RedshiftSqlFunctions {
       require(children.isEmpty, "getdate()")
       org.apache.spark.sql.catalyst.expressions.CurrentTimestamp()
     }
+    // Redshift REPLICATE(str, n) ≡ Spark repeat(str, n) — the GDPR
+    // anonymization chain masks values with
+    // `REPLICATE('x', LEN(col))` (`8_monitoring/gdpr/
+    // anonymize_gdpr_columns.sql:14`)
+    inject("replicate") { children =>
+      require(children.size == 2, "replicate(str, n)")
+      ex(org.apache.spark.sql.functions.repeat(col(children.head),
+        col(children(1)).cast("int")))
+    }
   }
 }

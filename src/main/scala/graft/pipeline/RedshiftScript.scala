@@ -909,7 +909,7 @@ object RedshiftScript {
     // vanishingly unlikely (and would be doubled-quoted in Redshift).
     val pre0 = sql
       .replaceAll(
-        s"(?i)\\b(datediff|dateadd|date_part)\\s*\\(\\s*'($Units|dows?|doys?|epoch)'\\s*,",
+        s"(?i)\\b(datediff|dateadd|date_part)\\s*\\(\\s*'($Units|dayofweek|dayofyear|dows?|doys?|epoch)'\\s*,",
         "$1($2,")
       // Presto/Athena forms map only in their QUOTED-unit spelling —
       // Spark's own 2-arg date_add(col, n) with a column named like a
@@ -1059,16 +1059,16 @@ object RedshiftScript {
       // semantics; Spark's parser owns the bare names as TIMESTAMPDIFF forms)
       s"(?i)\\bdatediff\\s*\\(\\s*'?($Units)'?\\s*," -> "datediff_rs('$1',",
       s"(?i)\\bdateadd\\s*\\(\\s*'?($Units)'?\\s*," -> "dateadd_rs('$1',",
-      s"(?i)\\bdate_part\\s*\\(\\s*'?($Units|dows?|doys?|epoch)'?\\s*," -> "date_part_rs('$1',",
+      s"(?i)\\bdate_part\\s*\\(\\s*'?($Units|dayofweek|dayofyear|dows?|doys?|epoch)'?\\s*," -> "date_part_rs('$1',",
       // Redshift's no-underscore spelling with a BARE unit —
       // `datepart(week, cancellation_date)`
       // (`4_dwh_core/daily_kpi_rented_not_rented_again_subscriptions.sql:55`)
-      s"(?i)\\bdatepart\\s*\\(\\s*'?($Units|dows?|doys?|epoch)'?\\s*," -> "date_part_rs('$1',",
+      s"(?i)\\bdatepart\\s*\\(\\s*'?($Units|dayofweek|dayofyear|dows?|doys?|epoch)'?\\s*," -> "date_part_rs('$1',",
       // EXTRACT fields Spark either lacks (EPOCH → INVALID_EXTRACT_FIELD)
       // or numbers differently (DOW: Spark Sunday=1..7, Redshift
       // Sunday=0..6 — `7_snowplow/2_sessions/01_sessions.sql:47` builds
       // its Monday index on the 0-base) route through the dialect form
-      "(?i)\\bextract\\s*\\(\\s*(dow|doy|epoch)\\s+from\\b" -> "date_part_rs('$1',",
+      "(?i)\\bextract\\s*\\(\\s*(dayofweek|dayofyear|dow|doy|epoch)\\s+from\\b" -> "date_part_rs('$1',",
       "(?i)\\bto_char\\s*\\(" -> "to_char_rs(",
       // the reference's `atomic`-schema Python UDFs that shadow builtins
       // (`2_ods_risk/00_order_manual_review_rules.sql:53`
@@ -1582,6 +1582,76 @@ object RedshiftScript {
     * LATERAL_COLUMN_ALIAS_IN_WINDOW; substitute the alias expressions
     * into each OVER(...) span, same contract as [[substituteAliasesInWhere]].
     */
+  /** Wrap select-list scalar subqueries of GROUPED queries in first(…):
+    * Redshift accepts a correlated scalar subquery in the select list of
+    * a query grouped by its correlation key; Spark demands the subquery
+    * appear in GROUP BY or inside an aggregate
+    * (SCALAR_SUBQUERY_IS_IN_GROUP_BY_OR_AGGREGATE_FUNCTION,
+    * `13_finance_reporting/dm_finance.v_asset_yield_report.sql:10-14`).
+    * Grouping by the correlation key makes the subquery value constant
+    * per group, so first() is exact. Only subqueries that are select-list
+    * ITEMS (preceded by `,` or SELECT) of a query with a same-depth
+    * GROUP BY are wrapped.
+    */
+  private[graft] def wrapScalarSubqueriesInFirst(sql: String): String = {
+    val n = sql.length
+    // paren depth per position (string-aware)
+    val depth = new Array[Int](n)
+    var d = 0; var inStr = false
+    var i = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => d += 1
+        case ')' => d -= 1
+        case _ => ()
+      }
+      depth(i) = d
+      i += 1
+    }
+    val out = new StringBuilder
+    var last = 0
+    for (m <- "(?i)\\(\\s*select\\b".r.findAllMatchIn(sql)) {
+      val p = m.start
+      // select-list item: previous non-space char is ',' or the previous
+      // token is SELECT
+      var j = p - 1
+      while (j >= 0 && sql.charAt(j).isWhitespace) j -= 1
+      val isItem = j >= 0 && (sql.charAt(j) == ',' ||
+        (j >= 5 && sql.substring(j - 5, j + 1).equalsIgnoreCase("select")))
+      if (isItem && p >= last) {
+        // matching close
+        var q = p + 1; var dd = 1; var s2 = false
+        while (q < n && dd > 0) {
+          val c = sql.charAt(q)
+          if (s2) { if (c == '\'') s2 = false }
+          else c match {
+            case '\'' => s2 = true
+            case '(' => dd += 1
+            case ')' => dd -= 1
+            case _ => ()
+          }
+          q += 1
+        }
+        // grouped? a same-depth GROUP BY after the subquery, before the
+        // enclosing depth closes
+        val enclosing = if (p > 0) depth(p - 1) else 0
+        var limit = q
+        while (limit < n && depth(limit) >= enclosing) limit += 1
+        val grouped = "(?i)\\bgroup\\s+by\\b".r.findAllMatchIn(sql)
+          .exists(g => g.start >= q && g.start < limit && depth(g.start) == enclosing)
+        if (grouped && dd == 0) {
+          out.append(sql.substring(last, p)).append("first(")
+            .append(sql.substring(p, q)).append(")")
+          last = q
+        }
+      }
+    }
+    if (last == 0) sql else { out.append(sql.substring(last)); out.toString }
+  }
+
   /** `SELECT * FROM t GROUP BY 1,2,…` (ordinal grouping under a star
     * list — `2_ods_catman/00_product_live_feed.sql:99-102`): Spark
     * rejects the combination (STAR_GROUP_BY_POS). A statement VALID in
@@ -2681,6 +2751,8 @@ object RedshiftScript {
                     "when ($1) <> 0 then")
                 }
               }
+              else if (msg.contains("SCALAR_SUBQUERY_IS_IN_GROUP_BY"))
+                RedshiftScript.wrapScalarSubqueriesInFirst(cur)
               else if (msg.contains("UNSUPPORTED_SUBQUERY_EXPRESSION") ||
                 msg.contains("must be aggregated"))
                 RedshiftScript.rewriteCorrelatedLimit1(cur)
@@ -3552,6 +3624,21 @@ object RedshiftScript {
           case TableAlias(tbl, a) => (s"SELECT * FROM ${tr(tbl)}", a)
           case SubqueryAlias(sub, a) =>
             (s"SELECT * FROM ${tr(sub)} __src", Option(a).getOrElse("__src"))
+          case multi if "(?is)\\bjoin\\b".r.findFirstIn(multi).isDefined =>
+            // a JOINed source (`FROM master.customer t INNER JOIN
+            // ods_data_sensitive.pii_deleted_users_delta pii ON …`,
+            // `8_monitoring/gdpr/anonymize_gdpr_columns.sql`): flattening
+            // it behind a fresh alias would strand the SET expressions'
+            // inner-alias references (`t.gender`) — project the FIRST
+            // relation's columns and keep ITS alias as the source alias,
+            // so those references resolve against the wrapper
+            "(?is)^([\\w.]+)\\s+(?:as\\s+)?(\\w+)\\s".r
+              .findFirstMatchIn(multi) match {
+              case Some(fm) if !Set("join", "inner", "left", "right", "full",
+                  "cross", "on", "where")(fm.group(2).toLowerCase) =>
+                (s"SELECT ${fm.group(2)}.* FROM ${tr(multi)}", fm.group(2))
+              case _ => (s"SELECT * FROM ${tr(multi)}", "__src")
+            }
           case tbl => (s"SELECT * FROM ${tr(tbl)}", tbl.split("\\.").last)
         }
       }

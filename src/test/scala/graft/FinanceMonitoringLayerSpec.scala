@@ -41,13 +41,26 @@ class FinanceMonitoringLayerSpec extends SparkSpec {
   test("the 13_finance_reporting layer runs verbatim, twice") {
     val dir = "/root/reference/Datawarehouse-ETL/13_finance_reporting"
     assume(Files.exists(Paths.get(dir)))
-    runLayer("finance_reporting", scriptsOf(dir))
+    runLayer("finance_reporting", scriptsOf(dir), broken = Set(
+      // broken IN the reference: the first CTE's FROM target was
+      // deleted (`FROM` directly followed by `LEFT JOIN`, plus a
+      // dangling comma closing the select list) — unrunnable on
+      // Redshift too (`v_grover_care_pdp.sql:13-16`)
+      "v_grover_care_pdp.sql",
+      // same deleted-FROM-target defect (`FROM⏎LEFT JOIN`,
+      // `v_grover_care_conversion.sql:16-17`)
+      "v_grover_care_conversion.sql"))
   }
 
   test("the 8_monitoring layer runs verbatim, twice") {
     val dir = "/root/reference/Datawarehouse-ETL/8_monitoring"
     assume(Files.exists(Paths.get(dir)))
-    runLayer("monitoring", scriptsOf(dir, recursive = true))
+    runLayer("monitoring", scriptsOf(dir, recursive = true), broken = Set(
+      // broken IN the reference: the first login CTE lost its FROM line
+      // (`'Login' as type_of_data` directly followed by WHERE,
+      // `gdpr_login_traffic.sql:15-16`) and a later union block lost its
+      // `, name AS (` CTE header — Redshift rejects both
+      "gdpr/gdpr_login_traffic.sql"))
   }
 
   /** The 13_finance_reporting SUBDIRECTORIES — the Luxco SPV monthly

@@ -71,7 +71,8 @@ object LayerHarness {
     c == "date" || c == "datum" || c == "createddate" || c == "timestamp" ||
       c.endsWith("modifieddate") || c.endsWith("_date") || c.endsWith("_at") ||
       c.endsWith("modstamp") || c.endsWith("tstamp") || c.endsWith("_timestamp") ||
-      c.startsWith("date_") || c.endsWith("_day") || c.endsWith("_month") ||
+      c.startsWith("date_") || c.contains("_date_") ||
+      c.endsWith("_day") || c.endsWith("_month") ||
       c.endsWith("_week") || c == "fact_date" || c == "fact_day" ||
       c.endsWith("_eom") || c.endsWith("_bom") || c.endsWith("_till") ||
       c.endsWith("_from") || c.endsWith("_datetime") ||
@@ -424,9 +425,16 @@ object LayerHarness {
     // placements the ambiguity repair may remove besides guesses.
     private val weak = mutable.Set.empty[(String, String)]
 
+    /** single-bind qualified attestations from the initial harvest —
+      * layer-wide textual proof a table owns a column; the ambiguity
+      * repair must never drop these, and may drop unattested holders
+      * even when untracked (a directQual mis-add under an alias
+      * collision leaves no tracking) */
+    private val strongHarvest = mutable.Set.empty[(String, String)]
+
     val fixtureCols: mutable.Map[String, mutable.Set[String]] = {
       val refs = mutable.Map.empty[String, mutable.Set[String]]
-      val strong = mutable.Set.empty[(String, String)]
+      val strong = strongHarvest
       scripts.foreach { case (_, text) =>
         RedshiftScript.splitStatements(text).foreach { st =>
           val binds = mutable.Map.empty[String, mutable.Set[String]]
@@ -530,9 +538,12 @@ object LayerHarness {
           // `"_airbyte_data"."Customer ID"`) stage as STRUCTs carrying
           // the demanded fields; digit-string values survive the
           // scripts' VARCHAR and regexp-stripped DECIMAL casts
-          case Some(fs) => F.struct(fs.toSeq.sorted.map(f =>
+          // a field-less struct cannot be written to parquet ("empty
+          // group" — `payment_group_tax_breakdown` staged before any
+          // navigation was seen): stay a string until a field is known
+          case Some(fs) if fs.nonEmpty => F.struct(fs.toSeq.sorted.map(f =>
             (F.col("__id") + 1).cast("string").as(f)): _*).as(c)
-          case None => overrides.get((name, c)).map(_.as(c)).getOrElse(
+          case _ => overrides.get((name, c)).map(_.as(c)).getOrElse(
             colExpr(c, colTypes.getOrElse((name, c), heuristicType(c))))
         }
       }
@@ -789,6 +800,92 @@ object LayerHarness {
         tableBindings(span) // 1-part CTE binds are harvest-only signals
           .filter(_._2.contains("."))
           .filterNot { case (_, t) => built(t) && !placeholdered(t) }
+      /** Scope evidence for an unqualified column: for each bare
+        * occurrence of `col` in the span, walk OUT from the innermost
+        * enclosing parenthesized block to the first one that binds
+        * fixtures; a block binding exactly ONE distinct fixture is the
+        * script's own statement of ownership (`first_touchpoint_order as
+        * (select first_touchpoint_30d … from traffic.order_conversions)`
+        * — the CTE's sole source must hold the column). Ordered by
+        * attestation count, strongest first. Evidence outranks the
+        * placement heuristics, overrides tabu, and shields the holder
+        * from ambiguity drops — a mis-sprayed guess elsewhere must not
+        * drag the true holder down with it (marketing_risk_dashbaord's
+        * 6-table spray-then-drop-all freeze).
+        */
+      def scopeEvidence(span: String, col: String): Seq[String] = {
+        val s = span
+        val n = s.length
+        if (n == 0 || n > 400000) return Nil
+        val encl = new Array[Int](n)
+        val closeOf = mutable.Map.empty[Int, Int]
+        val inStr = new Array[Boolean](n)
+        var cur = -1
+        var stack = List.empty[Int]
+        var str = false
+        var i = 0
+        while (i < n) {
+          val c = s.charAt(i)
+          if (str) { inStr(i) = true; encl(i) = cur; if (c == '\'') str = false }
+          else c match {
+            case '\'' => str = true; inStr(i) = true; encl(i) = cur
+            case '(' => encl(i) = cur; stack = i :: stack; cur = i
+            case ')' => stack match {
+                case h :: t =>
+                  closeOf(h) = i; stack = t
+                  cur = t.headOption.getOrElse(-1)
+                case Nil => ()
+              }
+              encl(i) = cur
+            case _ => encl(i) = cur
+          }
+          i += 1
+        }
+        val bare = ("(?i)(?<![\\w.$])" +
+          java.util.regex.Pattern.quote(col) + "\\b(?!\\s*[.(])").r
+        // `AS col` names an output, not a source column — a CTE aliasing
+        // `user_id AS customer_id` must not vote its source table as a
+        // customer_id holder
+        def isAliasDef(start: Int): Boolean = {
+          var j = start - 1
+          while (j >= 0 && s.charAt(j).isWhitespace) j -= 1
+          j >= 1 && s.charAt(j).toLower == 's' && s.charAt(j - 1).toLower == 'a' &&
+            (j - 2 < 0 || !s.charAt(j - 2).isLetterOrDigit)
+        }
+        val votes = mutable.Map.empty[String, Int]
+        for (m <- bare.findAllMatchIn(s) if !inStr(m.start) && !isAliasDef(m.start)) {
+          var o = encl(m.start)
+          var done = false
+          while (o >= 0 && !done) {
+            val cl = closeOf.getOrElse(o, n)
+            val bs = bindingsIn(s.substring(o + 1, math.min(cl, n)))
+              .map(_._2).distinct
+            if (bs.size == 1) { votes(bs.head) = votes.getOrElse(bs.head, 0) + 1; done = true }
+            else if (bs.size > 1) done = true // multi-bind scope: no evidence
+            else o = encl(o)
+          }
+        }
+        votes.toSeq.sortBy(-_._2).map(_._1)
+      }
+      /** The parenthesized body of CTE `name` in `span`, if any. */
+      def cteSpanOf(span: String, name: String): Option[String] = {
+        ("(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(name) +
+          "\\s+as\\s*\\(").r.findFirstMatchIn(span).flatMap { mm =>
+          var depth = 1; var i = mm.end; var inStr = false
+          while (i < span.length && depth > 0) {
+            val c = span.charAt(i)
+            if (inStr) { if (c == '\'') inStr = false }
+            else c match {
+              case '\'' => inStr = true
+              case '(' => depth += 1
+              case ')' => depth -= 1
+              case _ => ()
+            }
+            i += 1
+          }
+          if (depth == 0) Some(span.substring(mm.end, i - 1)) else None
+        }
+      }
       NotFound.findFirstMatchIn(err) match {
         case Some(m) =>
           val tbl = s"${m.group(1)}.${m.group(2)}".toLowerCase
@@ -892,7 +989,31 @@ object LayerHarness {
             * `subscription_bo_id`/`date` are the real gaps —
             * `4_dwh_risk/v_b2b_payments_report.sql`). */
           def tryPlace(qual: Option[String], col: String,
-              fieldCase: Option[String]): Boolean = {
+              fieldCase: Option[String], fallback: Boolean = false): Boolean = {
+            // the qualifier may name a CTE (no fixture binds it):
+            // resolve THROUGH it — a fallback whose column the CTE's own
+            // text already carries is a downstream casualty of another
+            // gap, not a gap itself (plan dumps mark `'a.allocation_id`
+            // even though CTE `a` selects `ps.allocation_id` explicitly;
+            // placing it on the CTE's other source manufactures a
+            // `pr.*`-vs-explicit duplicate). When the CTE does NOT carry
+            // it, the CTE's own span is the placement scope.
+            val cteScope = qual.filter(q => !binds.exists(_._1 == q))
+              .flatMap(q => cteSpanOf(span, q).orElse(
+                // `FROM exclude_from_control_group ce`: the alias binds a
+                // 1-part CTE name — resolve through the CTE's body
+                tableBindings(span).collectFirst {
+                  case (a, t) if a == q && !t.contains(".") => t
+                }.flatMap(n => cteSpanOf(span, n))))
+            for (cs <- cteScope)
+              if (fallback && ("(?i)(?<![\\w.$])" +
+                  java.util.regex.Pattern.quote(col) + "\\b").r
+                    .findFirstIn(cs).isDefined) return false
+            // a select-list (lateral) alias defines the bare name: it
+            // resolves in place once the root gap is fixed
+            if (fallback && qual.isEmpty &&
+                ("(?i)\\bas\\s+" + java.util.regex.Pattern.quote(col) +
+                  "\\b").r.findFirstIn(span).isDefined) return false
             // `"_airbyte_data"."Customer ID"`: the "qualifier" is itself
             // a SUPER column on a bound fixture (Airbyte raw landing,
             // `4_dwh_risk/pbi_customer_tracking.sql:10`) — stage that
@@ -924,6 +1045,9 @@ object LayerHarness {
               case Some(q) =>
                 val direct = binds.collect { case (a, t) if a == q => t }.distinct
                 if (direct.nonEmpty) direct
+                else if (cteScope.exists(cs => bindingsIn(cs).nonEmpty))
+                  // place inside the CTE's own scope
+                  cteScope.map(cs => bindingsIn(cs).map(_._2).distinct).get
                 else {
                   // the alias names a CTE (`targets AS (SELECT *, … FROM
                   // dwh.commercial_targets_daily_country)`): a `SELECT *`
@@ -963,7 +1087,14 @@ object LayerHarness {
                   base.startsWith(col.stripSuffix("_id"))) 1
               else 0
             }
-            val ranked = candidates.sortBy(t => -affinity(t))
+            // scope evidence outranks the heuristics: the script text
+            // itself names the owner, so it also overrides a tabu left
+            // by an earlier over-drop
+            val evidence =
+              if (qual.isEmpty) scopeEvidence(span, col) else Nil
+            val evid = evidence.toSet
+            val ranked = (evidence.filter(candidates.contains) ++
+              candidates.sortBy(t => -affinity(t))).distinct
             // add to the first candidate fixture that lacks it; repeated
             // rounds walk down the list until the analyzer is satisfied.
             // Only a DIRECTLY-bound alias is analyzer-confirmed evidence
@@ -992,12 +1123,14 @@ object LayerHarness {
             }
             ranked.find(t => fixtureCols.contains(t) && !fixtureCols(t)(col) &&
                 !positionalTarget(t) &&
-                !neverCols((t, col)) && (directQual || !tabu((t, col)))) match {
+                !neverCols((t, col)) &&
+                (directQual || evid(t) || !tabu((t, col)))) match {
               case Some(t) =>
-                log(s"auto-add $t.$col")
+                log(s"auto-add $t.$col" + (if (evid(t)) " (scope evidence)" else ""))
                 fixtureCols(t) += col
-                if (!directQual) guessed += ((t, col))
-                else weak -= ((t, col)) // analyzer-confirmed: no longer droppable
+                if (evid(t)) tabu -= ((t, col))
+                if (!directQual && !evid(t)) guessed += ((t, col))
+                else weak -= ((t, col)) // analyzer/text-confirmed: no longer droppable
                 stage(t); true
               case None =>
                 // every candidate is tabu from a prior ambiguity drop, yet
@@ -1013,13 +1146,14 @@ object LayerHarness {
                 // the ambiguity repair then has to unwind
                 // (5_dwh_widgets start_date/product_sku fights)
                 val anchorFirst = binds.headOption.map(_._2) match {
-                  case Some(a) => ranked.sortBy(t => if (t == a) 0 else 1)
+                  case Some(a) => ranked.sortBy(t =>
+                    if (evid(t)) -1 else if (t == a) 0 else 1)
                   case None => ranked
                 }
                 anchorFirst.find(t => fixtureCols.contains(t) &&
                     !fixtureCols(t)(col) && !positionalTarget(t) &&
                     !neverCols((t, col)) &&
-                    !anchoredDrops((t, col)) && !alreadyPinned) match {
+                    (!anchoredDrops((t, col)) || evid(t)) && !alreadyPinned) match {
                   case Some(t) =>
                     log(s"re-add pinned $t.$col (tabu override)")
                     tabu -= ((t, col)); fixtureCols(t) += col
@@ -1058,7 +1192,7 @@ object LayerHarness {
           // true gap when a statement has many unresolved names
           var anyPlaced = false
           for ((q2, c2) <- fallbacks)
-            if (tryPlace(q2, c2, None)) anyPlaced = true
+            if (tryPlace(q2, c2, None, fallback = true)) anyPlaced = true
           if (anyPlaced) return true
           return false
         case None => ()
@@ -1098,6 +1232,66 @@ object LayerHarness {
                 spark.sql(s"DROP TABLE IF EXISTS $t")
                 return true
               }
+            }
+            //  (c) the target is script-BUILT (CTAS earlier in the
+            //      script) and the body is `SELECT * [, extras] FROM
+            //      <fixture>`: the star must cover exactly the target's
+            //      leading columns, so the fixture's true shape IS that
+            //      prefix (`8_monitoring/system_issues/
+            //      snowplow_monitoring.sql:17` — `select *,'ga' from
+            //      stg_external_apis.session_pageview_info` into a
+            //      6-column CTAS target)
+            locally {
+              val StarFrom =
+                "(?is)^\\s*select\\s+\\*\\s*(,.*?)?\\s+from\\s+([\\w.\"]+)\\s*;?\\s*$".r
+              try {
+                val (_, body) = RedshiftScript.parseInsert(cl, rawBody)
+                for (sm <- StarFrom.findFirstMatchIn(body)) {
+                  val src = norm(sm.group(2).replace("\"", ""))
+                  val extras = Option(sm.group(1)) match {
+                    case None => 0
+                    case Some(ex) =>
+                      // top-level commas only
+                      var d2 = 0; var cnt = 0; var inS = false
+                      for (ch <- ex) {
+                        if (inS) { if (ch == '\'') inS = false }
+                        else ch match {
+                          case '\'' => inS = true
+                          case '(' => d2 += 1
+                          case ')' => d2 -= 1
+                          case ',' if d2 == 0 => cnt += 1
+                          case _ => ()
+                        }
+                      }
+                      cnt
+                  }
+                  if (fixtureCols.contains(src) && spark.catalog.tableExists(t)) {
+                    val tFields = spark.table(t).schema.fields
+                    val want = tFields.length - extras
+                    if (want > 0 && fixtureCols(src).size != want) {
+                      val prefix = tFields.take(want)
+                      log(s"re-derive star-source $src from target $t prefix ($want cols)")
+                      orderedFix(src) = prefix.map(_.name.toLowerCase).toSeq
+                      fixtureCols(src) =
+                        mutable.Set(prefix.map(_.name.toLowerCase): _*)
+                      prefix.foreach { f =>
+                        import org.apache.spark.sql.types._
+                        val ty = f.dataType match {
+                          case DateType => TDate
+                          case _: TimestampType | _: TimestampNTZType => TTs
+                          case BooleanType => TBool
+                          case IntegerType | LongType | ShortType => TInt
+                          case _: NumericType => TNum
+                          case _ => TStr
+                        }
+                        colTypes((src, f.name.toLowerCase)) = ty
+                      }
+                      stage(src)
+                      return true
+                    }
+                  }
+                }
+              } catch { case _: Exception => () }
             }
             val LikeCreate = ("(?is)CREATE\\s+(?:TEMP(?:ORARY)?\\s+)?TABLE\\s+" +
               java.util.regex.Pattern.quote(name) +
@@ -1146,6 +1340,74 @@ object LayerHarness {
           case None => ()
         }
       }
+      // an INSERT-alignment runtime cast failure (alignTo positionally
+      // casts the incoming frame to the target schema) names no column:
+      // retype bound string-staged fixture columns whose NAME carries
+      // the temporal family (`schufa_date_of_birth` feeding the DATE
+      // `date_of_birth` slot, `8_monitoring/gdpr/gdpr_credit_bureau.sql`)
+      if (err.contains("CAST_INVALID_INPUT") && err.contains("alignTo")) {
+        val toTy = CastTo.findFirstMatchIn(err).map(_.group(1)) match {
+          case Some("DATE") => Some(TDate)
+          case Some("TIMESTAMP") => Some(TTs)
+          case _ => None
+        }
+        val failedValue = """The value '([^']*)'""".r
+          .findFirstMatchIn(err).map(_.group(1))
+        for (ty <- toTy) {
+          val span = failing.getOrElse(text)
+          if (failedValue.exists(_.matches("\\d{1,4}"))) {
+            // a bare staged-string value ("1"): the SOURCE column is
+            // temporal in the warehouse — retype string-staged fixture
+            // columns with temporal names (`schufa_date_of_birth`
+            // feeding the DATE `date_of_birth` slot, gdpr_credit_bureau)
+            val hits = for {
+              t <- bindingsIn(span).map(_._2).distinct
+              c <- fixtureCols.getOrElse(t, mutable.Set.empty[String]).toSeq
+              if colTypes.getOrElse((t, c), heuristicType(c)) == TStr &&
+                (c.contains("date") || c.contains("time")) &&
+                ("(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(c) + "\\b").r
+                  .findFirstIn(span).isDefined
+            } yield (t, c)
+            if (hits.nonEmpty) {
+              hits.foreach { case (t, c) =>
+                log(s"retype $t.$c -> $ty (insert-alignment cast)")
+                colTypes((t, c)) = ty; temporalDemanded += ((t, c)); stage(t)
+              }
+              return true
+            }
+          } else {
+            // a composite value ('2024-01-19/3' from `expiry_month +
+            // '/' + expiry_year`): the TARGET's declared temporal type
+            // is the lie — the warehouse column holds text
+            // (`8_monitoring/gdpr/gdpr_payment_info.sql:31`). Re-derive
+            // a bootstrapped target from its body; retype a fixture
+            // target's temporal columns back to string
+            failing.map(RedshiftScript.stripLeadingComments).foreach {
+              case RedshiftScript.InsertRe(name, _, _) =>
+                val t = norm(name)
+                if (fixtureCols.contains(t)) {
+                  val hits = fixtureCols(t).toSeq.filter(c =>
+                    Set[ColType](TDate, TTs)(
+                      colTypes.getOrElse((t, c), heuristicType(c))) &&
+                    !temporalDemanded((t, c)))
+                  if (hits.nonEmpty) {
+                    hits.foreach { c =>
+                      log(s"retype $t.$c -> TStr (insert-alignment concat)")
+                      colTypes((t, c)) = TStr
+                    }
+                    stage(t); return true
+                  }
+                } else if (insertTargets.exists(_._1 == t) && !redropped(t)) {
+                  log(s"drop mis-typed insert target $t for re-derivation (cast)")
+                  redropped += t
+                  spark.sql(s"DROP TABLE IF EXISTS $t")
+                  return true
+                }
+              case _ => ()
+            }
+          }
+        }
+      }
       // an over-eager unqualified guess put the column on several joined
       // fixtures: remove the guessed placements (keep at least one)
       Ambiguous.findFirstMatchIn(err) match {
@@ -1171,26 +1433,63 @@ object LayerHarness {
           // (`…out_of_stock_pdp.sql:69` `AND continent = ss.continent`
           // where ss is a CTE — traffic.sessions must LOSE the guessed
           // continent; Redshift resolved the bare name to the CTE's)
+          // a SINGLE bare candidate in the list is a select-list
+          // (lateral) alias — Redshift resolved the name to it, so it
+          // anchors (`weekly_reporting_brand.sql` variant_sku vs a
+          // guessed dim_dates placement). TWO OR MORE bare candidates
+          // are just Spark printing fixture columns unqualified — no
+          // anchor, or the drop would take every holder including the
+          // true one
+          val bareCands =
+            ("(?<=[\\[,] )`" + java.util.regex.Pattern.quote(col) +
+              "`(?=[,\\]])").r.findAllIn(err).size +
+            ("(?<=\\[)`" + java.util.regex.Pattern.quote(col) +
+              "`(?=[,\\]])").r.findAllIn(err).size
           val immovable = aliasesInErr.exists(a =>
             !binds.exists { case (a2, t) =>
               a2 == a && fixtureCols.get(t).exists(_(col)) }) ||
-            // a BARE candidate in the list is a select-list (lateral)
-            // alias — Redshift resolved the name to it, so it anchors
-            // (`weekly_reporting_brand.sql` variant_sku vs a guessed
-            // dim_dates placement)
-            ("(?<=[\\[,] )`" + java.util.regex.Pattern.quote(col) +
-              "`(?=[,\\]])").r.findFirstIn(err).isDefined ||
-            ("(?<=\\[)`" + java.util.regex.Pattern.quote(col) +
-              "`(?=[,\\]])").r.findFirstIn(err).isDefined
+            bareCands == 1
           if (holders.size > 1 || (holders.nonEmpty && immovable)) {
-            val removable =
+            // a holder whose own single-bind scope mentions the column
+            // is text-attested — never drop it for a guess elsewhere
+            val evidS = scopeEvidence(span, col).toSet
+            val droppable =
               holders.filter(t => neverCols((t, col)) ||
                   ((guessed((t, col)) || weak((t, col))) &&
-                  !pinnedCols((t, col)))) match {
+                  !pinnedCols((t, col))))
+            val removable0 =
+              if (evidS.nonEmpty && holders.exists(evidS) &&
+                  droppable.exists(t => !evidS(t)))
+                droppable.filterNot(evidS)
+              else droppable match {
                 case all if all.size == holders.size && !immovable => all.tail
                 case some => some
               }
+            // qualified attestation breaks pinned-vs-real deadlocks: when
+            // `o.customer_id` appears in the span but `os.` never
+            // qualifies the column, the os placement was a mis-add —
+            // drop repair-added holders with zero attestations
+            // (`4_dwh_risk/onfido_trigger_performance.sql:25`)
+            def attested(t: String): Boolean = binds.exists { case (a, t2) =>
+              t2 == t && ("(?i)(?<![\\w.])" +
+                java.util.regex.Pattern.quote(a) + "\\s*\\.\\s*" +
+                java.util.regex.Pattern.quote(col) + "\\b").r
+                  .findFirstIn(span).isDefined }
+            val removable =
+              if (removable0.nonEmpty) removable0
+              else {
+                val att = holders.filter(t =>
+                  attested(t) || strongHarvest((t, col)))
+                if (att.nonEmpty && att.size < holders.size)
+                  // unattested holders are droppable even when
+                  // untracked: a directQual mis-add under an alias
+                  // collision leaves no guessed/weak/pinned marker
+                  holders.filterNot(t =>
+                    attested(t) || strongHarvest((t, col)))
+                else Nil
+              }
             if (removable.nonEmpty) {
+              removable.foreach(t => pinnedCols -= ((t, col)))
               removable.foreach { t =>
                 log(s"auto-drop ambiguous $t.$col")
                 fixtureCols(t) -= col; guessed -= ((t, col)); weak -= ((t, col))
@@ -1365,8 +1664,19 @@ object LayerHarness {
       val strongCast = dataProvenStr ||
         CastTo.findFirstMatchIn(err).isDefined ||
         CastTo2.findFirstMatchIn(err).isDefined
+      // a NUMERIC operand where a temporal was required, inside +/-
+      // COLUMN arithmetic (`purchase_quantity__c - delivered__c`,
+      // `1_ods_ops/00_purchase_request_item.sql:34`): Redshift ran this
+      // as numeric arithmetic, so the temporally-NAMED other operand is
+      // really a quantity — demote it to match the numeric side
+      val arithNumProof = err.contains("UNEXPECTED_INPUT_TYPE") &&
+        (err.contains("\"TIMESTAMP\"") || err.contains("\"DATE\"")) &&
+        (err.contains("\"DOUBLE\"") || err.contains("\"INT\"") ||
+          err.contains("\"BIGINT\"") || err.contains("\"DECIMAL\"")) &&
+        "(?s)\"\\s*\\(?\\w+ [-+] \\w+\\)?".r.findFirstIn(err).isDefined
       val wanted: Option[ColType] =
-        if (dataProvenStr) Some(TStr)
+        if (arithNumProof) Some(TNum)
+        else if (dataProvenStr) Some(TStr)
         else CastTo.findFirstMatchIn(err).map(_.group(1))
           .orElse(CastTo2.findFirstMatchIn(err).map(_.group(1))) match {
           case Some("TIMESTAMP") => Some(TTs)
@@ -1495,7 +1805,10 @@ object LayerHarness {
           })
       wanted match {
         case Some(ty) =>
-          val ids = "\\b([a-z_]\\w*)\\b".r.findAllMatchIn(frag.toLowerCase)
+          // arithmetic-numeric proof must see the WHOLE expression — the
+          // `however` operand is the already-numeric side
+          val idSrc = if (arithNumProof) fragWhole else frag
+          val ids = "\\b([a-z_]\\w*)\\b".r.findAllMatchIn(idSrc.toLowerCase)
             .map(_.group(1)).toSet
           // retype only fixtures the FAILING statement binds (whole
           // script as fallback): a name-global retype bleeds across
@@ -1525,7 +1838,7 @@ object LayerHarness {
                 Set[ColType](TInt, TNum)(tyEff)
               // analyzer-demanded temporal placements never demote
               val demote = Set[ColType](TInt, TNum, TBool, TStr)(tyEff) &&
-                temporalDemanded((t, c)) && !ownNumCast
+                temporalDemanded((t, c)) && !ownNumCast && !arithNumProof
               val cycle =
                 typeHistory.get((t, c)).exists(_(tyEff)) && !strongCast
               // a frag-derived int/num demand must not demote a column
@@ -1545,9 +1858,18 @@ object LayerHarness {
                 fragWhole.contains("INTERVAL") && fragWhole.contains("*")
               val intDemote = Set[ColType](TInt, TNum)(tyEff) &&
                 Set[ColType](TDate, TTs, TTime)(heuristicType(c)) &&
-                !reversed && !intervalProof && !ownNumCast
+                !reversed && !intervalProof && !ownNumCast && !arithNumProof
+              // a RUNTIME cast failure's frag sweeps every identifier in
+              // the expression — promoting non-temporal NAMES
+              // (session_id, position) to DATE on that evidence is how
+              // one bad concat poisoned eight fixtures; runtime temporal
+              // promotion needs a temporal name
+              val runtimeTemporalSweep = err.contains("CAST_INVALID_INPUT") &&
+                Set[ColType](TDate, TTs)(tyEff) &&
+                !Set[ColType](TDate, TTs, TTime)(heuristicType(c))
               if (ids(c) && cur != tyEff && !skip && !demote && !cycle &&
-                  !intDemote && !overrides.contains((t, c))) {
+                  !intDemote && !runtimeTemporalSweep &&
+                  !overrides.contains((t, c))) {
                 log(s"retype $t.$c $cur -> $tyEff")
                 typeHistory.getOrElseUpdate((t, c), mutable.Set.empty) += cur
                 colTypes((t, c)) = tyEff; changed = true

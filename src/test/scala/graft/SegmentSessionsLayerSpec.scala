@@ -208,6 +208,12 @@ class SegmentSessionsLayerSpec extends SparkSpec {
     FixtureCols.foreach { case (t, cols) => stage(t, cols) }
     val root = Files.createTempDirectory("graft-segment-layer").toString
 
+    // an earlier layer suite in this shared session may have staged a
+    // narrow fixture under the pre-existing target's name (harness
+    // layers harvest `traffic.snowplow_user_mapping` with only the 3
+    // columns THEY read) — the bootstrap below must own the shape
+    spark.sql("DROP TABLE IF EXISTS traffic.snowplow_user_mapping")
+
     // the one pre-existing DELETE/INSERT target: bootstrap-create it from
     // the script's own INSERT select. Runs AFTER the 08 sessions scripts
     // the bootstrap's temp reads (its temp persists after the bootstrap
