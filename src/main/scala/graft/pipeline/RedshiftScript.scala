@@ -3649,6 +3649,15 @@ object RedshiftScript {
         .foldLeft(e) { case (acc, (pat, rep)) =>
           RedshiftScript.rewriteOutsideStrings(acc, pat, rep)
         }
+      // an UPDATE … FROM with NO WHERE joins every source row to every
+      // target row; Redshift updates each target row once with an
+      // arbitrary matching source row (`8_monitoring/gdpr/
+      // anonymize_gdpr_columns.sql` masks via an uncorrelated self-join)
+      // — pick ONE source row deterministically instead of raising the
+      // multiplicity guard
+      val srcSqlEff =
+        if (cond.isEmpty) s"SELECT * FROM ($srcSql) __one LIMIT 1"
+        else srcSql
       val target = currentState(name)
       target.withColumn("__rid", monotonically_increasing_id())
         .createOrReplaceTempView(tView)
@@ -3680,7 +3689,7 @@ object RedshiftScript {
       val sql =
         s"""SELECT ${outCols.mkString(", ")}
            |FROM $tView
-           |LEFT JOIN (SELECT *, true AS __match FROM ($srcSql)) $srcAlias
+           |LEFT JOIN (SELECT *, true AS __match FROM ($srcSqlEff)) $srcAlias
            |  ON $onCond""".stripMargin
       // ONE execution of the join+window plan: the eager checkpoint fires
       // the guard at statement time and later in-transaction readers (and

@@ -307,7 +307,10 @@ object LayerHarness {
       * RENAME their columns (squash-match) but never append new ones.
       */
     private def positionalTarget(t: String): Boolean =
-      insertTargets.exists(p => p._1 == t && p._2.isEmpty)
+      // a PLACEHOLDER standing in for the target is a 1-column dummy —
+      // its arity carries no derivation, so repairs may widen it (the
+      // positional INSERT then re-derives in place on the arity error)
+      !placeholdered(t) && insertTargets.exists(p => p._1 == t && p._2.isEmpty)
 
     private val insertTargets: Seq[(String, Option[Seq[String]], String, String)] = scripts.flatMap {
       case (script, text) =>
@@ -929,8 +932,13 @@ object LayerHarness {
         failing.map(RedshiftScript.stripLeadingComments).foreach {
           case DelRe(nm) =>
             val t = norm(nm)
+            // a PLACEHOLDER target is not dropped again (that loops
+            // drop → missing → placeholder forever when the producer
+            // isn't runnable yet) — the Unresolved repair below widens
+            // the placeholder instead, and the later positional INSERT
+            // re-derives it in place on the arity error
             if (insertTargets.exists(_._1 == t) && !redropped(t) &&
-                spark.catalog.tableExists(t)) {
+                !placeholdered(t) && spark.catalog.tableExists(t)) {
               log(s"drop mis-derived insert target $t for re-derivation (DELETE)")
               redropped += t
               spark.sql(s"DROP TABLE IF EXISTS $t")
@@ -981,6 +989,33 @@ object LayerHarness {
         case Some(m) =>
           val span = failing.getOrElse(text)
           val binds = bindingsIn(span)
+          // the unresolved name may be a column of a BOOTSTRAPPED insert
+          // target whose derivation under-shot (its source is CTAS'd
+          // later in the same script — `4_dwh_catman/
+          // portfolio_overview_sf_and_im.sql:223` DELETEs on `date`
+          // before the INSERT that defines it): re-derive from the
+          // cached INSERT body now that the producer ran this round
+          locally {
+            val qualName = Option(m.group(2)).map(_ => m.group(1).toLowerCase)
+            val demanded = Option(m.group(2)).getOrElse(m.group(1)).toLowerCase
+            for (q <- qualName) {
+              insertTargets.find { case (t, _, _, _) =>
+                (t == norm(q) || t.split("\\.").last == q) &&
+                  spark.catalog.tableExists(t) &&
+                  !spark.table(t).columns.map(_.toLowerCase).contains(demanded)
+              }.foreach { case (t, _, body, _) =>
+                try {
+                  val df = spark.sql(RedshiftScript.translate(body, pinned)).limit(0)
+                  if (df.columns.map(_.toLowerCase).contains(demanded)) {
+                    val parts = t.split("\\.")
+                    log(s"re-derive insert target $t in place (unresolved $demanded)")
+                    Catalog.replaceTable(df, parts(0), parts(1))
+                    return true
+                  }
+                } catch { case _: Exception => () }
+              }
+            }
+          }
           /** One placement attempt for an unresolved (qual, col); the
             * error-named column first, then other unresolved attributes
             * harvested from the plan dump (Spark reports ONE name and it
@@ -1076,6 +1111,21 @@ object LayerHarness {
                     .map(_._2).distinct
                 else binds.map(_._2).distinct
             }
+            // DELETE statements bind their target implicitly (no FROM
+            // alias): `DELETE FROM t WHERE col …` and the USING
+            // rewrite's `__t` alias both resolve against the target —
+            // a placeholder target missing the column is repairable
+            // (`commercial_campaigns_tracking.sql` event_time_page_loaded)
+            val delTarget = "(?is)^\\s*delete\\s+from\\s+([\\w.\"]+)".r
+              .findFirstMatchIn(RedshiftScript.stripLeadingComments(span))
+              .map(mm => norm(mm.group(1).replace("\"", "")))
+              .filter(t => fixtureCols.contains(t))
+            val candidates1 = delTarget match {
+              case Some(dt) if qual.isEmpty || qual.contains("__t") ||
+                  qual.exists(q => dt == q || dt.endsWith("." + q)) =>
+                (dt +: candidates).distinct
+              case _ => candidates
+            }
             // `<entity>_id` columns almost surely live on the `<entity>`
             // table — rank candidates by that affinity (stable: preserves
             // the suggestion ranking within equal affinity) so guesses and
@@ -1093,8 +1143,17 @@ object LayerHarness {
             val evidence =
               if (qual.isEmpty) scopeEvidence(span, col) else Nil
             val evid = evidence.toSet
-            val ranked = (evidence.filter(candidates.contains) ++
-              candidates.sortBy(t => -affinity(t))).distinct
+            // a table whose span alias QUALIFIES the column somewhere
+            // (`s.product_sku` with s → subscription) is the attested
+            // owner — rank it ahead of anchors and affinity
+            def attestedT(t: String): Boolean = binds.exists { case (a, t2) =>
+              t2 == t && ("(?i)(?<![\\w.])" +
+                java.util.regex.Pattern.quote(a) + "\\s*\\.\\s*" +
+                java.util.regex.Pattern.quote(col) + "\\b").r
+                  .findFirstIn(span).isDefined }
+            val ranked = (evidence.filter(candidates1.contains) ++
+              candidates1.sortBy(t =>
+                (if (attestedT(t)) 0 else 1, -affinity(t)))).distinct
             // add to the first candidate fixture that lacks it; repeated
             // rounds walk down the list until the analyzer is satisfied.
             // Only a DIRECTLY-bound alias is analyzer-confirmed evidence
@@ -1147,7 +1206,8 @@ object LayerHarness {
                 // (5_dwh_widgets start_date/product_sku fights)
                 val anchorFirst = binds.headOption.map(_._2) match {
                   case Some(a) => ranked.sortBy(t =>
-                    if (evid(t)) -1 else if (t == a) 0 else 1)
+                    if (evid(t)) -2 else if (attestedT(t)) -1
+                    else if (t == a) 0 else 1)
                   case None => ranked
                 }
                 anchorFirst.find(t => fixtureCols.contains(t) &&
@@ -1457,37 +1517,34 @@ object LayerHarness {
               holders.filter(t => neverCols((t, col)) ||
                   ((guessed((t, col)) || weak((t, col))) &&
                   !pinnedCols((t, col))))
-            val removable0 =
-              if (evidS.nonEmpty && holders.exists(evidS) &&
-                  droppable.exists(t => !evidS(t)))
-                droppable.filterNot(evidS)
-              else droppable match {
-                case all if all.size == holders.size && !immovable => all.tail
-                case some => some
-              }
-            // qualified attestation breaks pinned-vs-real deadlocks: when
-            // `o.customer_id` appears in the span but `os.` never
-            // qualifies the column, the os placement was a mis-add —
-            // drop repair-added holders with zero attestations
-            // (`4_dwh_risk/onfido_trigger_performance.sql:25`)
+            // qualified attestation: when `s.product_sku` appears in the
+            // span (s → subscription) but no alias of master.order ever
+            // qualifies the column, the order placement was a mis-add —
+            // attested / harvest-attested / scope-evidenced holders must
+            // survive the drop (`4_dwh_risk/onfido_trigger_performance
+            // .sql:25`, commercial_metrics cancelled_subs)
             def attested(t: String): Boolean = binds.exists { case (a, t2) =>
               t2 == t && ("(?i)(?<![\\w.])" +
                 java.util.regex.Pattern.quote(a) + "\\s*\\.\\s*" +
                 java.util.regex.Pattern.quote(col) + "\\b").r
                   .findFirstIn(span).isDefined }
+            val keep = holders.filter(t =>
+              attested(t) || strongHarvest((t, col)) || evidS(t)).toSet
+            val removable0 =
+              if (keep.nonEmpty && droppable.exists(t => !keep(t)))
+                droppable.filterNot(keep)
+              else droppable match {
+                case all if all.size == holders.size && !immovable => all.tail
+                case some => some
+              }
             val removable =
               if (removable0.nonEmpty) removable0
-              else {
-                val att = holders.filter(t =>
-                  attested(t) || strongHarvest((t, col)))
-                if (att.nonEmpty && att.size < holders.size)
-                  // unattested holders are droppable even when
-                  // untracked: a directQual mis-add under an alias
-                  // collision leaves no guessed/weak/pinned marker
-                  holders.filterNot(t =>
-                    attested(t) || strongHarvest((t, col)))
-                else Nil
-              }
+              else if (keep.nonEmpty && keep.size < holders.size)
+                // unattested holders are droppable even when untracked:
+                // a directQual mis-add under an alias collision leaves
+                // no guessed/weak/pinned marker
+                holders.filterNot(keep)
+              else Nil
             if (removable.nonEmpty) {
               removable.foreach(t => pinnedCols -= ((t, col)))
               removable.foreach { t =>
@@ -1523,6 +1580,8 @@ object LayerHarness {
                 return true
               }
             }
+            log(s"ambiguous $col unresolved: holders=${holders.mkString(",")} " +
+              s"droppable=${droppable.mkString(",")} keep=${keep.mkString(",")}")
           }
           return false
         case None => ()
@@ -1864,7 +1923,11 @@ object LayerHarness {
               // (session_id, position) to DATE on that evidence is how
               // one bad concat poisoned eight fixtures; runtime temporal
               // promotion needs a temporal name
+              // ...but an error carrying a precise `== SQL` caret
+              // context names the cast's own operand (`v.creation_time
+              // ::Date`) — that promotion is evidence-backed, keep it
               val runtimeTemporalSweep = err.contains("CAST_INVALID_INPUT") &&
+                !err.contains("== SQL") &&
                 Set[ColType](TDate, TTs)(tyEff) &&
                 !Set[ColType](TDate, TTs, TTime)(heuristicType(c))
               if (ids(c) && cur != tyEff && !skip && !demote && !cycle &&
