@@ -1591,7 +1591,14 @@ object RedshiftScript {
     * Grouping by the correlation key makes the subquery value constant
     * per group, so first() is exact. Only subqueries that are select-list
     * ITEMS (preceded by `,` or SELECT) of a query with a same-depth
-    * GROUP BY are wrapped.
+    * GROUP BY are wrapped — bounded at the next same-depth set-op
+    * keyword so a later UNION branch's GROUP BY can't mark an ungrouped
+    * branch. KNOWN LIMIT (repair-path only): correlation on the grouping
+    * key is assumed, not verified — a subquery correlated on a
+    * non-grouped column would return an arbitrary per-group value where
+    * Redshift rejects the statement outright; the reference corpus has
+    * no such statement, and an unproductive wrap rethrows the original
+    * analyzer error.
     */
   private[graft] def wrapScalarSubqueriesInFirst(sql: String): String = {
     val n = sql.length
@@ -1636,12 +1643,20 @@ object RedshiftScript {
           q += 1
         }
         // grouped? a same-depth GROUP BY after the subquery, before the
-        // enclosing depth closes
+        // enclosing depth closes — and before the next same-depth set-op
+        // keyword (UNION/INTERSECT/EXCEPT/MINUS): a GROUP BY belonging
+        // to a LATER branch of the same-depth set operation must not
+        // mark an ungrouped branch's subquery as grouped
         val enclosing = if (p > 0) depth(p - 1) else 0
         var limit = q
         while (limit < n && depth(limit) >= enclosing) limit += 1
+        val setOpBound = "(?i)\\b(union|intersect|except|minus)\\b".r
+          .findAllMatchIn(sql)
+          .collectFirst { case g if g.start >= q && g.start < limit &&
+            depth(g.start) == enclosing => g.start }
+          .getOrElse(limit)
         val grouped = "(?i)\\bgroup\\s+by\\b".r.findAllMatchIn(sql)
-          .exists(g => g.start >= q && g.start < limit && depth(g.start) == enclosing)
+          .exists(g => g.start >= q && g.start < setOpBound && depth(g.start) == enclosing)
         if (grouped && dd == 0) {
           out.append(sql.substring(last, p)).append("first(")
             .append(sql.substring(p, q)).append(")")
@@ -3615,15 +3630,17 @@ object RedshiftScript {
       val tAlias = tAliasOpt.map(_.trim).filter(_.nonEmpty).getOrElse(tBase)
       // FROM source: `(subquery) alias` | `table [AS] alias` | `table` —
       // the source text routes through tr() for dialect rewrites and
-      // read-your-writes against transaction overlays
-      val (srcSql, srcAlias) = {
+      // read-your-writes against transaction overlays. The third tuple
+      // member maps secondary-join-alias references (`pii.x`) to their
+      // projected passthrough names in the wrapper (see the joined case).
+      val (srcSql, srcAlias, secondaryRefs) = {
         val t = fromSrc.trim
         val TableAlias = "(?s)^([\\w.]+)\\s+(?:(?i:AS)\\s+)?(\\w+)$".r
         val SubqueryAlias = "(?s)^(\\(.*\\))\\s*(?:(?i:AS)\\s+)?(\\w+)?$".r
         t match {
-          case TableAlias(tbl, a) => (s"SELECT * FROM ${tr(tbl)}", a)
+          case TableAlias(tbl, a) => (s"SELECT * FROM ${tr(tbl)}", a, Nil)
           case SubqueryAlias(sub, a) =>
-            (s"SELECT * FROM ${tr(sub)} __src", Option(a).getOrElse("__src"))
+            (s"SELECT * FROM ${tr(sub)} __src", Option(a).getOrElse("__src"), Nil)
           case multi if "(?is)\\bjoin\\b".r.findFirstIn(multi).isDefined =>
             // a JOINed source (`FROM master.customer t INNER JOIN
             // ods_data_sensitive.pii_deleted_users_delta pii ON …`,
@@ -3631,15 +3648,37 @@ object RedshiftScript {
             // it behind a fresh alias would strand the SET expressions'
             // inner-alias references (`t.gender`) — project the FIRST
             // relation's columns and keep ITS alias as the source alias,
-            // so those references resolve against the wrapper
+            // so those references resolve against the wrapper. SET/WHERE
+            // references to the OTHER join relations' aliases are
+            // projected through the wrapper under mangled passthrough
+            // names and rewritten to them at assignment build time.
             "(?is)^([\\w.]+)\\s+(?:as\\s+)?(\\w+)\\s".r
               .findFirstMatchIn(multi) match {
               case Some(fm) if !Set("join", "inner", "left", "right", "full",
                   "cross", "on", "where")(fm.group(2).toLowerCase) =>
-                (s"SELECT ${fm.group(2)}.* FROM ${tr(multi)}", fm.group(2))
-              case _ => (s"SELECT * FROM ${tr(multi)}", "__src")
+                val first = fm.group(2)
+                // simple-table join aliases beyond the first relation
+                val joinAliases =
+                  "(?is)\\bjoin\\s+[\\w.]+\\s+(?:as\\s+)?(\\w+)".r
+                    .findAllMatchIn(multi).map(_.group(1).toLowerCase)
+                    .filterNot(Set("on", "where", first.toLowerCase)).toSet
+                // alias.col references in SET / WHERE that resolve to a
+                // secondary join relation
+                val refText = setClause + " " + cond.getOrElse("")
+                val refs = "(?i)(?<![\\w.])(\\w+)\\s*\\.\\s*(\\w+)".r
+                  .findAllMatchIn(refText)
+                  .map(m => (m.group(1).toLowerCase, m.group(2).toLowerCase))
+                  .filter { case (a, _) => joinAliases(a) }
+                  .toSeq.distinct
+                val passthru = refs.map { case (a, c) =>
+                  ((a, c), s"__j_${a}_$c")
+                }
+                val extra = passthru
+                  .map { case ((a, c), p) => s", $a.$c AS $p" }.mkString
+                (s"SELECT $first.*$extra FROM ${tr(multi)}", first, passthru)
+              case _ => (s"SELECT * FROM ${tr(multi)}", "__src", Nil)
             }
-          case tbl => (s"SELECT * FROM ${tr(tbl)}", tbl.split("\\.").last)
+          case tbl => (s"SELECT * FROM ${tr(tbl)}", tbl.split("\\.").last, Nil)
         }
       }
       def retarget(e: String): String = Seq(
@@ -3649,20 +3688,41 @@ object RedshiftScript {
         .foldLeft(e) { case (acc, (pat, rep)) =>
           RedshiftScript.rewriteOutsideStrings(acc, pat, rep)
         }
+      // secondary join-alias references (`pii.x`) resolve through their
+      // projected passthrough names on the wrapper
+      def resrc(e: String): String = secondaryRefs.foldLeft(e) {
+        case (acc, ((a, c), p)) =>
+          RedshiftScript.rewriteOutsideStrings(acc,
+            s"(?i)(?<![\\w.])${java.util.regex.Pattern.quote(a)}\\s*\\.\\s*" +
+              s"${java.util.regex.Pattern.quote(c)}\\b",
+            s"$srcAlias.$p")
+      }
       // an UPDATE … FROM with NO WHERE joins every source row to every
       // target row; Redshift updates each target row once with an
       // arbitrary matching source row (`8_monitoring/gdpr/
       // anonymize_gdpr_columns.sql` masks via an uncorrelated self-join)
       // — pick ONE source row deterministically instead of raising the
-      // multiplicity guard
+      // multiplicity guard. LIMIT 1 alone is plan-dependent in Spark;
+      // order by every unambiguous orderable column first so reruns pick
+      // the same row.
       val srcSqlEff =
-        if (cond.isEmpty) s"SELECT * FROM ($srcSql) __one LIMIT 1"
-        else srcSql
+        if (cond.isEmpty) {
+          val fields = spark.sql(srcSql).schema.fields
+          val ord = fields.groupBy(_.name.toLowerCase).values
+            .collect { case Array(f) if org.apache.spark.sql.catalyst
+              .expressions.RowOrdering.isOrderable(f.dataType) => f.name }
+            .toSeq.sorted.map(c => s"__one.`$c`")
+          val orderBy =
+            if (ord.isEmpty) "" else s" ORDER BY ${ord.mkString(", ")}"
+          s"SELECT * FROM ($srcSql) __one$orderBy LIMIT 1"
+        } else srcSql
       val target = currentState(name)
       target.withColumn("__rid", monotonically_increasing_id())
         .createOrReplaceTempView(tView)
       val assigns = splitAssignments(setClause)
-        .map { case (k, v) => k.replaceAll("\"", "").toLowerCase -> retarget(tr(v)) }.toMap
+        .map { case (k, v) =>
+          k.replaceAll("\"", "").toLowerCase -> resrc(retarget(tr(v)))
+        }.toMap
       val unknownSet = assigns.keySet.diff(target.schema.fieldNames.map(_.toLowerCase).toSet)
       require(unknownSet.isEmpty,
         s"UPDATE $name SET references unknown column(s): ${unknownSet.mkString(", ")}")
@@ -3685,7 +3745,7 @@ object RedshiftScript {
         }
         s"CASE WHEN $guard THEN CAST(raise_error('$dupMsg') AS ${f.dataType.sql}) ELSE $base END AS `${f.name}`"
       }
-      val onCond = cond.map(c => retarget(tr(c))).getOrElse("true")
+      val onCond = cond.map(c => resrc(retarget(tr(c)))).getOrElse("true")
       val sql =
         s"""SELECT ${outCols.mkString(", ")}
            |FROM $tView

@@ -33,16 +33,13 @@ class DwhCoreLayerSpec extends SparkSpec {
     // execute on any engine; its output table stages as a fixture.
     val Broken = Set("reporting_churn_store_commercial.sql")
 
-    val layer = new LayerHarness.Layer(spark, scripts, Some(Pinned),
-      broken = Broken, log = m => info(s"harness: $m"))
-    val failures = layer.converge()
-    println(layer.summaryJson("4_dwh_core", failures))
+    // rerun half: idempotent (each script drops + rebuilds its targets)
+    val (failures, rerun, summary) = LayerHarness.runSeeded(
+      spark, "4_dwh_core", scripts, Some(Pinned), Broken,
+      log = m => info(s"harness: $m"))
+    println(summary)
     failures.foreach { case (n, e) => info(s"FAILED $n: ${e.take(900)}") }
     assert(failures === Map.empty)
-
-    // rerun: idempotent (each script drops + rebuilds its targets)
-    val root = Files.createTempDirectory("graft-dwh-core").toString
-    val rerun = layer.runAll(root)
     rerun.foreach { case (n, e) => info(s"RERUN FAILED $n: ${e.take(900)}") }
     assert(rerun === Map.empty)
   }

@@ -234,9 +234,10 @@ object LayerHarness {
       scripts: Seq[(String, String)],
       pinned: Option[String],
       broken: Set[String] = Set.empty,
+      neverCols: Set[(String, String)] = Set.empty,
       log: String => Unit = _ => ()): (Map[String, String], Map[String, String], String) = {
     val layer = new Layer(spark, scripts, pinned, broken = broken,
-      seeds = loadSeeds(layerName), log = log)
+      neverCols = neverCols, seeds = loadSeeds(layerName), log = log)
     val failures = layer.converge()
     saveSeeds(layerName, layer.exportSeeds())
     val rerun =
@@ -692,6 +693,13 @@ object LayerHarness {
       * evidence the fixture never owns the column; the pin override may
       * not resurrect these */
     private val anchoredDrops = mutable.Set.empty[(String, String)]
+
+    /** (table, col) pairs dropped once by the UNTRACKED ambiguity
+      * fallback (no guessed/weak/pinned marker). A re-add after such a
+      * drop is evidence the holder is real — the fallback never drops
+      * the same pair twice (oscillation guard).
+      */
+    private val untrackedDrops = mutable.Set.empty[(String, String)]
 
     /** built-elsewhere tables staged as fixture placeholders because a
       * consumer (or a cycle) demanded them before their producer ran —
@@ -1539,11 +1547,24 @@ object LayerHarness {
               }
             val removable =
               if (removable0.nonEmpty) removable0
-              else if (keep.nonEmpty && keep.size < holders.size)
+              else if (keep.nonEmpty && keep.size < holders.size) {
                 // unattested holders are droppable even when untracked:
                 // a directQual mis-add under an alias collision leaves
-                // no guessed/weak/pinned marker
-                holders.filterNot(keep)
+                // no guessed/weak/pinned marker. Oscillation guard: a
+                // holder RE-ADDED after one such drop earned its way
+                // back with fresh directQual/evidence (tabu blocks bare
+                // re-guesses) — treat the re-add as attestation and
+                // never fallback-drop it a second time, else a true
+                // holder referenced only bare in this span could cycle
+                // drop/re-add forever across convergence rounds
+                val cands = holders.filterNot(keep)
+                val (repeat, once) =
+                  cands.partition(t => untrackedDrops((t, col)))
+                repeat.foreach(t => log(
+                  s"keep $t.$col: re-added after an untracked drop — anchoring"))
+                once.foreach(t => untrackedDrops += ((t, col)))
+                once
+              }
               else Nil
             if (removable.nonEmpty) {
               removable.foreach(t => pinnedCols -= ((t, col)))

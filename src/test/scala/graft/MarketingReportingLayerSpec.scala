@@ -73,15 +73,12 @@ class MarketingReportingLayerSpec extends SparkSpec {
       "dm_marketing.affiliates_metrics_paid_orders.sql",
       "dm_marketing.v_combined_data_vendor_report.sql")
 
-    val layer = new LayerHarness.Layer(spark, scripts, Some(Pinned),
-      broken = Broken, log = m => info(s"harness: $m"))
-    val failures = layer.converge()
-    println(layer.summaryJson("11_marketing_reporting", failures))
+    val (failures, rerun, summary) = LayerHarness.runSeeded(
+      spark, "11_marketing_reporting", scripts, Some(Pinned), Broken,
+      log = m => info(s"harness: $m"))
+    println(summary)
     failures.foreach { case (n, e) => info(s"FAILED $n: ${e.take(900)}") }
     assert(failures === Map.empty)
-
-    val root = Files.createTempDirectory("graft-marketing").toString
-    val rerun = layer.runAll(root)
     rerun.foreach { case (n, e) => info(s"RERUN FAILED $n: ${e.take(900)}") }
     assert(rerun === Map.empty)
   }

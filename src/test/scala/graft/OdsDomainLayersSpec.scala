@@ -35,14 +35,12 @@ class OdsDomainLayersSpec extends SparkSpec {
       broken: Set[String] = Set.empty): Unit = {
     val scripts = dirs.flatMap(scriptsOf)
     assume(scripts.nonEmpty)
-    val layer = new LayerHarness.Layer(spark, scripts, Some(Pinned),
-      broken = broken, log = m => info(s"harness[$name]: $m"))
-    val failures = layer.converge()
-    println(layer.summaryJson(name, failures))
+    val (failures, rerun, summary) = LayerHarness.runSeeded(
+      spark, name, scripts, Some(Pinned), broken,
+      log = m => info(s"harness[$name]: $m"))
+    println(summary)
     failures.foreach { case (n, e) => info(s"FAILED $n: ${e.take(900)}") }
     assert(failures === Map.empty, name)
-    val root = Files.createTempDirectory(s"graft-$name").toString
-    val rerun = layer.runAll(root)
     rerun.foreach { case (n, e) => info(s"RERUN FAILED $n: ${e.take(900)}") }
     assert(rerun === Map.empty, name)
   }

@@ -28,14 +28,12 @@ class OdsStagingLayersSpec extends SparkSpec {
 
   private def runLayer(name: String, scripts: Seq[(String, String)],
       broken: Set[String] = Set.empty): Unit = {
-    val layer = new LayerHarness.Layer(spark, scripts, Some(Pinned),
-      broken = broken, log = m => info(s"harness[$name]: $m"))
-    val failures = layer.converge()
-    println(layer.summaryJson(name, failures))
+    val (failures, rerun, summary) = LayerHarness.runSeeded(
+      spark, name, scripts, Some(Pinned), broken,
+      log = m => info(s"harness[$name]: $m"))
+    println(summary)
     failures.foreach { case (n, e) => info(s"FAILED $n: ${e.take(900)}") }
     assert(failures === Map.empty, name)
-    val root = Files.createTempDirectory(s"graft-$name").toString
-    val rerun = layer.runAll(root)
     rerun.foreach { case (n, e) => info(s"RERUN FAILED $n: ${e.take(900)}") }
     assert(rerun === Map.empty, name)
   }

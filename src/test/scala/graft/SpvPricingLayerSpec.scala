@@ -33,16 +33,13 @@ class SpvPricingLayerSpec extends SparkSpec {
       .filter(_.toString.endsWith(".sql")).toSeq.sortBy(_.getFileName.toString)
       .map(p => p.getFileName.toString -> new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8))
 
-    val layer = new LayerHarness.Layer(spark, scripts, Some(Pinned),
+    // rerun half: idempotent as a whole layer in script order
+    val (failures, rerun, summary) = LayerHarness.runSeeded(
+      spark, "spv_pricing_v2", scripts, Some(Pinned),
       log = m => info(s"harness: $m"))
-    val failures = layer.converge()
-    println(layer.summaryJson("9_SPV/Pricing_V2", failures))
+    println(summary)
     failures.foreach { case (n, e) => info(s"FAILED $n: ${e.take(900)}") }
     assert(failures === Map.empty)
-
-    // rerun: idempotent as a whole layer in script order
-    val root = Files.createTempDirectory("graft-spv-pricing").toString
-    val rerun = layer.runAll(root)
     rerun.foreach { case (n, e) => info(s"RERUN FAILED $n: ${e.take(900)}") }
     assert(rerun === Map.empty)
   }
