@@ -42,7 +42,14 @@ object RedshiftSqlFunctions {
 
     inject("json_extract_path_text") { children =>
       require(children.size >= 2, "json_extract_path_text(json, key, ...)")
-      val path = children.tail.map(litString(_, "path element"))
+      // Redshift's optional trailing null_if_invalid BOOLEAN flag
+      // (`ds-airflow-prod/dags/anomaly_detection/sql/nethone_data.sql:3`)
+      // is this engine's default behavior — drop it
+      val args = children.tail match {
+        case init :+ Literal(_: Boolean, _) if init.nonEmpty => init
+        case other => other
+      }
+      val path = args.map(litString(_, "path element"))
       ex(R.jsonExtractPathText(col(children.head), path: _*))
     }
     inject("json_extract_array_element_text") { children =>

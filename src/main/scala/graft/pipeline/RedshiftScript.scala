@@ -413,6 +413,194 @@ object RedshiftScript {
     out
   }
 
+  /** Redshift accepts single-argument GREATEST/LEAST (identity);
+    * Spark demands ≥ 2 args (`13_finance_reporting/Luxco_Reporting/
+    * Luxco Reporting June-2023/New Logic/spv_historical.sql`). Unwrap
+    * the call to its lone argument.
+    */
+  private[graft] def fixSingleArgGreatest(sql: String): String = {
+    val Call = "(?i)\\b(greatest|least)\\s*\\(".r
+    var out = sql
+    var from = 0
+    var guard = 0
+    while (guard < 256) {
+      guard += 1
+      Call.findAllMatchIn(out).find(_.start >= from) match {
+        case None => return out
+        case Some(m) =>
+          val open = m.end - 1
+          var i = open + 1; var depth = 1; var inStr = false
+          var topCommas = 0
+          while (i < out.length && depth > 0) {
+            val c = out.charAt(i)
+            if (inStr) { if (c == '\'') inStr = false }
+            else c match {
+              case '\'' => inStr = true
+              case '(' => depth += 1
+              case ')' => depth -= 1
+              case ',' if depth == 1 => topCommas += 1
+              case _ => ()
+            }
+            i += 1
+          }
+          if (depth == 0 && topCommas == 0) {
+            out = out.substring(0, m.start) + "(" +
+              out.substring(open + 1, i - 1) + ")" + out.substring(i)
+            from = m.start + 1
+          } else from = open + 1
+      }
+    }
+    out
+  }
+
+  /** Athena federated passthrough `TABLE(redshift.system.query('<sql>'))`
+    * (`data-airflow-prod/business_logic/pricing_apis/
+    * rainforest_api_input_list.sql:57-66`) — the engine IS the warehouse
+    * the inner query targets, so unwrap to a plain derived table: the
+    * quoted inner SQL (with '' escapes undoubled) replaces the call.
+    */
+  private[graft] def unwrapFederatedQuery(sql: String): String = {
+    val Call = "(?i)\\bTABLE\\s*\\(\\s*redshift\\.system\\.query\\s*\\(\\s*'".r
+    var out = sql
+    var m0 = Call.findFirstMatchIn(out)
+    while (m0.isDefined) {
+      val m = m0.get
+      val qStart = m.end
+      var i = qStart
+      var end = -1
+      while (end < 0 && i < out.length) {
+        if (out.charAt(i) == '\'') {
+          if (i + 1 < out.length && out.charAt(i + 1) == '\'') i += 2
+          else end = i
+        } else i += 1
+      }
+      if (end < 0) return out
+      val inner = out.substring(qStart, end).replace("''", "'")
+      var j = end + 1; var closes = 0
+      while (j < out.length && closes < 2) {
+        if (out.charAt(j) == ')') closes += 1
+        j += 1
+      }
+      out = out.substring(0, m.start) + "(" + inner + ")" + out.substring(j)
+      m0 = Call.findFirstMatchIn(out)
+    }
+    out
+  }
+
+  /** `array_agg(expr ORDER BY k1, k2, …)` (Redshift/Athena in-aggregate
+    * ordering — `data-airflow-prod/dags/reverse_etl/braze/price_drop/sql/
+    * braze_price_drop_agg.sql:4-9`): Spark's array_agg takes no ORDER BY,
+    * so collect sort keys alongside the value in a struct, sort the
+    * array (struct natural order = field order), then project the value
+    * back out. Deterministic where Redshift's is.
+    */
+  private[graft] def rewriteArrayAggOrderBy(sql: String): String = {
+    val Call = "(?i)\\barray_agg\\s*\\(".r
+    var out = sql
+    var from = 0
+    var guard = 0
+    while (guard < 128) {
+      guard += 1
+      Call.findAllMatchIn(out).find(_.start >= from) match {
+        case None => return out
+        case Some(m) =>
+          val open = m.end - 1
+          var i = open + 1; var depth = 1; var inStr = false
+          var obPos = -1
+          while (i < out.length && depth > 0) {
+            val c = out.charAt(i)
+            if (inStr) { if (c == '\'') inStr = false }
+            else c match {
+              case '\'' => inStr = true
+              case '(' => depth += 1
+              case ')' => depth -= 1
+              case _ =>
+                if (depth == 1 && obPos < 0 &&
+                    out.regionMatches(true, i, "order", 0, 5) &&
+                    { val p = out.charAt(i - 1)
+                      !Character.isLetterOrDigit(p) && p != '_' } &&
+                    "(?is)^order\\s+by\\b".r.findFirstIn(out.substring(i)).isDefined)
+                  obPos = i
+            }
+            i += 1
+          }
+          if (depth != 0 || obPos < 0) { from = open + 1 }
+          else {
+            val close = i - 1
+            val expr = out.substring(open + 1, obPos).trim
+            val keysText = out.substring(obPos, close)
+              .replaceAll("(?is)^order\\s+by\\b", "")
+            val keys = splitTop(keysText).map(_.trim).filter(_.nonEmpty)
+            val fields = keys.zipWithIndex
+              .map { case (k, ix) => s"$k AS _s$ix" } :+ s"$expr AS _v"
+            val rebuilt = s"transform(array_sort(array_agg(struct(" +
+              fields.mkString(", ") + "))), s -> s._v)"
+            out = out.substring(0, m.start) + rebuilt + out.substring(close + 1)
+            from = m.start + rebuilt.length
+          }
+      }
+    }
+    out
+  }
+
+  /** Postgres JSON surface (the RDS-targeting ds-airflow scripts —
+    * `ds-airflow-prod/dags/data_monitor/sql/feature_list.sql:3-11`,
+    * `dags/labels/sql/state_changes.sql:5`) lowered to Spark:
+    * `x->'k'` / `x->>'k'` / `x->n` chains → nested get_json_object;
+    * `::json[b]` casts dropped (navigation stays on the string);
+    * `jsonb_agg(x)` → to_json(collect_list(x));
+    * `row_to_json(alias)` → to_json(struct(alias.*));
+    * `JOIN json_each_text(x) d ON TRUE` → LATERAL VIEW explode of a
+    * map<string,string> parse exposing `d.key` / `d.value`.
+    */
+  private[graft] def rewritePostgresJson(sql: String): String = {
+    val hasFns =
+      "(?i)\\b(jsonb_agg|row_to_json|json_each_text)\\b".r.findFirstIn(sql).isDefined
+    if (!sql.contains("->") && !hasFns) return sql
+    var out = sql
+    val Chain =
+      "(?i)(?<![\\w.])([\\w.\"]+)((?:\\s*->>?\\s*(?:'[^']+'|\\d+))+)".r
+    out = Chain.replaceAllIn(out, m => {
+      val ops = "->>?\\s*(?:'([^']+)'|(\\d+))".r.findAllMatchIn(m.group(2)).toSeq
+      val expr = ops.foldLeft(m.group(1)) { (acc, op) =>
+        val path =
+          if (op.group(1) != null) s"$$.${op.group(1)}" else s"$$[${op.group(2)}]"
+        s"get_json_object($acc, '$path')"
+      }
+      java.util.regex.Matcher.quoteReplacement(expr)
+    })
+    out = out.replaceAll("(?i)::\\s*jsonb?\\b", "")
+    out = out.replaceAll(
+      "(?i)\\brow_to_json\\s*\\(\\s*([\\w.]+)\\s*\\)", "to_json(struct($1.*))")
+    out = out.replaceAll(
+      "(?i)\\b(?:inner\\s+)?join\\s+json_each_text\\s*\\(([^)]+)\\)\\s+(?:as\\s+)?(\\w+)\\s+on\\s+true\\b",
+      "lateral view explode(from_json($1, 'map<string,string>')) $2 AS key, value")
+    // jsonb_agg(args) → to_json(collect_list(args)): paren-walk to the
+    // matching close so nested calls inside the argument stay balanced
+    val Agg = "(?i)\\bjsonb_agg\\s*\\(".r
+    var m0 = Agg.findFirstMatchIn(out)
+    while (m0.isDefined) {
+      val m = m0.get
+      val open = m.end - 1
+      var i = open + 1; var depth = 1; var inStr = false
+      while (i < out.length && depth > 0) {
+        val c = out.charAt(i)
+        if (inStr) { if (c == '\'') inStr = false }
+        else c match {
+          case '\'' => inStr = true
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ => ()
+        }
+        i += 1
+      }
+      out = out.substring(0, m.start) + "to_json(collect_list(" +
+        out.substring(open + 1, i - 1) + "))" + out.substring(i - 1 + 1)
+      m0 = Agg.findFirstMatchIn(out)
+    }
+    out
+  }
+
   /** Redshift/postgres datetime format → Java pattern (the parse
     * direction of the TO_CHAR mapping): `TO_TIMESTAMP(s, 'yyyy-mm-dd
     * HH24:MI:SS')` — Redshift format tokens are case-insensitive, so the
@@ -960,7 +1148,9 @@ object RedshiftScript {
       .replaceAll("\\+\\s*'(\\d+(?:\\.\\d+)?)'", "+ $1")
     val preListagg = rewriteSuperPaths(rewriteListaggDistinct(
       stripGluedGrantTail(fixTimestampParseFormats(
-        fixJsonArrayLengthFlag(fixTwoArgRegexpReplace(pre0))))))
+        fixJsonArrayLengthFlag(fixTwoArgRegexpReplace(
+          fixSingleArgGreatest(rewriteArrayAggOrderBy(
+            rewritePostgresJson(unwrapFederatedQuery(pre0))))))))))
     // SQL regex match: `x [NOT] SIMILAR TO 'p'` → anchored rlike. SQL
     // wildcards map (% → .*, _ → .); characters that are regex-meta but
     // SIMILAR-TO-literal (. ^ $) are escaped first — SIMILAR TO's own
@@ -1822,8 +2012,15 @@ object RedshiftScript {
           (trimmedUp.length == 8 || !Character.isLetterOrDigit(trimmedUp.charAt(8)) &&
             trimmedUp.charAt(8) != '_'))
         listStart += afterSel.length - afterSel.stripLeading().length + 8
-      val fromIdx = topKeywordIndex(s.substring(listStart), "FROM")
-      val listEnd = if (fromIdx < 0) s.length else listStart + fromIdx
+      // the list ends at FROM — or, for a FROM-less branch of a UNION
+      // chain (`rainforest_api_input_list_eu.sql` builds a literal table
+      // from three FROM-less SELECTs), at the next top-level set-op
+      // keyword: without that bound the "list" spans every later branch
+      // and cross-branch duplicates get dropped (NUM_COLUMNS_MISMATCH)
+      val rest = s.substring(listStart)
+      val listEnd = listStart + (
+        (Seq("FROM", "UNION", "INTERSECT", "EXCEPT", "MINUS")
+          .map(k => topKeywordIndex(rest, k)).filter(_ >= 0) :+ rest.length).min)
       val items = splitTop(s.substring(listStart, listEnd))
       val seen = mutable.Set.empty[String]
       // only AS-aliased duplicates are dropped: `SELECT a, a` without an
@@ -3594,10 +3791,15 @@ object RedshiftScript {
       val alias = aliasOpt.map(_.trim).filter(_.nonEmpty)
         .getOrElse(norm(srcName).split("\\.").last)
       val tBase = norm(name).split("\\.").last
+      // full dotted names first, bare-table names LAST and guarded by a
+      // (?<![\w.]) lookbehind — `\b` alone matches after a dot, so the
+      // bare target name would mangle the TAIL of the source's qualified
+      // refs (`staging.voucherify_validation_rules.id` → `staging.__t.id`,
+      // `data-airflow-prod/dags/voucherify/sql/upsert_validation_rules.sql:6`)
       val condRewritten = Seq(
-        (s"(?i)\\b${java.util.regex.Pattern.quote(name)}\\.", "__t."),
-        (s"(?i)\\b${java.util.regex.Pattern.quote(tBase)}\\.", "__t."),
-        (s"(?i)\\b${java.util.regex.Pattern.quote(srcName)}\\.", s"$alias."))
+        (s"(?i)(?<![\\w.])${java.util.regex.Pattern.quote(name)}\\.", "__t."),
+        (s"(?i)(?<![\\w.])${java.util.regex.Pattern.quote(srcName)}\\.", s"$alias."),
+        (s"(?i)(?<![\\w.])${java.util.regex.Pattern.quote(tBase)}\\.", "__t."))
         .foldLeft(tr(cond)) { case (acc, (pat, rep)) =>
           RedshiftScript.rewriteOutsideStrings(acc, pat, rep)
         }
@@ -3681,10 +3883,13 @@ object RedshiftScript {
           case tbl => (s"SELECT * FROM ${tr(tbl)}", tbl.split("\\.").last, Nil)
         }
       }
+      // (?<![\w.]) lookbehind: `\b` alone also matches after a dot, so a
+      // bare target name would mangle the tail of ANOTHER relation's
+      // qualified refs (see the DELETE USING cond rewrite above)
       def retarget(e: String): String = Seq(
-        (s"(?i)\\b${java.util.regex.Pattern.quote(name)}\\.", s"$tView."),
-        (s"(?i)\\b${java.util.regex.Pattern.quote(tBase)}\\.", s"$tView."),
-        (s"(?i)\\b${java.util.regex.Pattern.quote(tAlias)}\\.", s"$tView."))
+        (s"(?i)(?<![\\w.])${java.util.regex.Pattern.quote(name)}\\.", s"$tView."),
+        (s"(?i)(?<![\\w.])${java.util.regex.Pattern.quote(tBase)}\\.", s"$tView."),
+        (s"(?i)(?<![\\w.])${java.util.regex.Pattern.quote(tAlias)}\\.", s"$tView."))
         .foldLeft(e) { case (acc, (pat, rep)) =>
           RedshiftScript.rewriteOutsideStrings(acc, pat, rep)
         }

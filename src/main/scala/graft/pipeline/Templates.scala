@@ -76,7 +76,13 @@ object Templates {
     // shell flavor (95_machine_learning) — value carries its own quotes
     // because the source writes `${START_FROM}::DATE` bare
     "start_from" -> "'2024-06-01'",
-    "end_to" -> "'2024-06-15'")
+    "end_to" -> "'2024-06-15'",
+    // psql-style `:name;` binds in string-argument position carry their
+    // own quotes (`REPLACE(image, :image_path;, :emptystring;)`,
+    // `data-airflow-prod/dags/reverse_etl/braze/price_drop/sql/
+    // athena_product_data.sql:24`)
+    "image_path" -> "'https://cdn.example/'",
+    "emptystring" -> "''")
 
   /** Name-driven fallback for slots outside the curated map. */
   private def fallback(key: String): String =
@@ -84,6 +90,8 @@ object Templates {
     else if (key.contains("schema")) "tpl_schema"
     else if (key.contains("table") || key.contains("tbl")) "tpl_table"
     else if (key.contains("suffix")) "jun_2024"
+    // `IN :list_orders;` binds to a parenthesized literal list
+    else if (key.startsWith("list") || key.endsWith("list")) "('1')"
     else "1"
 
   /** Squash a raw slot expression (`ti.xcom_pull(key='year')`,
@@ -108,11 +116,20 @@ object Templates {
   // single-brace python-format slot: a lone lowercase identifier between
   // braces, never nested or containing spaces — `{schema_name}`
   private val PyFmt = "\\{([a-z_][a-z0-9_]*)\\}".r
+  // terminator-marked psql-style binds — the manual_review_us / braze
+  // Athena convention replaces `:name;` INCLUDING the semicolon before
+  // the engine sees the text (`data-airflow-prod/business_logic/
+  // manual_review_us/sql/order_payment_method.sql:8` interval
+  // ':lookback_days;', `…/onfido_data.sql:11` IN :list_orders;,
+  // `dags/reverse_etl/braze/custom_attributes/sql/
+  // athena_delta_records.sql:34` FROM :braze_hist_table;). The
+  // lookbehind keeps `::type` casts and time literals out.
+  private val PsqlBind = "(?<![:\\w]):([a-z_][a-z0-9_]*);".r
 
   /** True if the text contains any template slot this renderer handles. */
   def isTemplated(sql: String): Boolean =
     Jinja.findFirstIn(sql).isDefined || Shell.findFirstIn(sql).isDefined ||
-      PyFmt.findFirstIn(sql).isDefined
+      PyFmt.findFirstIn(sql).isDefined || PsqlBind.findFirstIn(sql).isDefined
 
   /** Render every template slot to its pinned deterministic value. */
   def render(sql: String): String = {
@@ -120,7 +137,9 @@ object Templates {
       java.util.regex.Matcher.quoteReplacement(valueOf(m.group(1))))
     val s = Shell.replaceAllIn(j, m =>
       java.util.regex.Matcher.quoteReplacement(valueOf(m.group(1))))
-    PyFmt.replaceAllIn(s, m =>
+    val p = PyFmt.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(valueOf(m.group(1))))
+    PsqlBind.replaceAllIn(p, m =>
       java.util.regex.Matcher.quoteReplacement(valueOf(m.group(1))))
   }
 }

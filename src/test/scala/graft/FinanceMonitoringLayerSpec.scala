@@ -79,6 +79,18 @@ class FinanceMonitoringLayerSpec extends SparkSpec {
         .map { case (n, t) => s"Asset Reconciliation/$n" -> t } ++
       scriptsOf(s"$base/Luxco_Reporting", recursive = true)
         .map { case (n, t) => s"Luxco_Reporting/$n" -> t }
-    runLayer("finance_luxco", scripts)
+    // broken IN THE REFERENCE (ParseCoverageSpec's irreducible floor):
+    // the luxco_reporting family lost the operator between consecutive
+    // CASE blocks — `END` directly followed by `CASE WHEN` inside one
+    // SUM(...) (`Luxco Reporting - V2/luxco_reporting.sql:62`) — a
+    // syntax error on Redshift too; their output tables stage as
+    // fixtures like any pre-existing table
+    runLayer("finance_luxco", scripts, broken = Set(
+      "Luxco_Reporting/Luxco Reporting July-2023/New Logic/luxco_reporting.sql",
+      "Luxco_Reporting/Luxco Reporting July-2023/Old Logic/luxco_reporting.sql",
+      "Luxco_Reporting/SPV Step 4 - Luxco Reporting.sql",
+      "Luxco_Reporting/Luxco Reporting June-2023/New Logic/luxco_reporting.sql",
+      "Luxco_Reporting/Luxco Reporting June-2023/Old Logic/SPV Step 4 - Luxco Reporting.sql",
+      "Luxco_Reporting/Luxco Reporting - V2/luxco_reporting.sql"))
   }
 }

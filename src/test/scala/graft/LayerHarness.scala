@@ -376,8 +376,18 @@ object LayerHarness {
             !tbl.endsWith(".")) {
           al.foreach(a => out += a -> tbl)
           out += parts.last -> tbl
-        } else if (parts.length == 1 && tbl.matches("[a-z_]\\w*"))
+        } else if (parts.length == 1 && tbl.matches("[a-z_]\\w*")) {
           al.foreach(a => out += a -> tbl)
+          // a 1-part relation used WITHOUT an alias (`LEFT JOIN sp ON …`
+          // where sp is a CTE) self-binds, so a table alias of the SAME
+          // name elsewhere in the statement stops uniquely naming its
+          // dotted source — otherwise `sp.first_failed` (the CTE's
+          // lateral-alias output, `ds-airflow-prod/dags/labels/sql/
+          // subscription_data.sql:77,122`) harvests onto the fixture
+          // table and shadows the lateral alias with a real column
+          // (MISSING_AGGREGATION at run time)
+          if (al.isEmpty) out += tbl -> tbl
+        }
       }
       val Item = "(?i)^\\s*([\\w.\"]+)(?:\\s+(?:as\\s+)?([a-z_]\\w*))?\\s*$".r
       val FromJoin = "(?i)\\b(from|join)\\s+".r
@@ -451,11 +461,47 @@ object LayerHarness {
             }
           }
           if (binds.nonEmpty) {
+            val stripped = st.replace("\"", "")
+            // CTE bodies per defined name: an alias that is ALSO a CTE
+            // name in this statement refers to the TABLE only inside the
+            // CTE's own body — references elsewhere (`LEFT JOIN sp ON
+            // sp.customer_id …`, `WHERE o.createddate <= sp.first_failed`
+            // with CTE sp over `FROM master.subscription_payment sp`,
+            // `ds-airflow-prod/dags/labels/sql/subscription_data.sql`)
+            // name the CTE's OUTPUTS and must not harvest fixture
+            // columns (a staged `first_failed` column shadows the CTE's
+            // lateral alias: MISSING_AGGREGATION at run time)
+            val cteSpans: Map[String, Seq[(Int, Int)]] = {
+              val out = mutable.Map.empty[String, mutable.ListBuffer[(Int, Int)]]
+              for (mm <- "(?i)(?<![\\w.])(\\w+)\\s+as\\s*\\(".r
+                  .findAllMatchIn(stripped)) {
+                var d = 1; var i = mm.end; var inS = false
+                while (i < stripped.length && d > 0) {
+                  val c = stripped.charAt(i)
+                  if (inS) { if (c == '\'') inS = false }
+                  else c match {
+                    case '\'' => inS = true
+                    case '(' => d += 1
+                    case ')' => d -= 1
+                    case _ => ()
+                  }
+                  i += 1
+                }
+                out.getOrElseUpdate(mm.group(1).toLowerCase,
+                  mutable.ListBuffer.empty) += ((mm.end, i))
+              }
+              out.view.mapValues(_.toSeq).toMap
+            }
             val QualRef = ("(?i)\\b(" + binds.keys.map(java.util.regex.Pattern.quote)
               .mkString("|") + ")\\.(\\w+)").r
-            QualRef.findAllMatchIn(st.replace("\"", "")).foreach { m =>
+            QualRef.findAllMatchIn(stripped).foreach { m =>
               val a = m.group(1).toLowerCase
-              val tbls = binds.getOrElse(a, Set.empty)
+              val inTableScope = cteSpans.get(a) match {
+                case Some(spans) => spans.exists(s => m.start >= s._1 && m.start < s._2)
+                case None => true
+              }
+              val tbls = if (inTableScope) binds.getOrElse(a, Set.empty)
+                else Set.empty[String]
               tbls.foreach { tbl =>
                 val col = m.group(2).toLowerCase
                 refs.getOrElseUpdate(tbl, mutable.Set.empty) += col
@@ -469,6 +515,27 @@ object LayerHarness {
                   weak += ((tbl, col))
                 else strong += ((tbl, col))
               }
+            }
+            // USING(col, …) join keys never appear alias-qualified, so
+            // the QualRef harvest misses them — the joined table AND the
+            // statement's first FROM table (the left side of the join
+            // tree) both need the key (`data-airflow-prod/dags/
+            // reverse_etl/crm/sql/eu_offline_conversion_upload.sql:16-17`)
+            val Using = ("(?i)\\b(?:from|join)\\s+([\\w.]+)" +
+              "(?:\\s+(?:as\\s+)?(?!using\\b)\\w+)?\\s+using\\s*\\(([^)]*)\\)").r
+            val firstFrom = "(?i)\\bfrom\\s+([\\w.]+)".r
+              .findFirstMatchIn(stripped).map(mm => norm(mm.group(1)))
+            Using.findAllMatchIn(stripped).foreach { mm =>
+              val cols = mm.group(2).split(",").map(_.trim.toLowerCase)
+                .filter(_.matches("\\w+"))
+              (Seq(norm(mm.group(1))) ++ firstFrom)
+                .filter(t => t.contains(".") && !built(t))
+                .foreach { t =>
+                  cols.foreach { c =>
+                    refs.getOrElseUpdate(t, mutable.Set.empty) += c
+                    strong += ((t, c))
+                  }
+                }
             }
           }
         }
@@ -674,7 +741,12 @@ object LayerHarness {
       }
 
     // ---- 3. classify-and-fix loop ------------------------------------
-    private val NotFound = "TABLE_OR_VIEW_NOT_FOUND.*?`([^`]+)`\\.`([^`]+)`".r
+    // name may be catalog-qualified 3-part (`spark_catalog`.`db`.`tbl`)
+    // when the demanded database doesn't exist yet — take the LAST two
+    // parts (the former group(1)=spark_catalog mis-parse tried to create
+    // a database literally named after the catalog: INTERNAL_ERROR)
+    private val NotFound =
+      "TABLE_OR_VIEW_NOT_FOUND.*?(?:`[^`]+`\\.)*`([^`]+)`\\.`([^`]+)`".r
     private val Unresolved = "UNRESOLVED_COLUMN[^`]*`([^`]+)`(?:\\.`([^`]+)`)?".r
     private val Ambiguous = "AMBIGUOUS_REFERENCE[^`]*`([^`]+)`".r
     private val CastTo = """CAST_INVALID_INPUT.*?cannot be cast to "(\w+)""".r
@@ -1825,6 +1897,12 @@ object LayerHarness {
                 case _ => if (hasInt) Some(TInt) else None
               }
             }
+            // runtime to_timestamp/to_date parse failure over a
+            // string-staged fixture column ("Text '2' could not be
+            // parsed", `13_finance_reporting/Asset Reconciliation/
+            // finance.asset_reconciliation_amount_monitoring.sql`):
+            // the column is temporal in the warehouse
+            else if (err.contains("CANNOT_PARSE_TIMESTAMP")) Some(TTs)
             else None
         }
       // a UNION mixing TRUE/FALSE literals with a flag column an earlier
