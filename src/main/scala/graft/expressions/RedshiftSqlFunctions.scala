@@ -52,6 +52,21 @@ object RedshiftSqlFunctions {
       val path = args.map(litString(_, "path element"))
       ex(R.jsonExtractPathText(col(children.head), path: _*))
     }
+    // Presto/Athena JSONPath extraction (`data-airflow-prod/
+    // business_logic/manual_review_us/sql/order_shipping_address_stat
+    // .sql:5`, intercom conversation exports): both the JSON-returning
+    // and the scalar form lower to get_json_object — the scripts CAST
+    // the result themselves.
+    inject("json_extract") { children =>
+      require(children.size == 2, "json_extract(json, jsonpath)")
+      org.apache.spark.sql.catalyst.expressions.GetJsonObject(
+        children.head, children(1))
+    }
+    inject("json_extract_scalar") { children =>
+      require(children.size == 2, "json_extract_scalar(json, jsonpath)")
+      org.apache.spark.sql.catalyst.expressions.GetJsonObject(
+        children.head, children(1))
+    }
     inject("json_extract_array_element_text") { children =>
       // 2- or 3-arg (Redshift's trailing null_if_invalid flag is this
       // engine's default behavior); the index may be any expression —

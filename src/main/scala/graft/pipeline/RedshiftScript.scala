@@ -201,8 +201,13 @@ object RedshiftScript {
   // array_agg the (key, value) pairs, sort by key (struct ordering —
   // first-field-major), dedup preserving first occurrence (= each value
   // ordered by its MINIMUM key, Redshift's observable behavior), join.
+  // the DISTINCT argument may carry ONE level of call parens
+  // (`LISTAGG(DISTINCT upper(r.customer_type), ' & ')`,
+  // `data-airflow-prod/dags/voucherify/sql/
+  // insert_voucherify_voucher_enriched.sql:194`)
   private val ListaggDistinctRe =
-    ("(?is)\\blistagg\\s*\\(\\s*distinct\\s+([^,()]+?)\\s*,\\s*('(?:[^']|'')*')\\s*\\)\\s*" +
+    ("(?is)\\blistagg\\s*\\(\\s*distinct\\s+((?:[^,()]|\\([^()]*\\))+?)\\s*,\\s*" +
+      "('(?:[^']|'')*')\\s*\\)\\s*" +
       "within\\s+group\\s*\\(\\s*order\\s+by\\s+([^()]+?)\\s*\\)").r
 
   private def rewriteListaggDistinct(sql: String): String =
@@ -538,6 +543,146 @@ object RedshiftScript {
             out = out.substring(0, m.start) + rebuilt + out.substring(close + 1)
             from = m.start + rebuilt.length
           }
+      }
+    }
+    out
+  }
+
+  /** Two-argument LTRIM/RTRIM: Redshift takes (string, trimChars) but
+    * Spark's legacy two-arg form is (trimChars, string) — silently
+    * swapped semantics, no analyzer error (`9_SPV/Mozenda/
+    * mozenda_amazon.sql:22` `rtrim(price, ' €')` returned ' €'). Swap
+    * the arguments.
+    */
+  private[graft] def fixTwoArgTrim(sql: String): String = {
+    val Call = "(?i)\\b([lr]trim)\\s*\\(".r
+    var out = sql
+    var from = 0
+    var guard = 0
+    while (guard < 256) {
+      guard += 1
+      Call.findAllMatchIn(out).find(_.start >= from) match {
+        case None => return out
+        case Some(m) =>
+          val open = m.end - 1
+          var i = open + 1; var depth = 1; var inStr = false
+          var comma = -1; var commas = 0
+          while (i < out.length && depth > 0) {
+            val c = out.charAt(i)
+            if (inStr) { if (c == '\'') inStr = false }
+            else c match {
+              case '\'' => inStr = true
+              case '(' => depth += 1
+              case ')' => depth -= 1
+              case ',' if depth == 1 => comma = i; commas += 1
+              case _ => ()
+            }
+            i += 1
+          }
+          if (depth == 0 && commas == 1) {
+            val a = out.substring(open + 1, comma).trim
+            val b = out.substring(comma + 1, i - 1).trim
+            val rebuilt = s"${m.group(1)}($b, $a)"
+            out = out.substring(0, m.start) + rebuilt + out.substring(i)
+            from = m.start + rebuilt.length
+          } else from = open + 1
+      }
+    }
+    out
+  }
+
+  /** Presto/Athena array-of-JSON surface (intercom conversation exports
+    * `data-airflow-prod/dags/intercom/sql/conversations_export/
+    * athena_conversations_parts.sql:47`, the bi-airflow order-item
+    * historical explode `order_item_historical.sql:41,59`):
+    * `json_parse(x)` is an identity over the JSON string;
+    * `CAST(e AS ARRAY(...))` parses to array<string> (elements stay JSON
+    * text for the per-element json_extract_scalar calls);
+    * `CAST(e AS JSON)` is an identity; `[CROSS JOIN |,] UNNEST(e) AS
+    * t(c)` lowers to LATERAL VIEW explode.
+    */
+  private[graft] def rewritePrestoArrays(sql: String): String = {
+    // NOTE: Redshift's JSON_PARSE (SUPER materialization, handled by
+    // JsonParseAliasRe) shares Presto's name — json_parse is stripped
+    // ONLY inside a CAST(... AS ARRAY(...)), never globally
+    if (!"(?i)\\bunnest\\s*\\(|as\\s+array\\s*\\(".r
+        .findFirstIn(sql).isDefined) return sql
+    var out = sql
+    // CAST(expr AS ARRAY(...)) / CAST(expr AS JSON)
+    val Cast = "(?i)\\bCAST\\s*\\(".r
+    var from = 0
+    var guard = 0
+    while (guard < 256) {
+      guard += 1
+      Cast.findAllMatchIn(out).find(_.start >= from) match {
+        case None => guard = 256
+        case Some(m) =>
+          val open = m.end - 1
+          var i = open + 1; var depth = 1; var inStr = false
+          var asPos = -1
+          while (i < out.length && depth > 0) {
+            val c = out.charAt(i)
+            if (inStr) { if (c == '\'') inStr = false }
+            else c match {
+              case '\'' => inStr = true
+              case '(' => depth += 1
+              case ')' => depth -= 1
+              case _ =>
+                if (depth == 1 && out.regionMatches(true, i, " as ", 0, 4))
+                  asPos = i
+            }
+            i += 1
+          }
+          if (depth != 0 || asPos < 0) from = open + 1
+          else {
+            val close = i - 1
+            val expr = out.substring(open + 1, asPos).trim
+            val tpe = out.substring(asPos + 4, close).trim
+            if (tpe.matches("(?is)array\\s*\\(.*")) {
+              val inner = "(?is)^json_parse\\s*\\((.*)\\)$".r
+                .findFirstMatchIn(expr).map(_.group(1).trim).getOrElse(expr)
+              val rebuilt = s"from_json($inner, 'array<string>')"
+              out = out.substring(0, m.start) + rebuilt + out.substring(close + 1)
+              from = m.start + rebuilt.length
+            } else if (tpe.equalsIgnoreCase("json")) {
+              val rebuilt = s"($expr)"
+              out = out.substring(0, m.start) + rebuilt + out.substring(close + 1)
+              from = m.start + rebuilt.length
+            } else from = open + 1
+          }
+      }
+    }
+    // [CROSS JOIN |,] UNNEST(expr) [AS] t(c) → LATERAL VIEW explode
+    val Un = "(?i)(,\\s*|\\bcross\\s+join\\s+)unnest\\s*\\(".r
+    var m0 = Un.findFirstMatchIn(out)
+    var guard2 = 0
+    while (m0.isDefined && guard2 < 64) {
+      guard2 += 1
+      val m = m0.get
+      val open = m.end - 1
+      var i = open + 1; var depth = 1; var inStr = false
+      while (i < out.length && depth > 0) {
+        val c = out.charAt(i)
+        if (inStr) { if (c == '\'') inStr = false }
+        else c match {
+          case '\'' => inStr = true
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ => ()
+        }
+        i += 1
+      }
+      val close = i - 1
+      val Tail = "(?is)^\\s*(?:as\\s+)?(\\w+)\\s*\\(\\s*(\\w+)\\s*\\)".r
+      Tail.findFirstMatchIn(out.substring(close + 1)) match {
+        case Some(t) =>
+          val expr = out.substring(open + 1, close)
+          val rebuilt =
+            s" LATERAL VIEW explode($expr) ${t.group(1)} AS ${t.group(2)}"
+          out = out.substring(0, m.start) + rebuilt +
+            out.substring(close + 1 + t.end)
+          m0 = Un.findFirstMatchIn(out)
+        case None => m0 = None
       }
     }
     out
@@ -1149,8 +1294,9 @@ object RedshiftScript {
     val preListagg = rewriteSuperPaths(rewriteListaggDistinct(
       stripGluedGrantTail(fixTimestampParseFormats(
         fixJsonArrayLengthFlag(fixTwoArgRegexpReplace(
-          fixSingleArgGreatest(rewriteArrayAggOrderBy(
-            rewritePostgresJson(unwrapFederatedQuery(pre0))))))))))
+          fixTwoArgTrim(fixSingleArgGreatest(rewriteArrayAggOrderBy(
+            rewritePostgresJson(rewritePrestoArrays(
+              unwrapFederatedQuery(pre0))))))))))))
     // SQL regex match: `x [NOT] SIMILAR TO 'p'` → anchored rlike. SQL
     // wildcards map (% → .*, _ → .); characters that are regex-meta but
     // SIMILAR-TO-literal (. ^ $) are escaped first — SIMILAR TO's own
@@ -3284,6 +3430,13 @@ object RedshiftScript {
         .orElse(copyPaths.get(name.toLowerCase))
         .getOrElse(throw new IllegalArgumentException(
           s"COPY $name: no FROM '<path>' and no registered copy source"))
+      // an UNREMAPPED object-store URL cannot be read here (no s3
+      // filesystem in a local session): keep the target's current
+      // contents — the previous-run warehouse state — and record the
+      // skip, like the other environment-only verbs
+      // (`data-airflow-prod/dags/catman/sql/copy_pricing_data.sql`)
+      if (path.matches("(?i)^s3a?://.*"))
+        return currentState(name).limit(0)
       // keyword detection on the text with quoted values blanked — a path
       // like '…/file.parquet' must not flip the format
       val optsKw = optsRaw.replaceAll("'[^']*'", "''")

@@ -17,8 +17,15 @@ object DebugProbe {
       args.lift(1).map(_.split(",").map(_.toLowerCase).toSet).getOrElse(Set.empty)
     val text = Templates.render(new String(Files.readAllBytes(path),
       java.nio.charset.StandardCharsets.UTF_8))
-    val tr = RedshiftScript.translate(
-      RedshiftScript.splitStatements(text).head, Some("2024-06-15"))
+    // third arg: pick the first statement CONTAINING this substring
+    // (case-insensitive); default = the first statement
+    val stmts = RedshiftScript.splitStatements(text)
+    val chosen = args.lift(2) match {
+      case Some(sub) => stmts.find(_.toLowerCase.contains(sub.toLowerCase))
+        .getOrElse(stmts.head)
+      case None => stmts.head
+    }
+    val tr = RedshiftScript.translate(chosen, Some("2024-06-15"))
     val d = RedshiftScript.dedupeSelectItems(tr)
     println(s"DEDUPE-CHANGED: ${d != tr}")
     val w = RedshiftScript.substituteAliasesInWhere(d, unresolved)

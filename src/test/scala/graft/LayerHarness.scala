@@ -37,6 +37,12 @@ object LayerHarness {
   case object TNum extends ColType
   case object TInt extends ColType
   case object TBool extends ColType
+  /** STRING-typed column whose values are timestamp text — the
+    * all-varchar landing-table pattern (`NULLIF(date_received_gmt, '')
+    * ::TIMESTAMP`, `data-airflow-prod/dags/ups/sql/stage_data.sql:20`):
+    * the column must stay comparable to '' as a string, yet castable to
+    * TIMESTAMP. */
+  case object TTsStr extends ColType
   /** Redshift TIME (dim_times.time) — staged as a day-time interval so
     * `datum + time` composes to a TIMESTAMP the way Redshift's
     * date+time addition does. */
@@ -59,6 +65,10 @@ object LayerHarness {
     c == "timestamp" || c.endsWith("_at") || c.endsWith("modstamp") ||
       c.endsWith("tstamp") || c.endsWith("_timestamp") ||
       c.endsWith("_datetime") ||
+      // bare past-participle stamps (Mozenda scrape feeds:
+      // `substring(created,1,10)` as a date string,
+      // `9_SPV/Mozenda/mozenda_amazon.sql:26`)
+      c == "created" || c == "updated" || c == "extracted" ||
       (c.endsWith("__c") && isDateCol(c))
 
   /** Integer-typed warehouse columns that flow into INT-only contexts
@@ -143,6 +153,9 @@ object LayerHarness {
     // .sql:9` `c.subscriptions::float` as a divisor) and "0" would
     // divide-by-zero under ANSI — as it would in Redshift
     case TStr => (F.col("__id") + 1).cast("string").as(c)
+    case TTsStr => F.expr(
+      s"CAST(timestampadd(DAY, CAST(__id * ${dayStep(c)} AS INT), " +
+        "TIMESTAMP '2024-01-05 08:00:00') AS STRING)").as(c)
   }
 
   // --------------------------------------------------- seed persistence
@@ -160,7 +173,7 @@ object LayerHarness {
 
   private val typeName: Map[ColType, String] = Map(
     TStr -> "str", TTs -> "ts", TDate -> "date", TNum -> "num",
-    TInt -> "int", TBool -> "bool", TTime -> "time")
+    TInt -> "int", TBool -> "bool", TTime -> "time", TTsStr -> "tsstr")
   private val typeFromName: Map[String, ColType] = typeName.map(_.swap)
 
   /** Committed seed-cache directory (tests run with cwd = repo root). */
@@ -365,6 +378,11 @@ object LayerHarness {
         } else { sb.append(c); ci += 1 }
       }
       val span = sb.toString.replace("\"", "")
+      // CTE names defined in this span: a 1-part relation naming one is
+      // never a warehouse table
+      val spanCtes: Set[String] =
+        "(?i)(?<![\\w.])(\\w+)\\s+as\\s*\\(".r.findAllMatchIn(span)
+          .map(_.group(1).toLowerCase).toSet
       val out = mutable.ListBuffer.empty[(String, String)]
       def bind(tblRaw: String, alias: Option[String]): Unit = {
         val tbl = norm(tblRaw)
@@ -377,16 +395,28 @@ object LayerHarness {
           al.foreach(a => out += a -> tbl)
           out += parts.last -> tbl
         } else if (parts.length == 1 && tbl.matches("[a-z_]\\w*")) {
-          al.foreach(a => out += a -> tbl)
-          // a 1-part relation used WITHOUT an alias (`LEFT JOIN sp ON …`
-          // where sp is a CTE) self-binds, so a table alias of the SAME
-          // name elsewhere in the statement stops uniquely naming its
-          // dotted source — otherwise `sp.first_failed` (the CTE's
-          // lateral-alias output, `ds-airflow-prod/dags/labels/sql/
-          // subscription_data.sql:77,122`) harvests onto the fixture
-          // table and shadows the lateral alias with a real column
-          // (MISSING_AGGREGATION at run time)
-          if (al.isEmpty) out += tbl -> tbl
+          // a bare relation that is neither a CTE of this span nor a
+          // table the layer builds is an Athena-style default-database
+          // table (`FROM "spree_products"`, `data-airflow-prod/dags/
+          // reverse_etl/braze/price_drop/sql/athena_product_data.sql`) —
+          // bind it dotted so harvest and column repairs can reach its
+          // fixture
+          if (!spanCtes(tbl) && !built(tbl)) {
+            val dotted = s"default.$tbl"
+            al.foreach(a => out += a -> dotted)
+            out += tbl -> dotted
+          } else {
+            al.foreach(a => out += a -> tbl)
+            // a 1-part relation used WITHOUT an alias (`LEFT JOIN sp ON …`
+            // where sp is a CTE) self-binds, so a table alias of the SAME
+            // name elsewhere in the statement stops uniquely naming its
+            // dotted source — otherwise `sp.first_failed` (the CTE's
+            // lateral-alias output, `ds-airflow-prod/dags/labels/sql/
+            // subscription_data.sql:77,122`) harvests onto the fixture
+            // table and shadows the lateral alias with a real column
+            // (MISSING_AGGREGATION at run time)
+            if (al.isEmpty) out += tbl -> tbl
+          }
         }
       }
       val Item = "(?i)^\\s*([\\w.\"]+)(?:\\s+(?:as\\s+)?([a-z_]\\w*))?\\s*$".r
@@ -773,6 +803,13 @@ object LayerHarness {
       */
     private val untrackedDrops = mutable.Set.empty[(String, String)]
 
+    /** (table, oldName) pairs consumed by a derived-column rename: a
+      * later demand for the OLD spelling on the same table must not
+      * rename back (`asset_id` ⇄ `assetid` oscillation) — it belongs to
+      * another relation and places elsewhere.
+      */
+    private val renamed = mutable.Set.empty[(String, String)]
+
     /** built-elsewhere tables staged as fixture placeholders because a
       * consumer (or a cycle) demanded them before their producer ran —
       * faithful previous-run warehouse state; the producer replaces them */
@@ -882,7 +919,13 @@ object LayerHarness {
       def bindingsIn(span: String): Seq[(String, String)] =
         tableBindings(span) // 1-part CTE binds are harvest-only signals
           .filter(_._2.contains("."))
-          .filterNot { case (_, t) => built(t) && !placeholdered(t) }
+          // CREATED tables own their schema (never patched); a derived
+          // PRE-EXISTING insert target is a fixture — its guessed schema
+          // stays repairable (the `spv.condition` rename on
+          // `ods_production.spv_report_master`, `9_SPV/7_0_final_output
+          // .sql` over `6_0_spv_report.sql`'s positional INSERT)
+          .filterNot { case (_, t) => built(t) && !placeholdered(t) &&
+            !insertTargets.exists(_._1 == t) }
       /** Scope evidence for an unqualified column: for each bare
         * occurrence of `col` in the span, walk OUT from the innermost
         * enclosing parenthesized block to the first one that binds
@@ -940,11 +983,18 @@ object LayerHarness {
           var o = encl(m.start)
           var done = false
           while (o >= 0 && !done) {
-            val cl = closeOf.getOrElse(o, n)
-            val bs = bindingsIn(s.substring(o + 1, math.min(cl, n)))
-              .map(_._2).distinct
-            if (bs.size == 1) { votes(bs.head) = votes.getOrElse(bs.head, 0) + 1; done = true }
-            else if (bs.size > 1) done = true // multi-bind scope: no evidence
+            val block = s.substring(o + 1, math.min(closeOf.getOrElse(o, n), n))
+            val bs = bindingsIn(block).map(_._2).distinct
+            // the block must bind exactly ONE relation overall — a CTE
+            // or temp alongside the lone fixture can own the column
+            // (`FROM a LEFT JOIN marketing.campaigns_brand_non_brand b`,
+            // `7_snowplow/2_sessions/00_marketing_details.sql:192-193`:
+            // the bare marketing_source is CTE a's, not b's)
+            val rels = tableBindings(block).map(_._2).distinct
+            if (bs.size == 1 && rels.size <= 1) {
+              votes(bs.head) = votes.getOrElse(bs.head, 0) + 1; done = true
+            }
+            else if (bs.size > 1 || rels.size > 1) done = true // multi-bind scope
             else o = encl(o)
           }
         }
@@ -968,6 +1018,32 @@ object LayerHarness {
           }
           if (depth == 0) Some(span.substring(mm.end, i - 1)) else None
         }
+      }
+      // 1-part missing table (an Athena bare name, `FROM spree_products`
+      // — `data-airflow-prod/dags/reverse_etl/braze/price_drop/sql/
+      // athena_product_data.sql`): resolve against the session's default
+      // database, where the scripts' bare references land. A bare name
+      // BUILT by another script in the layer gets the usual
+      // built-elsewhere placeholder treatment through the same path.
+      val bare1 =
+        "TABLE_OR_VIEW_NOT_FOUND[^`]*`([\\w]+)` cannot be found".r
+          .findFirstMatchIn(err).map(_.group(1).toLowerCase)
+      bare1.foreach { b =>
+        val tbl = s"default.$b"
+        if (built(b) || built(tbl)) {
+          if (spark.catalog.tableExists(tbl) || spark.catalog.tableExists(b))
+            return true
+          log(s"placeholder-stage built-elsewhere bare table $tbl")
+          placeholdered += tbl
+          if (!fixtureCols.contains(tbl)) fixtureCols(tbl) = mutable.Set("id")
+          else if (fixtureCols(tbl).isEmpty) fixtureCols(tbl) += "id"
+          stage(tbl); return true
+        }
+        if (!fixtureCols.contains(tbl)) {
+          log(s"auto-stage missing bare table $tbl")
+          fixtureCols(tbl) = mutable.Set("id")
+        } else if (fixtureCols(tbl).isEmpty) fixtureCols(tbl) += "id"
+        stage(tbl); return true
       }
       NotFound.findFirstMatchIn(err) match {
         case Some(m) =>
@@ -1078,9 +1154,18 @@ object LayerHarness {
           locally {
             val qualName = Option(m.group(2)).map(_ => m.group(1).toLowerCase)
             val demanded = Option(m.group(2)).getOrElse(m.group(1)).toLowerCase
-            for (q <- qualName) {
+            // qualified demands name their target; a BARE demand may
+            // still belong to an insert target bound in the failing span
+            // (`REPLACE(conditions, …) FROM marketing.voucherify_…`)
+            val candTargets: Seq[String] = qualName match {
+              case Some(q) => insertTargets.map(_._1).distinct
+                .filter(t => t == norm(q) || t.split("\\.").last == q)
+              case None => binds.map(_._2).distinct
+                .filter(t => insertTargets.exists(_._1 == t))
+            }
+            for (t0 <- candTargets) {
               insertTargets.find { case (t, _, _, _) =>
-                (t == norm(q) || t.split("\\.").last == q) &&
+                t == t0 &&
                   spark.catalog.tableExists(t) &&
                   !spark.table(t).columns.map(_.toLowerCase).contains(demanded)
               }.foreach { case (t, _, body, _) =>
@@ -1093,6 +1178,33 @@ object LayerHarness {
                     return true
                   }
                 } catch { case _: Exception => () }
+                // the target is a `SELECT * FROM <fixture>` clone and the
+                // demand names a column the SOURCE fixture is missing —
+                // the clone pair shares the warehouse schema, so add the
+                // column upstream and re-derive the clone
+                // (`marketing.voucherify_validation_rules_extracted
+                // .conditions` demanded by insert_voucherify_voucher_
+                // transactions.sql while the clone source
+                // `staging.….sql` never saw it)
+                val StarFrom =
+                  "(?is)^\\s*select\\s+\\*\\s+from\\s+([\\w.\"]+)\\s*;?\\s*$".r
+                for (sm <- StarFrom.findFirstMatchIn(body)) {
+                  val src = norm(sm.group(1).replace("\"", ""))
+                  if (fixtureCols.contains(src) && !fixtureCols(src)(demanded) &&
+                      !tabu((src, demanded)) && !neverCols((src, demanded))) {
+                    log(s"auto-add $src.$demanded (clone-source of $t)")
+                    fixtureCols(src) += demanded; guessed += ((src, demanded))
+                    stage(src)
+                    try {
+                      val df2 = spark.sql(
+                        RedshiftScript.translate(body, pinned)).limit(0)
+                      val parts = t.split("\\.")
+                      log(s"re-derive insert target $t in place (clone +$demanded)")
+                      Catalog.replaceTable(df2, parts(0), parts(1))
+                    } catch { case _: Exception => () }
+                    return true
+                  }
+                }
               }
             }
           }
@@ -1248,12 +1360,33 @@ object LayerHarness {
             // `7_snowplow/1_page_view/08_timing_incremental.sql:44`),
             // RENAME the column instead of appending a new one
             def squash(s: String) = s.replace("_", "")
+            // rename only under a QUALIFIED demand that binds THIS
+            // target: an unqualified name (`partition by assetid`) may
+            // belong to a different relation of the span, and renaming
+            // the derived target ping-pongs with the other spelling's
+            // demands (`asset_id` ⇄ `assetid` on spv_report_master,
+            // `9_SPV/7_0_final_output.sql`)
             for (t <- ranked.find(t => orderedFix.contains(t) &&
-                fixtureCols.contains(t) && !fixtureCols(t)(col))) {
+                fixtureCols.contains(t) && !fixtureCols(t)(col) &&
+                qual.exists(q => binds.exists(b => b._1 == q && b._2 == t)) &&
+                !renamed((t, col)))) {
+              // second preference: a UNIQUE derived column CONTAINING the
+              // demanded name — a positional INSERT's select alias need
+              // not match the real table's column name at all
+              // (`asset_condition_spv` feeds the column 7_0_final_output
+              // reads as `spv."condition"`, `9_SPV/6_0_spv_report.sql:26`)
+              def containsMatch: Option[String] = {
+                val cands = fixtureCols(t).toSeq.filter(c0 => c0 != col &&
+                  (squash(c0).contains(squash(col)) ||
+                    squash(col).contains(squash(c0))))
+                if (cands.size == 1) cands.headOption else None
+              }
               fixtureCols(t).find(c0 => c0 != col && squash(c0) == squash(col))
+                .orElse(containsMatch)
                 .foreach { c0 =>
                   log(s"rename derived column $t.$c0 -> $col (squash-match)")
                   fixtureCols(t) -= c0; fixtureCols(t) += col
+                  renamed += ((t, c0))
                   orderedFix(t) = orderedFix(t).map(c => if (c == c0) col else c)
                   colTypes.remove((t, c0)).foreach(ty => colTypes((t, col)) = ty)
                   structFields.remove((t, c0)).foreach(fs => structFields((t, col)) = fs)
@@ -1804,11 +1937,19 @@ object LayerHarness {
       // `4_dwh_catman/product_reporting.sql:467`); retype the fixture
       // side back to string, overriding the type-cycle guard (data
       // evidence beats repair history)
+      val castFailVal = """The value '([^']*)'""".r.findFirstMatchIn(err)
+        .map(_.group(1))
       val dataProvenStr = err.contains("CAST_INVALID_INPUT") &&
-        """The value '([^']*)'""".r.findFirstMatchIn(err)
-          .map(_.group(1)).exists(v =>
-            !v.matches("-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?") &&
-            !v.matches("\\d{4}-\\d{2}-\\d{2}.*") && v != "true" && v != "false")
+        castFailVal.exists(v => v.nonEmpty &&
+          !v.matches("-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?") &&
+          !v.matches("\\d{4}-\\d{2}-\\d{2}.*") && v != "true" && v != "false")
+      // `NULLIF(col, '')::TIMESTAMP` over an all-varchar landing table:
+      // the '' literal coerced to TIMESTAMP under a temporally-retyped
+      // column proves the column is a STRING holding timestamp text —
+      // stage it as such (string type, parseable values)
+      val emptyToTemporal = err.contains("CAST_INVALID_INPUT") &&
+        castFailVal.contains("") &&
+        (err.contains("\"TIMESTAMP\"") || err.contains("\"DATE\""))
       // an impossible-cast diagnosis names the precise target type —
       // strong evidence that overrides the repair-cycle guard (the weak
       // operator-shape inferences stay cycle-bound, so the ratchet is
@@ -1828,6 +1969,7 @@ object LayerHarness {
         "(?s)\"\\s*\\(?\\w+ [-+] \\w+\\)?".r.findFirstIn(err).isDefined
       val wanted: Option[ColType] =
         if (arithNumProof) Some(TNum)
+        else if (emptyToTemporal) Some(TTsStr)
         else if (dataProvenStr) Some(TStr)
         else CastTo.findFirstMatchIn(err).map(_.group(1))
           .orElse(CastTo2.findFirstMatchIn(err).map(_.group(1))) match {

@@ -61,8 +61,15 @@ class SpvPricingLayerSpec extends SparkSpec {
       .map(p => base.relativize(p).toString ->
         new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8))
     assert(scripts.size >= 19, s"expected the full chain, got ${scripts.size}")
+    // schema-drifted IN THE REFERENCE: the legacy Pricing/ pipeline reads
+    // `prep.itemid` (`Pricing/1_pricing_outlier_removal.sql:127`) from
+    // `ods_spv_historical.union_sources`, but the chain's own
+    // `1_union_all_sources.sql:9` builds that table with `item_id` — the
+    // legacy script no longer runs against the current schema on
+    // Redshift either; its output stages as a fixture.
+    val broken = Set("Pricing/1_pricing_outlier_removal.sql")
     val (failures, rerun, summary) = LayerHarness.runSeeded(
-      spark, "9_SPV", scripts, Some(Pinned),
+      spark, "9_SPV", scripts, Some(Pinned), broken,
       log = m => info(s"harness[spv]: $m"))
     println(summary)
     failures.foreach { case (n, e) => info(s"FAILED $n: ${e.take(900)}") }
