@@ -49,8 +49,33 @@ object RedshiftSqlFunctions {
         case init :+ Literal(_: Boolean, _) if init.nonEmpty => init
         case other => other
       }
-      val path = args.map(litString(_, "path element"))
-      ex(R.jsonExtractPathText(col(children.head), path: _*))
+      if (args.forall(_.isInstanceOf[Literal])) {
+        val path = args.map(litString(_, "path element"))
+        ex(R.jsonExtractPathText(col(children.head), path: _*))
+      } else {
+        // a path element may be any expression — Redshift evaluates it
+        // per row (`JSON_EXTRACT_PATH_text(…, id)` keys the contact map
+        // by another column, `1_ods_ops/00_intercom.sql:31`); the
+        // GetJsonObject EXPRESSION accepts a non-foldable path (only
+        // the function API pins a literal)
+        import org.apache.spark.sql.catalyst.expressions.{Concat, Cast}
+        import org.apache.spark.sql.types.StringType
+        val parts = Literal("$") +: args.flatMap(a =>
+          Seq(Literal("."), Cast(a, StringType)))
+        org.apache.spark.sql.catalyst.expressions.GetJsonObject(
+          children.head, Concat(parts))
+      }
+    }
+    // IS_VALID_JSON_ARRAY([NOT] the object form): true when the string
+    // parses as JSON AND is an array (`1_ods_finance/
+    // 00_payment_subscription.sql:358` gates the lineitems explode);
+    // the optional trailing null_if_invalid flag is dropped like
+    // json_extract_path_text's
+    inject("is_valid_json_array") { children =>
+      require(children.nonEmpty, "is_valid_json_array(text)")
+      val c = col(children.head)
+      ex(R.isValidJson(c) &&
+        org.apache.spark.sql.functions.trim(c).startsWith("["))
     }
     // Presto/Athena JSONPath extraction (`data-airflow-prod/
     // business_logic/manual_review_us/sql/order_shipping_address_stat

@@ -423,6 +423,90 @@ object RedshiftScript {
     * Luxco Reporting June-2023/New Logic/spv_historical.sql`). Unwrap
     * the call to its lone argument.
     */
+  /** `JSON_SERIALIZE(col[n])` — Redshift SUPER array indexing under a
+    * serialize (`1_ods_finance/00_payment_refund.sql:217` reads element
+    * 0's JSON text out of `payment_group_tax_breakdown`). The element's
+    * serialized form IS its JSON text, so this maps exactly to the
+    * array-element extraction over the column's JSON rendering —
+    * which also works over a STRING column holding the array text.
+    */
+  private[graft] def fixSerializedArrayIndex(sql: String): String =
+    sql.replaceAll(
+      "(?i)\\bjson_serialize\\s*\\(\\s*((?:\\w+\\.)?\\w+)\\s*\\[\\s*(\\d+)\\s*\\]\\s*\\)",
+      "json_extract_array_element_text($1::string, $2)")
+
+  /** Postgres-style `COUNT(alias.*)` — counts rows whose composite is
+    * non-null. The reference's single use (`2_ods_finance/
+    * 03_debt_collection.sql:40`) applies it to the query's BASE relation
+    * (never null), where it equals `COUNT(*)`; map it so — Spark has no
+    * composite-row count, and a literal star in the select list also
+    * trips STAR_GROUP_BY_POS under the script's ordinal GROUP BY.
+    */
+  private[graft] def fixCountAliasStar(sql: String): String =
+    sql.replaceAll("(?i)\\bcount\\s*\\(\\s*\\w+\\s*\\.\\s*\\*\\s*\\)", "count(*)")
+
+  /** Redshift names an alias-less `NULLIF(col, lit)` select item by the
+    * UNDERLYING column — downstream scripts read the bare name back
+    * (`NULLIF(serial_number,'')` consumed as `wms.serial_number`,
+    * `1_ods_ops/00_wms_sftp_merged_ingram_events.sql:11,64`). Spark
+    * names it `nullif(serial_number, )`; alias whole select items
+    * explicitly. Only a COMPLETE item rewrites — the call must sit
+    * between `,`/SELECT and `,`/FROM so nested uses
+    * (`coalesce(nullif(status,''), …)`) stay untouched.
+    */
+  private[graft] def aliasBareNullifItems(sql: String): String = {
+    val Call = ("(?i)\\bNULLIF\\s*\\(\\s*([a-z_]\\w*)\\s*,\\s*" +
+      "(?:'[^']*'|-?\\d+(?:\\.\\d+)?)\\s*\\)").r
+    // innermost unclosed '(' before each index (string/comment aware) —
+    // a NULLIF nested in a FUNCTION call must not be aliased, only one
+    // whose innermost scope is a (sub)query select list
+    val open = new Array[Int](sql.length + 1)
+    locally {
+      var inStr = false; var inLc = false; var inBc = false
+      val stack = mutable.Stack[Int]()
+      var i = 0
+      while (i < sql.length) {
+        open(i) = stack.headOption.getOrElse(-1)
+        val c = sql.charAt(i)
+        val next = if (i + 1 < sql.length) sql.charAt(i + 1) else ' '
+        if (inLc) { if (c == '\n') inLc = false }
+        else if (inBc) { if (c == '*' && next == '/') { inBc = false; i += 1 } }
+        else if (inStr) { if (c == '\'') inStr = false }
+        else c match {
+          case '\'' => inStr = true
+          case '-' if next == '-' => inLc = true; i += 1
+          case '/' if next == '*' => inBc = true; i += 1
+          case '(' => stack.push(i)
+          case ')' => if (stack.nonEmpty) stack.pop()
+          case _ => ()
+        }
+        i += 1
+      }
+    }
+    val out = new StringBuilder
+    var last = 0
+    for (m <- Call.findAllMatchIn(sql)) {
+      val scopeIsSelect = open(m.start) match {
+        case -1 => true // top-level statement
+        case o => sql.substring(o + 1).dropWhile(_.isWhitespace)
+          .take(6).equalsIgnoreCase("select")
+      }
+      val before = sql.substring(0, m.start).trim
+      val prevOk = before.endsWith(",") ||
+        "(?i)(distinct|select)$".r.findFirstIn(before).isDefined
+      val afterT = sql.substring(m.end).dropWhile(_.isWhitespace)
+      val nextOk = afterT.startsWith(",") ||
+        afterT.take(5).toLowerCase.startsWith("from ") ||
+        afterT.take(5).toLowerCase.startsWith("from\n") ||
+        afterT.take(5).toLowerCase.startsWith("from\t")
+      if (m.start >= last && scopeIsSelect && prevOk && nextOk) {
+        out.append(sql, last, m.end).append(" AS ").append(m.group(1))
+        last = m.end
+      }
+    }
+    if (last == 0) sql else { out.append(sql, last, sql.length); out.toString }
+  }
+
   private[graft] def fixSingleArgGreatest(sql: String): String = {
     val Call = "(?i)\\b(greatest|least)\\s*\\(".r
     var out = sql
@@ -1294,9 +1378,10 @@ object RedshiftScript {
     val preListagg = rewriteSuperPaths(rewriteListaggDistinct(
       stripGluedGrantTail(fixTimestampParseFormats(
         fixJsonArrayLengthFlag(fixTwoArgRegexpReplace(
-          fixTwoArgTrim(fixSingleArgGreatest(rewriteArrayAggOrderBy(
-            rewritePostgresJson(rewritePrestoArrays(
-              unwrapFederatedQuery(pre0))))))))))))
+          fixTwoArgTrim(fixSingleArgGreatest(aliasBareNullifItems(
+            fixCountAliasStar(fixSerializedArrayIndex(rewriteArrayAggOrderBy(
+              rewritePostgresJson(rewritePrestoArrays(
+                unwrapFederatedQuery(pre0)))))))))))))))
     // SQL regex match: `x [NOT] SIMILAR TO 'p'` → anchored rlike. SQL
     // wildcards map (% → .*, _ → .); characters that are regex-meta but
     // SIMILAR-TO-literal (. ^ $) are escaped first — SIMILAR TO's own
@@ -2928,6 +3013,14 @@ object RedshiftScript {
     private var lastSelect: Option[DataFrame] = None
 
     private def tr(sql: String): String = resolveOverlays(translate(sql, currentDate))
+
+    /** Translate + analyze a bare query body through the same repair
+      * chain the verbs use (alias-in-WHERE substitution, correlated
+      * LIMIT-1, …) — for callers that need a body's DataFrame outside a
+      * full script run (the test harness derives pre-existing INSERT
+      * targets from their body's schema).
+      */
+    def queryDf(body: String): DataFrame = sqlBody(tr(body))
 
     /** `spark.sql` with the Redshift alias-in-WHERE fallback: when
       * analysis fails on an unresolved column, retry with the select-list

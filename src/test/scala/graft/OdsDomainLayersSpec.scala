@@ -46,7 +46,32 @@ class OdsDomainLayersSpec extends SparkSpec {
   }
 
   test("the 1_ods_finance + 2_ods_finance staging layers run verbatim, twice") {
-    runLayer("ods_finance", Seq("1_ods_finance", "2_ods_finance"))
+    // broken IN THE REFERENCE (each is a Redshift syntax error too):
+    //  - 00_ledger_curated.sql:6-7 — the INSERT's select list STARTS
+    //    with a comma (`SELECT DISTINCT \n ,c.salesforce_…`)
+    //  - 00_subscription_discount_new_infra.sql:4-51 — the INSERT's
+    //    leading block comment is closed only at line 51, swallowing the
+    //    `WITH number_sequance …` CTE chain; the remaining body begins
+    //    with a bare `AND`
+    //  - 00_payment_addon_grover_care.sql:61-67 — the `attempts` CTE
+    //    aggregates `id`/`latest_movement_status` with NO FROM clause
+    //  - 00_grover_care_subscription.sql:17-24 — `CASE ELSE NULL` with
+    //    no WHEN, over an empty `FROM`
+    //  - 02_subscription_cancellation_reason.sql:188-192 — a CASE WHEN
+    //    arm with no THEN (`… OR cancellation_reason = '…' end as …`)
+    //  - 00_subscription_assets.sql:261 — a dangling `ON DATE_TRUNC(…) =
+    //    … gmv.datum` whose `LEFT JOIN … gmv` line was deleted
+    //  - 01_asset_cashflow.sql:168-170 — a CASE arm ends `ELSE
+    //    NULL::numeric` with no `END) AS …` before the next `sum(`
+    runLayer("ods_finance", Seq("1_ods_finance", "2_ods_finance"),
+      broken = Set(
+        "1_ods_finance/00_ledger_curated.sql",
+        "1_ods_finance/00_subscription_discount_new_infra.sql",
+        "1_ods_finance/00_payment_addon_grover_care.sql",
+        "2_ods_finance/00_grover_care_subscription.sql",
+        "2_ods_finance/02_subscription_cancellation_reason.sql",
+        "2_ods_finance/00_subscription_assets.sql",
+        "2_ods_finance/01_asset_cashflow.sql"))
   }
 
   test("the 1_ods_ops + 2_ods_ops staging layers run verbatim, twice") {
