@@ -818,6 +818,10 @@ object LayerHarness {
       */
     private val untrackedDrops = mutable.Set.empty[(String, String)]
 
+    /** fixtures already re-derived from a union-star sibling — one shot
+      * each, or a mismatched sibling pick oscillates */
+    private val unionDerived = mutable.Set.empty[String]
+
     /** (table, oldName) pairs consumed by a derived-column rename: a
       * later demand for the OLD spelling on the same table must not
       * rename back (`asset_id` ⇄ `assetid` oscillation) — it belongs to
@@ -1510,6 +1514,41 @@ object LayerHarness {
           if (anyPlaced) return true
           return false
         case None => ()
+      }
+      // `SELECT * FROM <fixture> UNION ALL SELECT * FROM <cte>` where the
+      // fixture is still a 1-column placeholder: the union siblings SHARE
+      // the warehouse schema positionally, so derive the fixture's
+      // columns from a sibling CTE's select list
+      // (`1_ods_finance/00_payment_refund.sql:599` unions
+      // `finance.us_static_chargebacks` with four refund CTEs)
+      if (err.contains("NUM_COLUMNS_MISMATCH")) {
+        val span = failing.getOrElse(text)
+        // only branches ADJACENT to a UNION are union members — a plain
+        // `SELECT * FROM t WHERE …` CTE body must not be rederived
+        val Branch = ("(?is)(?:\\bunion(?:\\s+all)?\\s+select\\s+(?:distinct\\s+)?" +
+          "\\*\\s+from\\s+([\\w.\"]+))|(?:\\bselect\\s+(?:distinct\\s+)?\\*\\s+" +
+          "from\\s+([\\w.\"]+)\\s+union\\b)").r
+        val branches = Branch.findAllMatchIn(span)
+          .map(m => norm(Option(m.group(1)).getOrElse(m.group(2)).replace("\"", "")))
+          .toSeq.distinct
+        val cteCols: Option[Seq[String]] = branches.collectFirst {
+          case b if !b.contains(".") && cteSpanOf(span, b).isDefined &&
+              selectListNames(cteSpanOf(span, b).get).nonEmpty &&
+              selectListNames(cteSpanOf(span, b).get).distinct.sizeIs ==
+                selectListNames(cteSpanOf(span, b).get).size =>
+            selectListNames(cteSpanOf(span, b).get)
+        }
+        for (cols <- cteCols) {
+          branches.filter(b => b.contains(".") && fixtureCols.contains(b) &&
+              fixtureCols(b).toSet != cols.toSet &&
+              !unionDerived(b)).foreach { b =>
+            log(s"derive union-star fixture $b from sibling branch (${cols.size} cols)")
+            unionDerived += b
+            fixtureCols(b) = mutable.Set(cols: _*)
+            orderedFix(b) = cols
+            stage(b); return true
+          }
+        }
       }
       // INSERT arity mismatches have two classified causes:
       //  (a) a bootstrap mis-derivation left a wrongly-shaped
@@ -2269,6 +2308,8 @@ object LayerHarness {
           })
       wanted match {
         case Some(ty) =>
+          if (sys.env.contains("GRAFT_RETYPE_TRACE")) log(
+            s"retype-trigger wanted=$ty err=${err.replaceAll("\\s+", " ").take(260)}")
           // arithmetic-numeric proof must see the WHOLE expression — the
           // `however` operand is the already-numeric side
           val idSrc = if (arithNumProof) fragWhole else frag
@@ -2299,25 +2340,43 @@ object LayerHarness {
           // the error may name a CTE ALIAS of the real fixture column
           // (`contract_start_date::timestamp` over `i.start__c AS
           // contract_start_date`, `1_ods_ops/00_insurance_allocation
-          // .sql:15,133`) — chase simple `x AS alias` select items in
-          // the failing statement back to their base identifiers
+          // .sql:15,133`) — chase `x AS alias` select items in the
+          // failing statement back to their base identifiers, but ONLY
+          // for the frag's own CAST OPERANDS: expanding every frag word
+          // through a 600-line statement's aliases swept 18 fixtures to
+          // TDate in one round (00_payment_refund triage)
           val ids: Set[String] = {
             val stText = failing.getOrElse(text).toLowerCase
-            val AliasRe = "(?<![\\w.'])([\\w.]+)\\s+as\\s+(\\w+)".r
-            var cur = ids0; var guard = 0; var changed = true
-            while (changed && guard < 4) {
-              changed = false; guard += 1
-              // type keywords ride along in cast frags (`CAST(x AS
-              // DATE)` puts `date` in ids) — never chase those
-              val tyWords = Set("date", "timestamp", "int", "bigint",
-                "smallint", "double", "decimal", "numeric", "string",
-                "text", "boolean", "varchar", "float", "interval")
-              for (m <- AliasRe.findAllMatchIn(stText)
-                  if cur(m.group(2)) && !tyWords(m.group(2)) &&
-                    m.group(1).exists(_.isLetter)) {
-                val base = m.group(1).split("\\.").last
-                if (!cur(base)) { cur += base; changed = true }
+            val idLow = idSrc.toLowerCase
+            val tyWords = Set("date", "timestamp", "int", "bigint",
+              "smallint", "double", "decimal", "numeric", "string",
+              "text", "boolean", "varchar", "float", "interval")
+            val castOps: Set[String] =
+              ("(\\w+)\\s*::".r.findAllMatchIn(idLow).map(_.group(1)) ++
+                "cast\\s*\\(\\s*(\\w+)\\s+as\\b".r.findAllMatchIn(idLow)
+                  .map(_.group(1))).toSet.filterNot(tyWords)
+            // a runtime cast failure's caret region may span NEIGHBORING
+            // select items — when the region contains explicit cast
+            // operands, THEY are the evidence; sweeping every word
+            // retyped `type`/`value`/`a` to TDate in one round
+            // (00_payment_refund triage)
+            if (err.contains("CAST_INVALID_INPUT") && castOps.nonEmpty)
+              ids0 = castOps
+            var frontier = castOps.filter(ids0); var cur = ids0
+            var guard = 0
+            while (frontier.nonEmpty && guard < 3) {
+              guard += 1
+              val next = mutable.Set.empty[String]
+              for (a <- frontier) {
+                val AliasRe = ("(?<![\\w.'])([\\w.]+)\\s+as\\s+" +
+                  java.util.regex.Pattern.quote(a) + "\\b").r
+                for (m <- AliasRe.findAllMatchIn(stText)
+                    if m.group(1).exists(_.isLetter) && !tyWords(m.group(1))) {
+                  val base = m.group(1).split("\\.").last
+                  if (!cur(base) && !tyWords(base)) { cur += base; next += base }
+                }
               }
+              frontier = next.toSet
             }
             cur
           }
