@@ -57,11 +57,15 @@ object RedshiftSqlFunctions {
         // per row (`JSON_EXTRACT_PATH_text(…, id)` keys the contact map
         // by another column, `1_ods_ops/00_intercom.sql:31`); the
         // GetJsonObject EXPRESSION accepts a non-foldable path (only
-        // the function API pins a literal)
+        // the function API pins a literal). Redshift treats each path
+        // element as a LITERAL key, so emit bracket-quoted segments —
+        // `$['k']` — rather than `$.`+k, which would let JSONPath
+        // metacharacters (. [ * ') in a runtime key change the path and
+        // silently extract the wrong value.
         import org.apache.spark.sql.catalyst.expressions.{Concat, Cast}
         import org.apache.spark.sql.types.StringType
         val parts = Literal("$") +: args.flatMap(a =>
-          Seq(Literal("."), Cast(a, StringType)))
+          Seq(Literal("['"), Cast(a, StringType), Literal("']")))
         org.apache.spark.sql.catalyst.expressions.GetJsonObject(
           children.head, Concat(parts))
       }

@@ -429,6 +429,13 @@ object RedshiftScript {
     * serialized form IS its JSON text, so this maps exactly to the
     * array-element extraction over the column's JSON rendering —
     * which also works over a STRING column holding the array text.
+    *
+    * OBJECT/ARRAY elements only: `get_json_object` strips the quotes
+    * from a scalar STRING element (returns `foo` where Redshift's
+    * JSON_SERIALIZE yields `"foo"`). The reference's one use reads an
+    * object element; if a scalar-element use appears in a future
+    * corpus, re-quote non-`{`/`[` results before shipping them as
+    * serialized JSON.
     */
   private[graft] def fixSerializedArrayIndex(sql: String): String =
     sql.replaceAll(
@@ -436,14 +443,42 @@ object RedshiftScript {
       "json_extract_array_element_text($1::string, $2)")
 
   /** Postgres-style `COUNT(alias.*)` — counts rows whose composite is
-    * non-null. The reference's single use (`2_ods_finance/
-    * 03_debt_collection.sql:40`) applies it to the query's BASE relation
-    * (never null), where it equals `COUNT(*)`; map it so — Spark has no
-    * composite-row count, and a literal star in the select list also
-    * trips STAR_GROUP_BY_POS under the script's ordinal GROUP BY.
+    * non-null. That equals `COUNT(*)` ONLY when the alias cannot be
+    * null-extended: bound by `FROM` or an INNER/CROSS join. On the
+    * nullable side of an outer join it counts matched rows only, so a
+    * blind rewrite would silently over-count; those (and aliases this
+    * scan can't bind, e.g. comma-list FROM items) are left untouched so
+    * the failure surfaces instead. The reference's single use
+    * (`2_ods_finance/03_debt_collection.sql:40`) is a base-relation
+    * alias — Spark has no composite-row count, and a literal star in
+    * the select list also trips STAR_GROUP_BY_POS under the script's
+    * ordinal GROUP BY.
     */
-  private[graft] def fixCountAliasStar(sql: String): String =
-    sql.replaceAll("(?i)\\bcount\\s*\\(\\s*\\w+\\s*\\.\\s*\\*\\s*\\)", "count(*)")
+  private[graft] def fixCountAliasStar(sql: String): String = {
+    val Call = "(?i)\\bcount\\s*\\(\\s*(\\w+)\\s*\\.\\s*\\*\\s*\\)".r
+    if (Call.findFirstIn(sql).isEmpty) return sql
+    val stop = Set("where", "left", "right", "inner", "full", "cross",
+      "join", "on", "group", "order", "limit", "union", "intersect",
+      "except", "having", "qualify", "select", "set", "using", "natural",
+      "when", "then", "and", "or", "as", "from")
+    val Bind = ("(?i)\\b(from|(?:left|right|full)(?:\\s+outer)?\\s+join|" +
+      "inner\\s+join|cross\\s+join|join)\\s+([\\w.]+|\"[^\"]+\")" +
+      "(?:\\s+(?:as\\s+)?([a-z_]\\w*))?").r
+    val inner = mutable.Set.empty[String]
+    val outer = mutable.Set.empty[String]
+    for (m <- Bind.findAllMatchIn(sql)) {
+      val alias = Option(m.group(3)).map(_.toLowerCase).filterNot(stop)
+        .getOrElse(m.group(2).replace("\"", "").split('.').last.toLowerCase)
+      if ("(?i)^(left|right|full)".r.findFirstIn(m.group(1)).isDefined)
+        outer += alias
+      else inner += alias
+    }
+    Call.replaceAllIn(sql, m => {
+      val a = m.group(1).toLowerCase
+      if (inner(a) && !outer(a)) "count(*)"
+      else java.util.regex.Matcher.quoteReplacement(m.matched)
+    })
+  }
 
   /** Redshift names an alias-less `NULLIF(col, lit)` select item by the
     * UNDERLYING column — downstream scripts read the bare name back
@@ -493,7 +528,7 @@ object RedshiftScript {
       }
       val before = sql.substring(0, m.start).trim
       val prevOk = before.endsWith(",") ||
-        "(?i)(distinct|select)$".r.findFirstIn(before).isDefined
+        "(?i)\\b(distinct|select)$".r.findFirstIn(before).isDefined
       val afterT = sql.substring(m.end).dropWhile(_.isWhitespace)
       val nextOk = afterT.startsWith(",") ||
         afterT.take(5).toLowerCase.startsWith("from ") ||

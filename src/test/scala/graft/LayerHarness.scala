@@ -395,9 +395,10 @@ object LayerHarness {
       // `FROM status_change_add_on` inside the `last_idx` body doesn't
       // mis-bind to `default.status_change_add_on`
       // (`2_ods_finance/00_addon.sql:31-35`)
-      val spanCtes: Set[String] =
+      val spanLocalCtes: Set[String] =
         "(?i)(?<![\\w.])(\\w+)\\s+as\\s*\\(".r.findAllMatchIn(span)
-          .map(_.group(1).toLowerCase).toSet ++ allCteNames
+          .map(_.group(1).toLowerCase).toSet
+      val spanCtes: Set[String] = spanLocalCtes ++ allCteNames
       val out = mutable.ListBuffer.empty[(String, String)]
       def bind(tblRaw: String, alias: Option[String]): Unit = {
         val tbl = norm(tblRaw)
@@ -421,6 +422,16 @@ object LayerHarness {
             al.foreach(a => out += a -> dotted)
             out += tbl -> dotted
           } else {
+            // a LAYER-WIDE CTE name (defined only in a different script)
+            // suppressing a would-be default-db binding is usually right
+            // (sub-span under repair can't see its outer WITH), but can
+            // also hide a genuine Athena bare table that collides with a
+            // CTE elsewhere — surface it so a stalled convergence has a
+            // visible cause instead of a confusing missing-table failure
+            if (!spanLocalCtes(tbl) && !built(tbl) && allCteNames(tbl))
+              log(s"bare relation '$tbl' bound as a CTE via the " +
+                "layer-wide name set (not defined in this span); if it " +
+                "is really a default-database table, seed it explicitly")
             al.foreach(a => out += a -> tbl)
             // a 1-part relation used WITHOUT an alias (`LEFT JOIN sp ON …`
             // where sp is a CTE) self-binds, so a table alias of the SAME

@@ -26,6 +26,38 @@ class RedshiftSqlSpec extends SparkSpec {
     assert(one("""json_extract_array_element_text('["x","y"]', 1)""") === "y")
   }
 
+  test("json_extract_path_text treats a RUNTIME key as a literal key") {
+    // Redshift evaluates each path element per row and treats it as a
+    // literal key — a key containing JSONPath metacharacters must not
+    // change the path (ADVICE r11: '$.'+key concat did exactly that)
+    import spark.implicits._
+    val df = Seq(
+      ("""{"a.b":"dot","plain":"p"}""", "a.b"),
+      ("""{"a.b":"dot","plain":"p"}""", "plain")).toDF("j", "k")
+    df.createOrReplaceTempView("jx_runtime")
+    val got = spark.sql(
+      "SELECT json_extract_path_text(j, k) AS v FROM jx_runtime")
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("dot", "p"))
+  }
+
+  test("COUNT(alias.*) rewrites only for non-nullable-side aliases") {
+    import graft.pipeline.RedshiftScript
+    val base = "select ps.id, count(ps.*) as c from sch.pay ps group by 1"
+    assert(RedshiftScript.fixCountAliasStar(base).contains("count(*)"))
+    val innerJoined =
+      "select count(b.*) from sch.a a inner join sch.b as b on a.id=b.id"
+    assert(RedshiftScript.fixCountAliasStar(innerJoined).contains("count(*)"))
+    // nullable side of an outer join: COUNT(t.*) counts matched rows
+    // only — must stay untouched so the failure surfaces
+    val outerJoined =
+      "select count(b.*) from sch.a a left join sch.b b on a.id=b.id"
+    assert(RedshiftScript.fixCountAliasStar(outerJoined) === outerJoined)
+    // unknown binding (comma-list FROM item): untouched too
+    val unknown = "select count(z.*) from sch.a a, sch.z z"
+    assert(RedshiftScript.fixCountAliasStar(unknown) === unknown)
+  }
+
   test("to_char_rs and date_part_rs expose Redshift patterns") {
     assert(one("to_char_rs(TIMESTAMP '2024-08-05 14:07:00', 'YYYY-MM-DD HH24:MI')")
       === "2024-08-05 14:07")
