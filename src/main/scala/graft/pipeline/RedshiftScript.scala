@@ -1831,7 +1831,10 @@ object RedshiftScript {
     selStart
   }
 
-  private val SelectAliasRe = "(?is)^(.*\\S)\\s+as\\s+(\\w+)\\s*$".r
+  // the alias may be BACKTICKED — Redshift `as "period"` translates to
+  // `` as `period` `` (`91_External/Legal/IntraStat NL/IntraStat_v2
+  // .sql:45` reads the quoted alias back in its WHERE)
+  private val SelectAliasRe = "(?is)^(.*\\S)\\s+as\\s+`?(\\w+)`?\\s*$".r
   private val ImplicitAliasRe = "(?is)^(.*[)'\"`\\w])\\s+(\\w+)\\s*$".r
   private val ImplicitAliasKw = Set("end", "null", "true", "false", "asc",
     "desc", "nulls", "first", "last", "from", "over", "case", "then", "when",
@@ -1894,8 +1897,12 @@ object RedshiftScript {
     val masked = span.replaceAll("(?i)\\b(date|timestamp|time|interval)(?=\\s*')", "$1")
     val out = aliases.foldLeft(masked) { case (acc, (a, e)) =>
       val q = java.util.regex.Pattern.quote(a)
-      // bare references only — `tbl.alias` is a different column
-      val bareRef = s"(?i)(?<![.\\w:`\"\\u0001])$q(?![\\w`\"])(?!\\s+from\\b)"
+      // bare references only — `tbl.alias` is a different column; a
+      // BACKTICKED bare reference (`` `period` `` from Redshift
+      // `"period"`) substitutes too, but `` `tbl`.`alias` `` does not
+      // (the opening backtick is dot-preceded)
+      val bareRef = s"(?i)(?:(?<![.\\w:`\"\\u0001])$q(?![\\w`\"])(?!\\s+from\\b)" +
+        s"|(?<![.\\w`\"])`$q`(?!\\s+from\\b))"
       // the self-reference test must ignore string literals:
       // `JSON_EXTRACT_PATH_text(payload,'uuid') AS uuid` is NOT
       // self-shadowed (the only 'uuid' is the path literal)
@@ -3091,6 +3098,14 @@ object RedshiftScript {
       // scoped: analysis happens inside this call, the conf is restored
       // before returning (execution uses the already-analyzed plan).
       var lateralOff = false
+      var lateralsInlined = false
+      def dumpStuck(msg: String, cur: String): Unit = {
+        val dir = java.nio.file.Paths.get("/tmp/graft_repair")
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.write(
+          dir.resolve(s"stuck-${java.lang.System.nanoTime()}.txt"),
+          (msg + "\n----\n" + cur).getBytes("UTF-8"))
+      }
       val LateralConf = "spark.sql.lateralColumnAlias.enableImplicitResolution"
       try {
       while (out == null) {
@@ -3119,7 +3134,7 @@ object RedshiftScript {
             if (first == null) first = e
             tries += 1
             val msg = Option(e.getMessage).getOrElse("")
-            val next =
+            var next =
               if (msg.contains("UNRESOLVED_COLUMN") ||
                 msg.contains("LATERAL_COLUMN_ALIAS_IN_WINDOW") ||
                 msg.contains("AMBIGUOUS_LATERAL_COLUMN_ALIAS")) {
@@ -3283,14 +3298,30 @@ object RedshiftScript {
               lateralOff = true
               spark.conf.set(LateralConf, "false")
             }
-            else if (next == cur) {
-              if (sys.env.contains("GRAFT_REPAIR_DUMP")) {
-                val dir = java.nio.file.Paths.get("/tmp/graft_repair")
-                java.nio.file.Files.createDirectories(dir)
-                java.nio.file.Files.write(
-                  dir.resolve(s"stuck-${java.lang.System.nanoTime()}.txt"),
-                  (msg + "\n----\n" + cur).getBytes("UTF-8"))
+            else if (next == cur && !lateralsInlined &&
+                msg.contains("UNRESOLVED_COLUMN")) {
+              // stuck on an unresolved column the textual repairs can't
+              // reach: lateral-alias references inside later select items
+              // can leave Spark's resolution wedged with the error
+              // attributed to an unrelated downstream CTE (`CASE WHEN
+              // supplementary_unit = 1 …` in _final makes Spark report
+              // `period` at the unused export CTE, `91_External/Legal/
+              // IntraStat NL/IntraStat_v2.sql:106`). Inline every
+              // later-referenced select alias once and retry — textual
+              // inlining is Redshift's effective semantics.
+              lateralsInlined = true
+              val aliasNames = "(?i)\\bas\\s+`?([a-z_]\\w*)`?".r
+                .findAllMatchIn(cur).map(_.group(1).toLowerCase).toSeq.distinct
+              val inlined = aliasNames.foldLeft(cur)(
+                (acc, a) => RedshiftScript.inlineLateralAlias(acc, a))
+              if (inlined != cur) next = inlined
+              else {
+                if (sys.env.contains("GRAFT_REPAIR_DUMP")) dumpStuck(msg, cur)
+                throw e
               }
+            }
+            else if (next == cur) {
+              if (sys.env.contains("GRAFT_REPAIR_DUMP")) dumpStuck(msg, cur)
               throw e
             }
             if (sys.env.contains("GRAFT_REPAIR_DUMP")) {
@@ -3499,12 +3530,59 @@ object RedshiftScript {
           catch { case _: Throwable => () }
           throw e
       }
+      // Redshift temp tables are MATERIALIZED at creation; this engine's
+      // temps are lazy views, so a temp whose plan still reads a table
+      // about to be swapped would lose its files the moment the swap
+      // deletes them (`91_External/Intercom/intercom_conversation_parts
+      // .sql`: temps over the target, then bare DELETEs auto-commit —
+      // each a swap — before the INSERT evaluates the temps). Pin such
+      // temps NOW, while the pre-swap files still exist.
+      materializeTempsReading(staged.map(_._2).toSeq)
       staged.foreach { case (name, path, tmp) =>
         Writers.atomicSwap(spark, tmp, path)
         if (spark.catalog.tableExists(bq(name))) spark.sql(s"REFRESH TABLE ${bq(name)}")
         else registerExternal(name, path)
       }
       clearOverlay()
+    }
+
+    /** Materialize (localCheckpoint) every live temp view whose analyzed
+      * plan reads files under one of `paths` — called before those paths
+      * are rewritten/deleted. Overlay-backed views are skipped (they are
+      * dropped at COMMIT anyway). A temp whose own evaluation fails is
+      * left as-is: it would have failed at its next read regardless.
+      */
+    private def materializeTempsReading(paths: Seq[String]): Unit = {
+      if (paths.isEmpty) return
+      val roots = paths.map(_.stripSuffix("/")).toSet
+      val ovNames = ovViews.values.map(_.toLowerCase).toSet
+      val temps =
+        try spark.catalog.listTables().collect()
+          .filter(t => t.isTemporary && !ovNames(t.name.toLowerCase))
+        catch { case _: Exception => Array.empty[org.apache.spark.sql.catalog.Table] }
+      temps.foreach { t =>
+        try {
+          val df = spark.table(s"`${t.name}`")
+          val reads = df.queryExecution.analyzed.collectLeaves().exists {
+            case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              lr.relation match {
+                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  fs.location.rootPaths
+                    .exists(rp => roots(rp.toString.stripSuffix("/")))
+                case _ => false
+              }
+            case _ => false
+          }
+          if (reads) {
+            if (sys.env.contains("GRAFT_HARNESS_TRACE"))
+              Console.err.println(s"[runner] pin temp view ${t.name} before swap of ${roots.mkString(",")}")
+            df.localCheckpoint(true).createOrReplaceTempView(t.name)
+          }
+        } catch { case e: Exception =>
+          if (sys.env.contains("GRAFT_HARNESS_TRACE"))
+            Console.err.println(s"[runner] pin of temp ${t.name} failed: ${e.getMessage}")
+        }
+      }
     }
 
     private def registerExternal(name: String, path: String): Unit = {
@@ -3667,6 +3745,9 @@ object RedshiftScript {
               val path = tablePath(name)
               spark.sql(s"DROP TABLE IF EXISTS ${bq(name)}")
               if (path.startsWith(layoutRoot)) {
+                // pin temps still reading the table before its files go
+                // (same lazy-temp hazard as commit()'s swap)
+                materializeTempsReading(Seq(path))
                 val fs = org.apache.hadoop.fs.FileSystem.get(
                   new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
                 fs.delete(new org.apache.hadoop.fs.Path(path), true)

@@ -40,14 +40,15 @@ class MiscLayersSpec extends SparkSpec {
   }
 
   private def runLayer(name: String, dirs: Seq[String],
-      broken: Set[String] = Set.empty): Unit = {
+      broken: Set[String] = Set.empty,
+      neverCols: Set[(String, String)] = Set.empty): Unit = {
     val scripts = dirs.flatMap { d =>
       val dir = s"$Root/$d"
       assume(Files.exists(Paths.get(dir)), dir)
       scriptsOf(dir).map { case (n, t) => s"$d/$n" -> t }
     }
     val (failures, rerun, summary) = LayerHarness.runSeeded(
-      spark, name, scripts, Some(Pinned), broken,
+      spark, name, scripts, Some(Pinned), broken, neverCols,
       log = m => info(s"harness[$name]: $m"))
     println(summary)
     failures.foreach { case (n, e) => info(s"FAILED $n: ${e.take(900)}") }
@@ -70,7 +71,13 @@ class MiscLayersSpec extends SparkSpec {
       // syntax error IN the reference: a CASE arm with two THEN clauses
       // (`when team_name = '…' then '…' then team_name`) — Redshift
       // rejects it too
-      "91_External/Intercom/v_intercom_admin_id_teams.sql"))
+      "91_External/Intercom/v_intercom_admin_id_teams.sql"),
+      // master.customer provably lacks subscription_id (3_master/
+      // customer.sql's customer_final carries only customer_acquisition_
+      // subscription_id) — the unqualified `subscription_id` in
+      // Braze/custom_subscription_attributes.sql:10 belongs to
+      // master.subscription, exactly as Redshift resolves it
+      neverCols = Set(("master.customer", "subscription_id")))
   }
 
   test("the 92_DDL + 95_machine_learning layers run verbatim, twice") {

@@ -51,7 +51,6 @@ class SpvPricingLayerSpec extends SparkSpec {
     * the legacy `Pricing/` pipeline — 19 scripts.
     */
   test("the 9_SPV valuation chain + Mozenda + legacy Pricing run verbatim, twice") {
-    assume(LayerHarness.wipEnabled, "WIP layer \u2014 set GRAFT_WIP_LAYERS=1")
     val base = Paths.get("/root/reference/Datawarehouse-ETL/9_SPV")
     assume(Files.exists(base))
     val scripts = java.nio.file.Files.walk(base).iterator.asScala
