@@ -60,8 +60,12 @@ object RedshiftSqlFunctions {
         // the function API pins a literal). Redshift treats each path
         // element as a LITERAL key, so emit bracket-quoted segments —
         // `$['k']` — rather than `$.`+k, which would let JSONPath
-        // metacharacters (. [ * ') in a runtime key change the path and
-        // silently extract the wrong value.
+        // metacharacters (. [ *) in a runtime key change the path and
+        // silently extract the wrong value. Known residual: Spark's
+        // JsonPathParser reads a quoted segment as [^']+, so a runtime
+        // key CONTAINING a single quote renders $['a'b'] unparseable
+        // and this returns NULL where Redshift matches the key
+        // literally — accepted divergence, no such key in the corpus.
         import org.apache.spark.sql.catalyst.expressions.{Concat, Cast}
         import org.apache.spark.sql.types.StringType
         val parts = Literal("$") +: args.flatMap(a =>

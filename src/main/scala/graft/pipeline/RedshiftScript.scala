@@ -457,6 +457,11 @@ object RedshiftScript {
   private[graft] def fixCountAliasStar(sql: String): String = {
     val Call = "(?i)\\bcount\\s*\\(\\s*(\\w+)\\s*\\.\\s*\\*\\s*\\)".r
     if (Call.findFirstIn(sql).isEmpty) return sql
+    // A RIGHT or FULL join null-extends the side bound BEFORE it too
+    // (`FROM a RIGHT JOIN b` leaves `a` nullable), so the FROM/INNER
+    // classification below is unsound — leave every call untouched.
+    if ("(?i)\\b(right|full)(\\s+outer)?\\s+join\\b".r
+          .findFirstIn(sql).isDefined) return sql
     val stop = Set("where", "left", "right", "inner", "full", "cross",
       "join", "on", "group", "order", "limit", "union", "intersect",
       "except", "having", "qualify", "select", "set", "using", "natural",
@@ -535,11 +540,15 @@ object RedshiftScript {
         afterT.take(5).toLowerCase.startsWith("from\n") ||
         afterT.take(5).toLowerCase.startsWith("from\t")
       if (m.start >= last && scopeIsSelect && prevOk && nextOk) {
-        out.append(sql, last, m.end).append(" AS ").append(m.group(1))
+        // NB: scala.StringBuilder has no (CharSequence, start, end)
+        // overload — a 3-arg append silently auto-tuples and emits
+        // `(wholeSql,0,407)` as text. Substring explicitly.
+        out.append(sql.substring(last, m.end)).append(" AS ").append(m.group(1))
         last = m.end
       }
     }
-    if (last == 0) sql else { out.append(sql, last, sql.length); out.toString }
+    if (last == 0) sql
+    else { out.append(sql.substring(last, sql.length)); out.toString }
   }
 
   private[graft] def fixSingleArgGreatest(sql: String): String = {
@@ -3546,6 +3555,14 @@ object RedshiftScript {
       clearOverlay()
     }
 
+    /** read-paths per temp view, keyed by (name, raw-view identity) —
+      * a temp's plan is frozen at registration, so its file roots never
+      * change until the view is replaced (new identity → cache miss).
+      * Without this, every commit() re-analyzes every live temp
+      * (O(temps × commits) full analyses — the dominant driver-side
+      * cost in long multi-temp scripts). */
+    private val tempReadPaths = mutable.Map.empty[String, (Int, Set[String])]
+
     /** Materialize (localCheckpoint) every live temp view whose analyzed
       * plan reads files under one of `paths` — called before those paths
       * are rewritten/deleted. Overlay-backed views are skipped (they are
@@ -3554,7 +3571,13 @@ object RedshiftScript {
       */
     private def materializeTempsReading(paths: Seq[String]): Unit = {
       if (paths.isEmpty) return
-      val roots = paths.map(_.stripSuffix("/")).toSet
+      // HadoopFsRelation rootPaths are scheme-qualified (file:/…) while
+      // call sites pass raw filesystem paths — compare the URI path
+      // component on both sides (as the ALTER TABLE RENAME branch does)
+      // or the pin silently no-ops.
+      def canon(p: String): String =
+        new org.apache.hadoop.fs.Path(p).toUri.getPath.stripSuffix("/")
+      val roots = paths.map(canon).toSet
       val ovNames = ovViews.values.map(_.toLowerCase).toSet
       val temps =
         try spark.catalog.listTables().collect()
@@ -3562,18 +3585,28 @@ object RedshiftScript {
         catch { case _: Exception => Array.empty[org.apache.spark.sql.catalog.Table] }
       temps.foreach { t =>
         try {
-          val df = spark.table(s"`${t.name}`")
-          val reads = df.queryExecution.analyzed.collectLeaves().exists {
-            case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-              lr.relation match {
-                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-                  fs.location.rootPaths
-                    .exists(rp => roots(rp.toString.stripSuffix("/")))
-                case _ => false
-              }
-            case _ => false
+          val rawId = spark.sessionState.catalog.getRawTempView(t.name)
+            .map(System.identityHashCode).getOrElse(0)
+          val readRoots = tempReadPaths.get(t.name.toLowerCase) match {
+            case Some((id, cached)) if id == rawId => cached
+            case _ =>
+              val fresh = spark.table(s"`${t.name}`")
+                .queryExecution.analyzed.collectLeaves()
+                .flatMap {
+                  case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+                    lr.relation match {
+                      case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                        fs.location.rootPaths.map(rp => canon(rp.toString))
+                      case _ => Nil
+                    }
+                  case _ => Nil
+                }.toSet
+              tempReadPaths(t.name.toLowerCase) = (rawId, fresh)
+              fresh
           }
+          val reads = readRoots.exists(roots)
           if (reads) {
+            val df = spark.table(s"`${t.name}`")
             if (sys.env.contains("GRAFT_HARNESS_TRACE"))
               Console.err.println(s"[runner] pin temp view ${t.name} before swap of ${roots.mkString(",")}")
             df.localCheckpoint(true).createOrReplaceTempView(t.name)

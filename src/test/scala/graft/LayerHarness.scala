@@ -186,6 +186,42 @@ object LayerHarness {
     */
   def wipEnabled: Boolean = sys.env.contains("GRAFT_WIP_LAYERS")
 
+  /** Split a statement at its TOP-LEVEL set operators (UNION [ALL] /
+    * EXCEPT / MINUS / INTERSECT), string- and paren-aware. CTE bodies
+    * and subqueries sit at depth > 0 and stay intact. The keyword is
+    * matched against the full remaining string via a region matcher —
+    * a fixed probe window would truncate `UNION      ALL` (5+
+    * whitespace chars) to plain UNION and leak `all` into the next
+    * half, breaking nthSelectItem's positional-retype resolution. */
+  private[graft] def splitSetOpHalvesImpl(span: String): Seq[String] = {
+    val s = span
+    val parts = mutable.ListBuffer.empty[String]
+    var depth = 0; var inStr = false; var last = 0; var i = 0
+    val Kw = "(?is)^(union\\s+all|union|except|minus|intersect)\\b".r
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 && c.isLetter &&
+            (i == 0 || (!s.charAt(i - 1).isLetterOrDigit && s.charAt(i - 1) != '_')) =>
+          val km = Kw.pattern.matcher(s)
+          km.region(i, s.length)
+          if (km.lookingAt()) {
+            parts += s.substring(last, i)
+            last = km.end
+            i = last - 1
+          }
+        case _ => ()
+      }
+      i += 1
+    }
+    parts += s.substring(last)
+    parts.toSeq
+  }
+
   private def seedsPath(layerName: String) =
     java.nio.file.Paths.get(seedsDir, layerName.replaceAll("[^\\w.-]", "_") + ".json")
 
@@ -465,10 +501,41 @@ object LayerHarness {
       }
       val Item = "(?i)^\\s*([\\w.\"]+)(?:\\s+(?:as\\s+)?([a-z_]\\w*))?\\s*$".r
       val FromJoin = "(?i)\\b(from|join)\\s+".r
+      // innermost unclosed '(' before each index (string-aware; line
+      // comments already stripped) — a FROM whose innermost scope is a
+      // FUNCTION call (`EXTRACT(DOW FROM b.col)`, `SUBSTRING(x FROM 2)`,
+      // `TRIM(LEADING 'x' FROM y)`) introduces no relation; only a
+      // scope that begins with SELECT/WITH (or top level) binds
+      val openAt = new Array[Int](span.length + 1)
+      locally {
+        var inS = false; var st = List.empty[Int]; var k = 0
+        while (k < span.length) {
+          openAt(k) = st.headOption.getOrElse(-1)
+          val c = span.charAt(k)
+          if (inS) { if (c == '\'') inS = false }
+          else c match {
+            case '\'' => inS = true
+            case '(' => st = k :: st
+            case ')' => if (st.nonEmpty) st = st.tail
+            case _ => ()
+          }
+          k += 1
+        }
+      }
+      def queryScope(pos: Int): Boolean = openAt(pos) match {
+        case -1 => true
+        case o =>
+          val rest = span.substring(o + 1).dropWhile(_.isWhitespace)
+          rest.take(6).equalsIgnoreCase("select") ||
+            rest.take(4).equalsIgnoreCase("with") ||
+            rest.startsWith("(") // nested paren: treat as query-ish
+      }
       val StopKw = Seq("WHERE", "JOIN", "LEFT", "RIGHT", "INNER", "FULL",
         "CROSS", "GROUP", "ORDER", "QUALIFY", "LIMIT", "HAVING", "WINDOW",
         "UNION", "ON", "USING", "SELECT", "INTERSECT", "EXCEPT", "NATURAL")
-      FromJoin.findAllMatchIn(span).foreach { m =>
+      FromJoin.findAllMatchIn(span)
+        .filter(m => m.group(1).equalsIgnoreCase("join") || queryScope(m.start))
+        .foreach { m =>
         // scan the comma-list: items at depth 0 until a stop keyword
         var i = m.end
         var cur = new StringBuilder
@@ -1072,37 +1139,8 @@ object LayerHarness {
       }
     }
 
-    /** Split a statement at its TOP-LEVEL set operators (UNION [ALL] /
-      * EXCEPT / MINUS / INTERSECT), string- and paren-aware. CTE bodies
-      * and subqueries sit at depth > 0 and stay intact. */
-    private def splitSetOpHalves(span: String): Seq[String] = {
-      val s = span
-      val parts = mutable.ListBuffer.empty[String]
-      var depth = 0; var inStr = false; var last = 0; var i = 0
-      val Kw = "(?is)^(union\\s+all|union|except|minus|intersect)\\b".r
-      while (i < s.length) {
-        val c = s.charAt(i)
-        if (inStr) { if (c == '\'') inStr = false }
-        else c match {
-          case '\'' => inStr = true
-          case '(' => depth += 1
-          case ')' => depth -= 1
-          case _ if depth == 0 && c.isLetter &&
-              (i == 0 || (!s.charAt(i - 1).isLetterOrDigit && s.charAt(i - 1) != '_')) =>
-            Kw.findFirstMatchIn(s.substring(i, math.min(s.length, i + 14))) match {
-              case Some(km) =>
-                parts += s.substring(last, i)
-                last = i + km.end
-                i = last - 1
-              case None => ()
-            }
-          case _ => ()
-        }
-        i += 1
-      }
-      parts += s.substring(last)
-      parts.toSeq
-    }
+    private def splitSetOpHalves(span: String): Seq[String] =
+      LayerHarness.splitSetOpHalvesImpl(span)
 
     /** The Nth (1-based) item of a half's outermost select list, when it
       * is a plain [qualifier.]column reference — complex expressions

@@ -56,6 +56,14 @@ class RedshiftSqlSpec extends SparkSpec {
     // unknown binding (comma-list FROM item): untouched too
     val unknown = "select count(z.*) from sch.a a, sch.z z"
     assert(RedshiftScript.fixCountAliasStar(unknown) === unknown)
+    // a later RIGHT/FULL join null-extends the FROM-bound side too —
+    // count(a.*) ≠ count(*) even though `a` looks inner-bound
+    val rightJoined =
+      "select count(a.*) from sch.a a right join sch.b b on a.id=b.id"
+    assert(RedshiftScript.fixCountAliasStar(rightJoined) === rightJoined)
+    val fullJoined =
+      "select count(a.*) from sch.a a full outer join sch.b b on a.id=b.id"
+    assert(RedshiftScript.fixCountAliasStar(fullJoined) === fullJoined)
   }
 
   test("to_char_rs and date_part_rs expose Redshift patterns") {
@@ -63,6 +71,34 @@ class RedshiftSqlSpec extends SparkSpec {
       === "2024-08-05 14:07")
     assert(one("to_char_rs(DATE '2024-08-05', 'Month')") === "August")
     assert(one("date_part_rs('dow', DATE '2024-08-11')") === 0) // Sunday
+  }
+
+  test("aliasBareNullifItems aliases complete items and nothing else") {
+    import graft.pipeline.RedshiftScript
+    val sql = "select uid, nullif(order_mode,''), nullif(store_id,'')::int, " +
+      "coalesce(nullif(status,''), 'x') from t"
+    val out = RedshiftScript.aliasBareNullifItems(sql)
+    // complete bare item gets its underlying-column alias
+    assert(out.contains("nullif(order_mode,'') AS order_mode"))
+    // a cast or nesting means the call is not the whole item — untouched
+    assert(out.contains("nullif(store_id,'')::int,"))
+    assert(out.contains("coalesce(nullif(status,''), 'x')"))
+    // no tuple-rendered garbage (the scala.StringBuilder 3-arg append
+    // auto-tupling regression: `(wholeSql,0,N)` emitted as text)
+    assert(!out.contains("(select uid"))
+    assert(out.length < sql.length + 40)
+  }
+
+  test("splitSetOpHalves survives wide whitespace inside UNION ALL") {
+    val sql = "select a from t1 UNION      \n     ALL select a from t2 " +
+      "union all select a from t3"
+    val halves = LayerHarness.splitSetOpHalvesImpl(sql)
+    assert(halves.size === 3)
+    assert(halves.forall(h => h.trim.toLowerCase.startsWith("select") &&
+      !h.trim.toLowerCase.startsWith("all")))
+    // CTE bodies and subqueries stay intact
+    val nested = "with c as (select 1 union all select 2) select * from c"
+    assert(LayerHarness.splitSetOpHalvesImpl(nested).size === 1)
   }
 
   test("a reference-shaped SQL statement runs end-to-end") {

@@ -44,8 +44,18 @@ class SnowplowLayerSpec extends SparkSpec {
     assume(Files.exists(Paths.get(dir)))
     val scripts = scriptsOf(dir)
     assert(scripts.size >= 60, s"expected the full layer, got ${scripts.size}")
+    val broken = Set(
+      // broken IN THE REFERENCE: 03_commit.sql selects `anonymous_id`
+      // from web.page_views_snowplow, but the table as (re)built by
+      // 1_page_view/17_page_view.sql (and appended by the positional
+      // `INSERT … SELECT *` in 17_page_view_incremental.sql) has no such
+      // column anywhere in the corpus — the commit script's 55-column
+      // list is stale relative to the table definition and fails on
+      // Redshift identically. Its two `*_previous_day` outputs have no
+      // downstream consumers.
+      "2_sessions/03_commit.sql")
     val (failures, rerun, summary) = LayerHarness.runSeeded(
-      spark, "7_snowplow", scripts, Some(Pinned),
+      spark, "7_snowplow", scripts, Some(Pinned), broken,
       log = m => info(s"harness[snowplow]: $m"))
     println(summary)
     failures.foreach { case (n, e) => info(s"FAILED $n: ${e.take(900)}") }
