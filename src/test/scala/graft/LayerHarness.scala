@@ -335,6 +335,14 @@ object LayerHarness {
       */
     private val scripts = allScripts.filterNot(s => broken(s._1))
 
+    /** `(table, "*")` in neverCols freezes the whole fixture: its seeded
+      * column set is authoritative and no repair may add anything — the
+      * shape for known one-column lookup lists that otherwise absorb a
+      * span's unqualified demands (the Airbyte publisher exclusion list
+      * in `7_snowplow/2_sessions/00_marketing_details.sql`). */
+    private def neverCol(t: String, c: String): Boolean =
+      neverCols((t, c)) || neverCols((t, "*"))
+
     private def norm(n: String): String = n.replace("\"", "").toLowerCase
 
     /** Every CTE name defined anywhere in the layer's scripts — a bare
@@ -643,8 +651,9 @@ object LayerHarness {
               }
               val tbls = if (inTableScope) binds.getOrElse(a, Set.empty)
                 else Set.empty[String]
-              tbls.foreach { tbl =>
-                val col = m.group(2).toLowerCase
+              val col0 = m.group(2).toLowerCase
+              tbls.filterNot(t => neverCol(t, col0)).foreach { tbl =>
+                val col = col0
                 refs.getOrElseUpdate(tbl, mutable.Set.empty) += col
                 // a WEAK attribution: the alias binds >1 dotted table, OR
                 // also a CTE/temp/built target in the same statement
@@ -1460,7 +1469,7 @@ object LayerHarness {
             val binds2 = bindingsIn(failing.getOrElse(text))
             binds2.map(_._2).distinct.find(t => fixtureCols.contains(t) &&
                 !fixtureCols(t)(col) && !tabu((t, col)) &&
-                !neverCols((t, col))) match {
+                !neverCol(t, col)) match {
               case Some(t) if positionalTarget(t) =>
                 // arity is load-bearing on a positional insert target —
                 // appending would break its INSERT, and the arity
@@ -1532,7 +1541,7 @@ object LayerHarness {
                 for (sm <- StarFrom.findFirstMatchIn(body)) {
                   val src = norm(sm.group(1).replace("\"", ""))
                   if (fixtureCols.contains(src) && !fixtureCols(src)(demanded) &&
-                      !tabu((src, demanded)) && !neverCols((src, demanded))) {
+                      !tabu((src, demanded)) && !neverCol(src, demanded)) {
                     log(s"auto-add $src.$demanded (clone-source of $t)")
                     fixtureCols(src) += demanded; guessed += ((src, demanded))
                     stage(src)
@@ -1686,9 +1695,16 @@ object LayerHarness {
             val evid = evidence.toSet
             // a table whose span alias QUALIFIES the column somewhere
             // (`s.product_sku` with s → subscription) is the attested
-            // owner — rank it ahead of anchors and affinity
+            // owner — rank it ahead of anchors and affinity. An alias
+            // bound to SEVERAL different tables across the statement's
+            // CTEs (`b` → publishers, campaigns AND backup in
+            // `7_snowplow/2_sessions/00_marketing_details.sql`) attests
+            // none of them: `b.col` is evidence for whichever scope it
+            // appears in, which the flat bind list can't tell apart
+            def aliasUniq(a: String): Boolean =
+              binds.filter(_._1 == a).map(_._2).distinct.size == 1
             def attestedT(t: String): Boolean = binds.exists { case (a, t2) =>
-              t2 == t && ("(?i)(?<![\\w.])" +
+              t2 == t && aliasUniq(a) && ("(?i)(?<![\\w.])" +
                 java.util.regex.Pattern.quote(a) + "\\s*\\.\\s*" +
                 java.util.regex.Pattern.quote(col) + "\\b").r
                   .findFirstIn(span).isDefined }
@@ -1701,7 +1717,13 @@ object LayerHarness {
             // of ownership; CTE-sibling-ranked placements are still
             // guesses — they mark guessed and respect tabu like
             // unqualified ones
-            val directQual = qual.exists(q => binds.exists(_._1 == q))
+            // a qualified demand is analyzer-confirmed ownership only
+            // when the alias maps to ONE table across the statement —
+            // `b.marketing_campaign` with `b` → publishers, campaigns
+            // AND backup in different CTEs is a guess, not evidence
+            // (the flat bind list can't tell which scope demanded it)
+            val directQual = qual.exists(q =>
+              binds.filter(_._1 == q).map(_._2).distinct.size == 1)
             // a derived-ordered loader target (positional INSERT) must
             // keep its arity: when the demanded name squash-matches an
             // existing column (loader alias `secureconnectionstart` vs
@@ -1760,11 +1782,11 @@ object LayerHarness {
             // Intercom parts INSERT answers the later `author` demand
             for (t <- ranked.find(t => positionalTarget(t) &&
                 orderedFix.contains(t) && fixtureCols.get(t).exists(!_(col)) &&
-                !neverCols((t, col))))
+                !neverCol(t, col)))
               if (renameUnreferencedDerived(t, col)) return true
             ranked.find(t => fixtureCols.contains(t) && !fixtureCols(t)(col) &&
                 !positionalTarget(t) &&
-                !neverCols((t, col)) &&
+                !neverCol(t, col) &&
                 (directQual || evid(t) || !tabu((t, col)))) match {
               case Some(t) =>
                 log(s"auto-add $t.$col" + (if (evid(t)) " (scope evidence)" else ""))
@@ -1794,7 +1816,7 @@ object LayerHarness {
                 }
                 anchorFirst.find(t => fixtureCols.contains(t) &&
                     !fixtureCols(t)(col) && !positionalTarget(t) &&
-                    !neverCols((t, col)) &&
+                    !neverCol(t, col) &&
                     (!anchoredDrops((t, col)) || evid(t)) && !alreadyPinned) match {
                   case Some(t) =>
                     log(s"re-add pinned $t.$col (tabu override)")
@@ -2251,21 +2273,36 @@ object LayerHarness {
             // a holder whose own single-bind scope mentions the column
             // is text-attested — never drop it for a guess elsewhere
             val evidS = scopeEvidence(span, col).toSet
-            val droppable =
-              holders.filter(t => neverCols((t, col)) ||
-                  ((guessed((t, col)) || weak((t, col))) &&
-                  !pinnedCols((t, col))))
             // qualified attestation: when `s.product_sku` appears in the
             // span (s → subscription) but no alias of master.order ever
             // qualifies the column, the order placement was a mis-add —
             // attested / harvest-attested / scope-evidenced holders must
             // survive the drop (`4_dwh_risk/onfido_trigger_performance
             // .sql:25`, commercial_metrics cancelled_subs)
+            // an alias bound to several DIFFERENT tables across the
+            // statement's CTEs attests none of them (see attestedT):
+            // `b.marketing_campaign` in the backup-scoped CTE must not
+            // shield publishers/campaigns placements from the drop
             def attested(t: String): Boolean = binds.exists { case (a, t2) =>
-              t2 == t && ("(?i)(?<![\\w.])" +
+              t2 == t &&
+                binds.filter(_._1 == a).map(_._2).distinct.size == 1 &&
+                ("(?i)(?<![\\w.])" +
                 java.util.regex.Pattern.quote(a) + "\\s*\\.\\s*" +
                 java.util.regex.Pattern.quote(col) + "\\b").r
                   .findFirstIn(span).isDefined }
+            val droppable =
+              holders.filter(t => neverCol(t, col) ||
+                  ((guessed((t, col)) || weak((t, col))) &&
+                  !pinnedCols((t, col))) ||
+                  // a PIN yields to positive attestation: when another
+                  // holder is alias-qualified with the column in THIS
+                  // span and the pinned holder is not, the pin was a
+                  // tabu-override mis-placement (publishers taking
+                  // page_view_start while pv's placeholder briefly
+                  // lacked it, `7_snowplow/2_sessions/
+                  // 00_marketing_details.sql`) — evidence beats the pin
+                  (pinnedCols((t, col)) && !attested(t) && !evidS(t) &&
+                    holders.exists(o => o != t && (attested(o) || evidS(o)))))
             val keep = holders.filter(t =>
               attested(t) || strongHarvest((t, col)) || evidS(t)).toSet
             val removable0 =
@@ -2297,6 +2334,13 @@ object LayerHarness {
               }
               else Nil
             if (removable.nonEmpty) {
+              // a pin that yields to attestation must never be re-pinned
+              // by the tabu-override path: re-pinning recreates the same
+              // ambiguity and the convergence loops forever (the
+              // publishers⇄backup page_view_start war in
+              // `7_snowplow/2_sessions/00_marketing_details.sql`)
+              removable.filter(t => pinnedCols((t, col)))
+                .foreach(t => anchoredDrops += ((t, col)))
               removable.foreach(t => pinnedCols -= ((t, col)))
               removable.foreach { t =>
                 log(s"auto-drop ambiguous $t.$col")
@@ -3150,6 +3194,8 @@ object LayerHarness {
         lastErr = failures.map { case (n, (_, e)) => n -> e }.toMap
         log(s"converge round $round: ${failures.size} failing scripts, " +
           s"$applied fixes applied (${failures.keys.take(5).mkString(", ")})")
+        lastErr.foreach { case (n, e) =>
+          log(s"still failing $n: ${e.replaceAll("\\s+", " ").take(280)}") }
         if (applied == 0) return lastErr
         rebootstrapMissing(root)
       }

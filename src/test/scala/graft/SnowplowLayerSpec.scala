@@ -39,7 +39,6 @@ class SnowplowLayerSpec extends SparkSpec {
   }
 
   test("the 7_snowplow layer runs verbatim, twice") {
-    assume(LayerHarness.wipEnabled, "WIP layer \u2014 set GRAFT_WIP_LAYERS=1")
     val dir = "/root/reference/Datawarehouse-ETL/7_snowplow"
     assume(Files.exists(Paths.get(dir)))
     val scripts = scriptsOf(dir)
@@ -56,6 +55,13 @@ class SnowplowLayerSpec extends SparkSpec {
       "2_sessions/03_commit.sql")
     val (failures, rerun, summary) = LayerHarness.runSeeded(
       spark, "7_snowplow", scripts, Some(Pinned), broken,
+      // the Airbyte exclusion list is a one-column publisher list
+      // (every reference read is `LOWER(b.publisher)`); frozen, so the
+      // repair never parks a span's unqualified session columns on it —
+      // each mis-add there made the real owner ambiguous and started a
+      // pin war in 2_sessions/00_marketing_details.sql
+      neverCols = Set(
+        ("staging_airbyte_bi.affiliate_excluded_publishers", "*")),
       log = m => info(s"harness[snowplow]: $m"))
     println(summary)
     failures.foreach { case (n, e) => info(s"FAILED $n: ${e.take(900)}") }
