@@ -1414,6 +1414,17 @@ object RedshiftScript {
       .replaceAll(
         "(?i)'now'\\s*::\\s*text\\s*::\\s*(date|timestamp)(\\s+with(?:out)?\\s+time\\s+zone)?",
         "current_$1")
+      // Redshift date subtraction returns INT days; Spark's DATE - DATE
+      // returns INTERVAL DAY, which then fails integer comparisons
+      // downstream (`min(days_until_cancellation) < 0`,
+      // `91_External/Braze/SQL/custom_subscription_attributes.sql:17`).
+      // Rewrite the explicit both-sides-::date idiom to datediff(end,
+      // start) — Spark's 2-arg form is exactly end − start in days.
+      .replaceAll(
+        "(?i)(?<![\\w.:])((?:'[^']*'|\\w+(?:\\.\\w+)*)(?:\\s*\\(\\s*\\))?)" +
+          "\\s*::\\s*date\\s*-\\s*" +
+          "((?:'[^']*'|\\w+(?:\\.\\w+)*)(?:\\s*\\(\\s*\\))?)\\s*::\\s*date(?!\\s*::)",
+        "datediff(cast($1 as date), cast($2 as date))")
       // Redshift `+` is ALWAYS numeric (never concat) — a quoted numeric
       // literal operand (`'0' + plz::text`, `1_ods_core/00_customer
       // .sql:61`) unquotes so Spark's coercion can fire
@@ -2626,6 +2637,65 @@ object RedshiftScript {
     if (names.exists(refs)) sql.substring(0, idx).stripTrailing() else sql
   }
 
+  /** Same void-sort rationale one level down: an ORDER BY inside a CTE /
+    * subquery (no LIMIT) cannot affect the result, but Redshift happily
+    * resolves its references against pre-DISTINCT inputs where Spark
+    * cannot (`91_External/Braze/SQL/custom_subscription_attributes
+    * .sql:23`: `SELECT DISTINCT … ORDER BY s.rank_subscriptions DESC )`
+    * — rank_subscriptions is not in the DISTINCT output). Drop every
+    * parenthesized ORDER BY clause that references an unresolved name
+    * and carries no LIMIT/OFFSET.
+    */
+  private[graft] def dropUnresolvableInnerSort(sql: String, unresolved: Set[String]): String = {
+    val names = unresolved.map(_.split("\\.").last.toLowerCase)
+    if (names.isEmpty) return sql
+    val OrderBy = "(?i)(?<![.\\w])order\\s+by\\b".r
+    var out = sql
+    OrderBy.findAllMatchIn(sql).toSeq.reverseIterator.foreach { m =>
+      // clause ends at the subquery's closing `)` (depth goes negative)
+      // or `;`; a clause at statement top level is TopSort's business
+      var j = m.end; var d = 0; var inS = false
+      var end = -1
+      while (j < sql.length && end < 0) {
+        val c = sql.charAt(j)
+        if (inS) { if (c == '\'') inS = false }
+        else c match {
+          case '\'' => inS = true
+          case '(' => d += 1
+          case ')' => if (d == 0) end = j else d -= 1
+          case ';' => end = j
+          case _ => ()
+        }
+        j += 1
+      }
+      if (end >= 0 && sql.charAt(end) == ')') {
+        // NEVER a window spec's ORDER BY (`lag(x) over (partition by …
+        // order by eom)`) — dropping it breaks the window function
+        // outright. The enclosing opener of an OVER clause is directly
+        // preceded by the OVER keyword.
+        var k = m.start - 1; var dd = 0; var opener = -1
+        while (k >= 0 && opener < 0) {
+          sql.charAt(k) match {
+            case ')' => dd += 1
+            case '(' => if (dd == 0) opener = k else dd -= 1
+            case _ => ()
+          }
+          k -= 1
+        }
+        val isWindow = opener >= 0 &&
+          "(?i)\\bover\\s*$".r.findFirstIn(sql.substring(0, opener)).isDefined
+        val clause = sql.substring(m.start, end)
+        val refs = "(?i)\\b(\\w+)\\b".r.findAllMatchIn(clause)
+          .map(_.group(1).toLowerCase).toSet
+        if (!isWindow && names.exists(refs) &&
+            "(?i)\\b(limit|offset)\\b".r.findFirstIn(clause).isEmpty)
+          out = out.substring(0, m.start).stripTrailing() + " " +
+            out.substring(end)
+      }
+    }
+    out
+  }
+
   private[graft] def stripSortQualifier(sql: String, qual: String, col: String): String = {
     val Ref = ("(?i)\\b" + java.util.regex.Pattern.quote(qual) +
       "\\s*\\.\\s*[\"`]?" + java.util.regex.Pattern.quote(col) + "[\"`]?\\b").r
@@ -3169,8 +3239,11 @@ object RedshiftScript {
                 // a void top-level ORDER BY referencing a pre-DISTINCT
                 // aggregate input — drop it
                 val unsorted =
-                  if (named == cur && sorted == cur && msg.contains("'Sort"))
-                    RedshiftScript.dropUnresolvableTopSort(cur, unresolved)
+                  if (named == cur && sorted == cur && msg.contains("'Sort")) {
+                    val top = RedshiftScript.dropUnresolvableTopSort(cur, unresolved)
+                    if (top != cur) top
+                    else RedshiftScript.dropUnresolvableInnerSort(cur, unresolved)
+                  }
                   else cur
                 if (named != cur) named
                 else if (sorted != cur) sorted
@@ -3871,9 +3944,13 @@ object RedshiftScript {
                     val out = cur.schema.fields.map { f =>
                       assigns.get(f.name.toLowerCase) match {
                         case Some(v) =>
-                          when(col("e.__graft_m").isNotNull, expr(v))
-                            .otherwise(col(s"t.${f.name}"))
-                            .cast(f.dataType).as(f.name)
+                          // cast the assignment, not the merged branch —
+                          // see the plain-UPDATE case: coercing the ELSE
+                          // column to the expression's type breaks
+                          // untouched rows
+                          when(col("e.__graft_m").isNotNull,
+                              expr(v).cast(f.dataType))
+                            .otherwise(col(s"t.${f.name}")).as(f.name)
                         case None => col(s"t.${f.name}").as(f.name)
                       }
                     }
@@ -3913,7 +3990,16 @@ object RedshiftScript {
                 val out = cur.schema.fields.map { f =>
                   assigns.get(f.name.toLowerCase) match {
                     case Some(e) =>
-                      when(where, e).otherwise(col(f.name)).cast(f.dataType).as(f.name)
+                      // cast the SET value to the COLUMN's type before the
+                      // branch merges (Redshift assignment semantics). A
+                      // bare when/otherwise would coerce the ELSE column
+                      // to the expression's type instead — `SET valid_to =
+                      // current_timestamp …` over a string column casts
+                      // every untouched row's string to timestamp and
+                      // blows up at materialization (`91_External/SFTP/
+                      // saturn_price_data.sql:12`)
+                      when(where, e.cast(f.dataType)).otherwise(col(f.name))
+                        .as(f.name)
                     case None => col(f.name)
                   }
                 }
@@ -4340,7 +4426,11 @@ object RedshiftScript {
       val outCols = target.schema.fields.map { f =>
         val base = assigns.get(f.name.toLowerCase) match {
           case Some(e) =>
-            s"CAST(CASE WHEN $srcAlias.__match THEN ($e) ELSE $tView.`${f.name}` END AS ${f.dataType.sql})"
+            // cast the SET value INSIDE the branch (assignment
+            // semantics): casting the merged CASE would first coerce the
+            // ELSE column to the expression's type and break untouched
+            // rows (string column + timestamp expression)
+            s"CASE WHEN $srcAlias.__match THEN CAST(($e) AS ${f.dataType.sql}) ELSE $tView.`${f.name}` END"
           case None => s"$tView.`${f.name}`"
         }
         s"CASE WHEN $guard THEN CAST(raise_error('$dupMsg') AS ${f.dataType.sql}) ELSE $base END AS `${f.name}`"

@@ -383,6 +383,74 @@ object LayerHarness {
       out.toSet
     }
 
+    /** For each table the layer CTAS-builds: the select-list names of
+      * its producing body. A built-elsewhere placeholder staged from
+      * these columns resolves its consumers on the first pass even when
+      * the directory's sort order runs a consumer BEFORE its producer
+      * (`91_External/Intercom/intercom_assignments.sql` reads
+      * `last_close_at` from `intercom_first_conversation`, which sorts
+      * after it), and the ambiguity repair treats them as ownership
+      * evidence — without this the column war-guesses onto innocent
+      * joined dims and the idempotence rerun fails in a fresh root.
+      */
+    private val producerCols: Map[String, Seq[String]] = {
+      val CtasRe = ("(?is)^CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:TEMP(?:ORARY)?\\s+)?" +
+        "TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([\\w.\"]+)" +
+        "((?:\\s+(?:diststyle\\s+\\w+|distkey\\s*\\([^)]*\\)|" +
+        "(?:compound\\s+|interleaved\\s+)?sortkey\\s*\\([^)]*\\)|" +
+        "backup\\s+\\w+))*)\\s+as\\b(.*)$").r
+      val out = mutable.Map.empty[String, Seq[String]]
+      scripts.foreach { case (_, text) =>
+        RedshiftScript.splitStatements(text)
+          .map(RedshiftScript.stripLeadingComments).foreach { st =>
+            CtasRe.findFirstMatchIn(st).foreach { m =>
+              val t = norm(m.group(1))
+              if (t.contains(".") && !out.contains(t)) {
+                // a `SELECT * FROM <cte>` tail (the reference's
+                // `format`-CTE idiom) defeats the select-list parse —
+                // chase the star into the named CTE's body, repeatedly
+                var body = m.group(3)
+                var names = selectListNames(body)
+                var hops = 0
+                while (names.isEmpty && hops < 4) {
+                  hops += 1
+                  val Star =
+                    "(?is)\\bselect\\s+(?:distinct\\s+)?\\*\\s+from\\s+(\\w+)\\s*;?\\s*$".r
+                  Star.findFirstMatchIn(body.trim) match {
+                    case Some(sm) =>
+                      val cte = sm.group(1)
+                      val Open = ("(?is)(?<![\\w.])" +
+                        java.util.regex.Pattern.quote(cte) +
+                        "\\s*(?:\\([^()]*\\)\\s*)?as\\s*\\(").r
+                      Open.findFirstMatchIn(body) match {
+                        case Some(om) =>
+                          var d = 1; var i = om.end
+                          while (i < body.length && d > 0) {
+                            body.charAt(i) match {
+                              case '(' => d += 1
+                              case ')' => d -= 1
+                              case _ => ()
+                            }
+                            i += 1
+                          }
+                          if (d == 0) {
+                            body = body.substring(om.end, i - 1)
+                            names = selectListNames(body)
+                          } else hops = 4
+                        case None => hops = 4
+                      }
+                    case None => hops = 4
+                  }
+                }
+                if (names.nonEmpty && names.distinct.size == names.size)
+                  out(t) = names
+              }
+            }
+          }
+      }
+      out.toMap
+    }
+
     /** insert/delete targets that pre-exist in the reference warehouse:
       * built via INSERT but never CREATEd by the layer itself. Each keeps
       * its owning script so a missing target can be re-derived after
@@ -788,6 +856,52 @@ object LayerHarness {
     }
 
     def stageAll(): Unit = fixtureCols.keys.foreach(stage)
+
+    /** Seed a built-elsewhere placeholder with its PRODUCER's select-list
+      * columns (union when the fixture already exists) — the faithful
+      * pre-existing shape; "id" only when the producer's list is
+      * unparseable. `producerKey` may differ from `tbl` for bare names.
+      */
+    private def seedPlaceholderCols(tbl: String, producerKey: String): Unit = {
+      val pc = producerCols.getOrElse(norm(producerKey),
+        producerCols.getOrElse(tbl, Nil))
+      if (!fixtureCols.contains(tbl))
+        fixtureCols(tbl) =
+          if (pc.nonEmpty) mutable.Set(pc: _*) else mutable.Set("id")
+      else {
+        if (pc.nonEmpty)
+          fixtureCols(tbl) ++= pc.filterNot(c => neverCol(tbl, c))
+        if (fixtureCols(tbl).isEmpty) fixtureCols(tbl) += "id"
+      }
+    }
+
+    /** After an in-place catalog re-derivation, mirror the derived
+      * schema into the fixture knowledge — the idempotence rerun
+      * re-stages every fixture from `fixtureCols`/`orderedFix`, so a
+      * catalog-only widening silently reverts there and the rerun fails
+      * on the very column the derive added (`read` on
+      * `stg_external_apis.intercom_conversations`,
+      * `91_External/Intercom/intercom_first_conversation.sql:93`). */
+    private def syncFixtureToDerived(
+        t: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val names = df.schema.fields.map(_.name.toLowerCase).toSeq
+      if (names.isEmpty || names.toSet.size != names.size) return
+      if (!fixtureCols.contains(t)) return
+      orderedFix(t) = names
+      fixtureCols(t) = mutable.Set(names: _*)
+      df.schema.fields.foreach { f =>
+        import org.apache.spark.sql.types._
+        val ty = f.dataType match {
+          case DateType => TDate
+          case _: TimestampType | _: TimestampNTZType => TTs
+          case BooleanType => TBool
+          case IntegerType | LongType | ShortType => TInt
+          case _: NumericType => TNum
+          case _ => TStr
+        }
+        colTypes((t, f.name.toLowerCase)) = ty
+      }
+    }
 
     /** Empty target from the INSERT body's own top-level select-list
       * aliases — for SELF-REFERENTIAL historical appends (`insert into
@@ -1373,8 +1487,7 @@ object LayerHarness {
             return true
           log(s"placeholder-stage built-elsewhere bare table $tbl")
           placeholdered += tbl
-          if (!fixtureCols.contains(tbl)) fixtureCols(tbl) = mutable.Set("id")
-          else if (fixtureCols(tbl).isEmpty) fixtureCols(tbl) += "id"
+          seedPlaceholderCols(tbl, b)
           stage(tbl); return true
         }
         if (!fixtureCols.contains(tbl)) {
@@ -1405,8 +1518,7 @@ object LayerHarness {
             // .subscription.sql` read each other)
             log(s"placeholder-stage built-elsewhere table $tbl")
             placeholdered += tbl
-            if (!fixtureCols.contains(tbl)) fixtureCols(tbl) = mutable.Set("id")
-            else if (fixtureCols(tbl).isEmpty) fixtureCols(tbl) += "id"
+            seedPlaceholderCols(tbl, tbl)
             stage(tbl); return true
           }
           if (!fixtureCols.contains(tbl)) {
@@ -1525,6 +1637,7 @@ object LayerHarness {
                     val parts = t.split("\\.")
                     log(s"re-derive insert target $t in place (unresolved $demanded)")
                     Catalog.replaceTable(df, parts(0), parts(1))
+                    syncFixtureToDerived(t, df)
                     return true
                   }
                 } catch { case _: Exception => () }
@@ -1708,9 +1821,15 @@ object LayerHarness {
                 java.util.regex.Pattern.quote(a) + "\\s*\\.\\s*" +
                 java.util.regex.Pattern.quote(col) + "\\b").r
                   .findFirstIn(span).isDefined }
+            // a built-elsewhere placeholder whose producer's select list
+            // names the column outranks everything: the producer defines
+            // the warehouse schema
+            def producerOwnedT(t: String): Boolean =
+              built(t) && producerCols.get(t).exists(_.contains(col))
             val ranked = (evidence.filter(candidates1.contains) ++
               candidates1.sortBy(t =>
-                (if (attestedT(t)) 0 else 1, -affinity(t)))).distinct
+                (if (producerOwnedT(t)) -1 else if (attestedT(t)) 0 else 1,
+                  -affinity(t)))).distinct
             // add to the first candidate fixture that lacks it; repeated
             // rounds walk down the list until the analyzer is satisfied.
             // Only a DIRECTLY-bound alias is analyzer-confirmed evidence
@@ -1893,6 +2012,50 @@ object LayerHarness {
             fixtureCols(b) = mutable.Set(cols: _*)
             orderedFix(b) = cols
             stage(b); return true
+          }
+        }
+        // `select stg.* from <built> stg MINUS select hist.* from
+        // <fixture> hist` (the Braze delta-export idiom,
+        // `91_External/Braze/SQL/custom_subscription_attributes.sql:60`):
+        // the history fixture mirrors the just-built staging table —
+        // clone the resolvable side's schema onto the fixture side
+        // unanchored: the first half usually carries the CTAS head
+        // (`create table X as select stg.* from …`)
+        val StarHalf =
+          "(?is)\\bselect\\s+(?:distinct\\s+)?(?:\\w+\\s*\\.\\s*)?\\*\\s+from\\s+([\\w.\"]+)".r
+        val halves = splitSetOpHalves(span)
+          .flatMap(h => StarHalf.findFirstMatchIn(h).map(m =>
+            norm(m.group(1).replace("\"", ""))))
+        if (halves.size >= 2) {
+          val donor = halves.find(r => !fixtureCols.contains(r) &&
+            spark.catalog.tableExists(r))
+          for (d <- donor) {
+            val fields = spark.table(d).schema.fields.toSeq
+            val cols = fields.map(_.name.toLowerCase)
+            halves.filter(r => r != d && fixtureCols.contains(r) &&
+                fixtureCols(r).toSet != cols.toSet && !unionDerived(r))
+              .foreach { r =>
+                log(s"derive set-op star fixture $r from $d (${cols.size} cols)")
+                unionDerived += r
+                fixtureCols(r) = mutable.Set(cols: _*)
+                orderedFix(r) = cols
+                // types ride along — heuristic names would re-diverge
+                // from the donor and trade the arity error for a column
+                // type one
+                import org.apache.spark.sql.types._
+                fields.foreach { f =>
+                  val ct = f.dataType match {
+                    case _: TimestampType | _: TimestampNTZType => TTs
+                    case _: DateType => TDate
+                    case _: BooleanType => TBool
+                    case _: IntegerType | _: LongType | _: ShortType => TInt
+                    case _: DoubleType | _: FloatType | _: DecimalType => TNum
+                    case _ => TStr
+                  }
+                  colTypes((r, f.name.toLowerCase)) = ct
+                }
+                stage(r); return true
+              }
           }
         }
       }
@@ -2290,10 +2453,14 @@ object LayerHarness {
                 java.util.regex.Pattern.quote(a) + "\\s*\\.\\s*" +
                 java.util.regex.Pattern.quote(col) + "\\b").r
                   .findFirstIn(span).isDefined }
+            // a built-elsewhere placeholder whose PRODUCER's select list
+            // names the column owns it — the strongest evidence there is
+            def producerOwned(t: String): Boolean =
+              built(t) && producerCols.get(t).exists(_.contains(col))
             val droppable =
               holders.filter(t => neverCol(t, col) ||
-                  ((guessed((t, col)) || weak((t, col))) &&
-                  !pinnedCols((t, col))) ||
+                  (((guessed((t, col)) || weak((t, col))) &&
+                  !pinnedCols((t, col))) && !producerOwned(t)) ||
                   // a PIN yields to positive attestation: when another
                   // holder is alias-qualified with the column in THIS
                   // span and the pinned holder is not, the pin was a
@@ -2302,9 +2469,12 @@ object LayerHarness {
                   // lacked it, `7_snowplow/2_sessions/
                   // 00_marketing_details.sql`) — evidence beats the pin
                   (pinnedCols((t, col)) && !attested(t) && !evidS(t) &&
-                    holders.exists(o => o != t && (attested(o) || evidS(o)))))
+                    !producerOwned(t) &&
+                    holders.exists(o => o != t &&
+                      (attested(o) || evidS(o) || producerOwned(o)))))
             val keep = holders.filter(t =>
-              attested(t) || strongHarvest((t, col)) || evidS(t)).toSet
+              attested(t) || strongHarvest((t, col)) || evidS(t) ||
+                producerOwned(t)).toSet
             val removable0 =
               if (keep.nonEmpty && droppable.exists(t => !keep(t)))
                 droppable.filterNot(keep)

@@ -62,7 +62,6 @@ class MiscLayersSpec extends SparkSpec {
   }
 
   test("the 91_External layer runs verbatim, twice") {
-    assume(LayerHarness.wipEnabled, "WIP layer \u2014 set GRAFT_WIP_LAYERS=1")
     runLayer("external", Seq("91_External"), broken = Set(
       // mangled in the reference: the INSERT header and SELECT keyword
       // were deleted, leaving a bare column list — unrunnable on

@@ -40,6 +40,48 @@ class RedshiftScriptSpec extends SparkSpec {
     assert(!t.toLowerCase.contains("current_date "))
   }
 
+  test("both-sides-::date subtraction rewrites to integer datediff") {
+    val t = RedshiftScript.translate(
+      "SELECT (s.minimum_cancellation_date::Date - CURRENT_DATE::Date) AS d FROM x s",
+      currentDate = Some("2024-06-15"))
+    assert(t.contains(
+      "datediff(cast(s.minimum_cancellation_date as date), cast("))
+    // one-sided date casts keep Redshift's date ± int arithmetic
+    val keep = RedshiftScript.translate("SELECT a::date - 1 FROM x")
+    assert(keep.contains("::date - 1") || keep.contains("cast"))
+  }
+
+  test("dropUnresolvableInnerSort removes void CTE sorts, never window ORDER BY") {
+    val cte = "with a as (select distinct c1 from t order by rank_col desc ) " +
+      "select c1 from a"
+    val dropped = RedshiftScript.dropUnresolvableInnerSort(cte, Set("rank_col"))
+    assert(!dropped.toLowerCase.contains("order by"))
+    // a window spec's ORDER BY must survive even when it names the column
+    val win = "select lag(v) over (partition by g order by rank_col) from t"
+    assert(RedshiftScript.dropUnresolvableInnerSort(win, Set("rank_col")) === win)
+    // a LIMITed subquery sort is semantically live — keep it
+    val lim = "select * from (select c from t order by rank_col limit 5) q"
+    assert(RedshiftScript.dropUnresolvableInnerSort(lim, Set("rank_col")) === lim)
+  }
+
+  test("UPDATE casts the SET value to the column type, not the untouched rows") {
+    import org.apache.spark.sql.functions._
+    val p = java.nio.file.Files.createTempDirectory("upd-cast").toString
+    // valid_to staged as STRING with non-timestamp contents; the SET
+    // expression is a TIMESTAMP — untouched rows must survive verbatim
+    Catalog.replaceTable(
+      spark.range(3).toDF("id")
+        .withColumn("valid_to", concat(lit("v"), col("id"))),
+      "upd_cast_db", "t1")
+    val r = new RedshiftScript.Runner(spark, p, Some("2024-06-15")).run(
+      "UPDATE upd_cast_db.t1 SET valid_to = current_timestamp WHERE id = 1;")
+    assert(r.ok, r.reports.flatMap(_.error).mkString("; "))
+    val vals = spark.table("upd_cast_db.t1").orderBy("id")
+      .select("valid_to").collect().map(_.getString(0))
+    assert(vals(0) === "v0" && vals(2) === "v2")
+    assert(vals(1) != "v1") // updated row carries the cast timestamp text
+  }
+
   test("snapshot-historical script (BEGIN/DELETE/INSERT/COMMIT) runs and is idempotent") {
     Catalog.replaceTable(Tables.read(spark, sfDir, "orders"), "rs_master", "orders_src")
     Catalog.replaceTable(
