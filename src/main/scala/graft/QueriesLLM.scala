@@ -68,8 +68,7 @@ object QueriesLLM {
 
   /** Token counting + quality-scoring suite (C4/Gopher-style filters). */
   def q33_text_quality(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .repartition(spark.sparkContext.defaultParallelism)
+    Ops.spreadForCompute(t(spark, dir, "documents").select("doc_id", "text"))
       .select(
         col("doc_id"),
         Text.tokenCount(col("text")).as("token_count"),
@@ -82,8 +81,7 @@ object QueriesLLM {
 
   /** Language-ID confusion matrix: heuristic prediction vs labeled lang. */
   def q34_langid(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .repartition(spark.sparkContext.defaultParallelism)
+    Ops.spreadForCompute(t(spark, dir, "documents").select("lang", "text"))
       .select(col("lang"), Text.languageId(col("text")).as("lang_pred"))
       .groupBy(col("lang"), col("lang_pred"))
       .agg(count(lit(1)).as("n"))

@@ -301,6 +301,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CharClassRatio].getName, "graft_alpha_ratio"),
       (children: Seq[Expression]) => CharClassRatio(children.head, punct = false)))
     injectFunction((
+      FunctionIdentifier("graft_stopword_ratio"),
+      new ExpressionInfo(classOf[TokenStatRatio].getName, "graft_stopword_ratio"),
+      (children: Seq[Expression]) => TokenStatRatio(children.head, stopword = true)))
+    injectFunction((
+      FunctionIdentifier("graft_mean_word_len"),
+      new ExpressionInfo(classOf[TokenStatRatio].getName, "graft_mean_word_len"),
+      (children: Seq[Expression]) => TokenStatRatio(children.head, stopword = false)))
+    injectFunction((
+      FunctionIdentifier("graft_normalize_dedup"),
+      new ExpressionInfo(classOf[NormalizeDedup].getName, "graft_normalize_dedup"),
+      (children: Seq[Expression]) => NormalizeDedup(children.head)))
+    injectFunction((
+      FunctionIdentifier("graft_subword_count"),
+      new ExpressionInfo(classOf[SubwordCount].getName, "graft_subword_count"),
+      (children: Seq[Expression]) => SubwordCount(children.head)))
+    injectFunction((
       FunctionIdentifier("graft_word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_word_shingles"),
       (children: Seq[Expression]) => {

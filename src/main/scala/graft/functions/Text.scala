@@ -22,11 +22,14 @@ object Text {
   /** BPE-ish subword token estimate: word-pieces + digits + punctuation as
     * separate tokens (a deterministic regex approximation of a GPT-style
     * tokenizer's fertility; useful for budget estimates at corpus scale).
+    * Native single code-point pass ([[graft.expressions.SubwordCount]]);
+    * the regex form below stays as the parity reference.
     */
-  def subwordTokenEstimate(text: Column): Column = {
-    val pieces = regexp_count(text, lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"))
-    pieces
-  }
+  def subwordTokenEstimate(text: Column): Column =
+    call_function("graft_subword_count", text)
+
+  private[graft] def subwordTokenEstimateHof(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"))
 
   /** Normalized text for dedup: lowercase, collapse whitespace, strip
     * punctuation.
@@ -100,10 +103,13 @@ object Text {
 
   /** Rolling polynomial hash over the full normalized text — a cheap
     * order-sensitive document fingerprint (exact-dup detection that is
-    * robust to trailing whitespace/punct noise).
+    * robust to trailing whitespace/punct noise). The normalization runs
+    * as the native one-pass [[graft.expressions.NormalizeDedup]] (the
+    * regex [[normalizeForDedup]] is its parity-pinned reference) — this
+    * is hashed once per row in every dedup operator.
     */
   def documentFingerprint(text: Column): Column =
-    xxhash64(normalizeForDedup(text))
+    xxhash64(call_function("graft_normalize_dedup", text))
 
   // ---------------------------------------------------------------- quality
 
@@ -132,14 +138,28 @@ object Text {
     when(length(text) === 0, lit(0.0))
       .otherwise(regexp_count(text, lit("[A-Za-z]")).cast("double") / length(text))
 
-  def stopwordRatio(text: Column): Column = {
+  /** Stopword ratio over the dedup-normalized tokens — native single-pass
+    * expression ([[graft.expressions.TokenStatRatio]]); the
+    * split+filter-lambda form below stays as the parity reference (two
+    * regex passes plus ~|tokens| interpreted lambda evaluations per row).
+    */
+  def stopwordRatio(text: Column): Column =
+    call_function("graft_stopword_ratio", text)
+
+  private[graft] def stopwordRatioHof(text: Column): Column = {
     val tokens = split(normalizeForDedup(text), " ")
     val stops = filter(tokens, t => t.isin(Stopwords: _*))
     when(size(tokens) === 0, lit(0.0))
       .otherwise(size(stops).cast("double") / size(tokens))
   }
 
-  def meanWordLength(text: Column): Column = {
+  /** Mean token length — native single-pass expression; the
+    * split+aggregate-lambda parity reference below.
+    */
+  def meanWordLength(text: Column): Column =
+    call_function("graft_mean_word_len", text)
+
+  private[graft] def meanWordLengthHof(text: Column): Column = {
     val tokens = split(normalizeForDedup(text), " ")
     when(size(tokens) === 0, lit(0.0))
       .otherwise(

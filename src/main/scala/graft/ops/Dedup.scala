@@ -70,9 +70,8 @@ object Dedup {
     // inlines the 64-hash signature into the per-band explode lambda and
     // recomputes it once per band (a silent `bands`× slowdown). Persisting
     // the signature matrix is also the standard LSH practice at scale.
-    val withSig = docs
-      .select(col(idCol).as("id"), col(textCol).as("text"))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val withSig = Ops.spreadForCompute(
+        docs.select(col(idCol).as("id"), col(textCol).as("text")))
       .withColumn("shingles", array_distinct(Text.wordShingles(col("text"), shingleSize)))
       .filter(size(col("shingles")) > 0)
       .withColumn("sig", Text.minHashSignature(col("shingles"), numHashes))
@@ -141,9 +140,8 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     // localCheckpoint: same CollapseProject barrier as minhash — the 64
     // bit-sum aggregates would otherwise be recomputed per 16-bit chunk
-    val withFp = docs
-      .select(col(idCol).as("id"), col(textCol).as("text"))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val withFp = Ops.spreadForCompute(
+        docs.select(col(idCol).as("id"), col(textCol).as("text")))
       .withColumn("sh", Text.wordShingles(col("text"), shingleSize))
       .filter(size(col("sh")) > 0)
       .withColumn("fp", Text.simHash(col("sh")))
@@ -182,9 +180,8 @@ object Dedup {
       idCol: String,
       vecCol: String,
       threshold: Double): DataFrame = {
-    val v = docs
-      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val v = Ops.spreadForCompute(
+      docs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")))
     val l = v.alias("l")
     val r = v.alias("r")
     l.join(r, col("l.id") < col("r.id"))
@@ -211,9 +208,8 @@ object Dedup {
     // signature frame feeds BOTH aliases of the self-join; without the
     // barrier the per-row signature is computed twice (and the plan
     // re-derives it under each join child)
-    val v = docs
-      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val v = Ops.spreadForCompute(
+        docs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")))
       .withColumn("sig", graft.functions.Vectors.hyperplaneLshSignature(col("v"), numBits, dim))
       .localCheckpoint()
     val l = v.alias("l")
@@ -249,16 +245,17 @@ object Dedup {
       textCol: String,
       shingleSize: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    val withSh = docs
+    // the id<id theta-join runs as a nested loop whose parallelism is the
+    // stream side's partition count — a single parquet partition would
+    // serialize the whole O(n²) pass onto one core. Spreading the SCAN
+    // (only when under-parallel) also moves raw text, not the fatter
+    // shingle arrays the old post-shingle repartition shuffled.
+    val withSh = Ops.spreadForCompute(
+        docs.select(col(idCol).as("id"), col(textCol).as(textCol)))
       .select(
-        col(idCol).as("id"),
+        col("id"),
         array_distinct(Text.wordShingles(col(textCol), shingleSize)).as("sh"))
       .filter(size(col("sh")) > 0)
-      // the id<id theta-join runs as a nested loop whose parallelism is the
-      // stream side's partition count — a single parquet partition would
-      // serialize the whole O(n²) pass onto one core
-      .repartition(parallelism)
     val l = withSh.alias("l")
     val r = withSh.alias("r")
     // size-band prefilter: jaccard >= t implies t·|B| <= |A| and t·|A| <= |B|

@@ -16,6 +16,24 @@ import org.apache.spark.sql.functions._
   */
 object Ops {
 
+  /** Fan a CPU-dense computation's input across idle cores ONLY when the
+    * scan is under-parallel (fewer partitions than the session's
+    * parallelism) — the local fixtures are single parquet files, so
+    * per-row-heavy stages (shingling, scoring, cosine loops) would
+    * otherwise serialize onto one core. At scale the input already has
+    * ≥ cores partitions and this is a NO-OP: the unconditional
+    * `repartition(defaultParallelism)` it replaces would round-robin the
+    * full payload through one extra shuffle (plus the sort-before-
+    * repartition pass) on every run — guide §2.4 "remove shuffles
+    * outright", made partition-count-adaptive instead of being keyed to
+    * local[32]. Partition counting runs on the physical scan (no job is
+    * executed — the callers pass scan/projection-only frames).
+    */
+  def spreadForCompute(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Epoch microseconds regardless of timestamp flavor. Parquet fixtures may
     * decode as `TIMESTAMP_NTZ` or `TIMESTAMP_LTZ` depending on writer
     * metadata; `unix_micros` only accepts LTZ. The session timezone is

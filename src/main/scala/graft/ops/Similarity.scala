@@ -34,8 +34,8 @@ object Similarity {
       k: Int): DataFrame = {
     // cosine scoring is per-pair interpreted HOF work; the nested-loop
     // parallelism equals the stream (corpus) side's partition count
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val c = Ops.spreadForCompute(
+      corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val scored = q
       .crossJoin(c)
@@ -166,9 +166,8 @@ object Similarity {
     require(nProbe >= 1 && nProbe <= nCells, "1 <= nProbe <= nCells")
 
     def assign(df: DataFrame, id: String, v: String, probes: Int): DataFrame = {
-      val scored = df
-        .select(col(idCol).as(id), col(vecCol).as(v))
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      val scored = Ops.spreadForCompute(
+          df.select(col(idCol).as(id), col(vecCol).as(v)))
         .crossJoin(broadcast(centroids))
         .withColumn("sim", Vectors.cosineSimilarity(col(v), col("centroid")))
       val w = Window.partitionBy(col(id)).orderBy(col("sim").desc, col("cell_id"))

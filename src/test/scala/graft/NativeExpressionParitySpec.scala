@@ -184,6 +184,37 @@ class NativeExpressionParitySpec extends SparkSpec {
     }
   }
 
+  test("native stopword/mean-word-len/subword/normalize == HOF-regex forms on fixtures + adversarial text") {
+    import graft.functions.Text
+    val adversarial = Seq(
+      "", " ", "   \t\n ", "!!!", "the cat sat on the mat", "a1b2 c3",
+      "THE AND OF TO", "  the   and\tof\nto  ", "wordthatislong the",
+      "¿dónde está? ¡sí!", "größe straße müde", "naïve café déjà-vu",
+      "中文 and the of to", "a" * 300, ". , ; : ! ?", "123 456 789",
+      "trailing space ", " leading", "tb\fc\rd", "mixed The tHe THE")
+    val docs = Tables.read(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text"))
+      .unionByName(adversarial.toDF("text"))
+    val rows = docs.select(
+      col("text"),
+      Text.stopwordRatio(col("text")).as("nat_sw"),
+      Text.stopwordRatioHof(col("text")).as("hof_sw"),
+      Text.meanWordLength(col("text")).as("nat_mw"),
+      Text.meanWordLengthHof(col("text")).as("hof_mw"),
+      Text.subwordTokenEstimate(col("text")).as("nat_sub"),
+      Text.subwordTokenEstimateHof(col("text")).as("hof_sub"),
+      call_function("graft_normalize_dedup", col("text")).as("nat_norm"),
+      Text.normalizeForDedup(col("text")).as("hof_norm")).collect()
+    assert(rows.length > 500)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getDouble(1) === r.getDouble(2), s"stopword mismatch on: $t") // bit-exact
+      assert(r.getDouble(3) === r.getDouble(4), s"meanlen mismatch on: $t")
+      assert(r.getInt(5) === r.getInt(6), s"subword mismatch on: $t")
+      assert(r.getString(7) === r.getString(8), s"normalize mismatch on: $t")
+    }
+  }
+
   test("native simhash: hamming(0) on self, registered in SQL") {
     val fp = spark.sql(
       "SELECT graft_simhash64(graft_word_shingles('alpha beta gamma delta', 2))").collect()
