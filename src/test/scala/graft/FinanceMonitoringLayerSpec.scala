@@ -55,7 +55,16 @@ class FinanceMonitoringLayerSpec extends SparkSpec {
       // select-alias chain the analysis-failure substitution does not
       // yet resolve). Pinned during the optimization round; see
       // OPTIMIZATION_r13.md "Inherited state".
-      "dm_finance.v_customer_churn_report_sub_churn.sql"))
+      "dm_finance.v_customer_churn_report_sub_churn.sql",
+      // NOT broken in the reference — ENGINE gaps, same inherited family
+      // (true-up of the round-13 pin set against an actual run, per
+      // VERDICT r13 "Next round" item 1; see OPTIMIZATION_r14.md):
+      //  - v_purchase_option_report: the lateral-alias substitution
+      //    duplicates the `s.is_float` select item (AMBIGUOUS_REFERENCE)
+      "dm_finance.v_purchase_option_report.sql",
+      //  - v_grove_care_order_conversion: `gc.country` inside a nested
+      //    CTE chain never resolves (lateral-alias chain across CTEs)
+      "v_grove_care_order_conversion.sql"))
   }
 
   test("the 8_monitoring layer runs verbatim, twice") {
@@ -73,7 +82,20 @@ class FinanceMonitoringLayerSpec extends SparkSpec {
       // Pinned during the optimization round; see OPTIMIZATION_r13.md
       // "Inherited state".
       "gdpr/anonymize_gdpr_columns.sql",
-      "gdpr/anonymize_gdpr_columns_onetime.sql"))
+      "gdpr/anonymize_gdpr_columns_onetime.sql",
+      // NOT broken in the reference — ENGINE gaps, true-up of the
+      // round-13 pin set against an actual run (VERDICT r13 item 1;
+      // see OPTIMIZATION_r14.md "Inherited state"):
+      //  - gdpr_payment_info: the harness's fixture-content synthesis
+      //    feeds a 'YYYY-MM-DD/k'-shaped string into a DATE cast
+      //    (CAST_INVALID_INPUT) — a fixture-typing gap, not a dialect gap
+      "gdpr/gdpr_payment_info.sql",
+      //  - missing_dates / snowplow_scratch_monitoring: first run
+      //    converges, the idempotency RERUN fails with INSERT arity
+      //    N != table arity M — the convergence fixture widens the
+      //    target table after the INSERT statement already ran once
+      "system_issues/missing_dates.sql",
+      "system_issues/snowplow_scratch_monitoring.sql"))
   }
 
   /** The 13_finance_reporting SUBDIRECTORIES — the Luxco SPV monthly
