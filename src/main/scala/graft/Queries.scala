@@ -164,11 +164,26 @@ object Queries {
   /** J3: FULL OUTER ... USING with key coalescing
     * (`4_dwh_core/daily_kpi_report_main_tables.sql:209`). */
   def q12_full_outer_using(spark: SparkSession, dir: String): DataFrame = {
-    val f = t(spark, dir, "orders").filter(col("o_orderstatus") === "F")
-      .groupBy(col("o_custkey").as("custkey")).agg(count(lit(1)).as("n_f"))
-    val o = t(spark, dir, "orders").filter(col("o_orderstatus") === "O")
-      .groupBy(col("o_custkey").as("custkey")).agg(count(lit(1)).as("n_o"))
-    Ops.fullOuterUsing(f, o, Seq("custkey"))
+    // Single-scan rewrite of `agg(F) ⟗USING(custkey) agg(O)` (guide §2.4):
+    // the old form scanned orders twice, shuffled each aggregate by
+    // hash(custkey), then re-shuffled BOTH sides by the null-safe key
+    // shape hash(coalesce(custkey,0), isnull(custkey)) for the <=>
+    // SortMergeJoin — 4 full exchanges + a join for what one conditional
+    // aggregation computes: a custkey appears in the full outer result
+    // iff it has ≥1 F or ≥1 O order, n_f/n_o are that side's counts and
+    // NULL (not 0) when the side is absent — exactly
+    // nullif(count(CASE status END), 0) per key, since each input
+    // aggregate emits a key only with count ≥ 1. Null custkeys group
+    // together, matching the <=> (null-safe) semantics of
+    // [[Ops.fullOuterUsing]] (which stays the general operator, spec'd in
+    // OpsSpec). 1 scan + 1 exchange (partial-aggregated map-side), no
+    // join; oracle-hash-identical.
+    t(spark, dir, "orders")
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(
+        nullif(count(when(col("o_orderstatus") === "F", 1)), lit(0L)).as("n_f"),
+        nullif(count(when(col("o_orderstatus") === "O", 1)), lit(0L)).as("n_o"))
   }
 
   /** J6: range/interval join against a date spine
@@ -184,11 +199,23 @@ object Queries {
       t(spark, dir, "orders").agg(
         min(col("o_orderdate")).as("lo"), max(col("o_orderdate")).as("hi")),
       col("lo"), col("hi"))
-    // explode-based: 7 rows per order, hash join on the day — scales where
-    // the theta-join (broadcast nested loop) would not
-    Ops.rangeJoinExplode(spine, o, col("datum"), col("start_d"), col("end_d"), joinType = "left")
-      .groupBy(col("datum"))
-      .agg(count(col("o_orderkey")).as("open_orders"))
+    // explode-based day counts, AGGREGATED BEFORE the join (guide §2.3):
+    // the per-day counts partial-aggregate map-side, collapsing the
+    // 7-rows-per-order explosion to one row per distinct day BEFORE any
+    // exchange, and the join degenerates to spine ⟕ day-counts (both
+    // bounded by the date range, broadcast-sized at any data volume) —
+    // versus the old spine ⟕ exploded-rows hash join that shuffled the
+    // full explosion. Equivalent because datum is unique in the spine and
+    // in the counts: count(o_orderkey) per datum ≡ coalesce(per-day
+    // count, 0), with the isNotNull filter replicating COUNT(col)'s
+    // null-skipping exactly.
+    val perDay = o
+      .filter(col("o_orderkey").isNotNull)
+      .select(explode(sequence(col("start_d"), col("end_d"))).as("__day"))
+      .groupBy(col("__day"))
+      .agg(count(lit(1)).as("__n"))
+    spine.join(perDay, col("datum") === col("__day"), "left")
+      .select(col("datum"), coalesce(col("__n"), lit(0L)).as("open_orders"))
   }
 
   /** J7/J8: as-of join — for each purchase event, the latest prior click of

@@ -231,6 +231,9 @@ case class JaccardSimilarity(left: Expression, right: Expression)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // injected into the operator-optimization FIXED POINT, so the built-in
+    // simplification rules re-run after the fold (see the rule's scaladoc)
+    ext.injectOptimizerRule(_ => ElideJsonRoundtrip)
     val rawInject = ext.injectFunction _
     // ALSO register in the static builtin registry: session-injected
     // functions count as TEMPORARY objects, which Spark refuses inside

@@ -70,12 +70,15 @@ object Dedup {
     // inlines the 64-hash signature into the per-band explode lambda and
     // recomputes it once per band (a silent `bands`× slowdown). Persisting
     // the signature matrix is also the standard LSH practice at scale.
+    // eager=false: the barrier comes from capturing one shared physical
+    // RDD at build time; the first consuming stage computes and persists
+    // it, instead of paying a standalone materialization job up front.
     val withSig = Ops.spreadForCompute(
         docs.select(col(idCol).as("id"), col(textCol).as("text")))
       .withColumn("shingles", array_distinct(Text.wordShingles(col("text"), shingleSize)))
       .filter(size(col("shingles")) > 0)
       .withColumn("sig", Text.minHashSignature(col("shingles"), numHashes))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     // band → bucket key = hash of that band's signature slice. The banded
     // rows carry ONLY (id, band, bucket): shingle arrays in the candidate
@@ -140,13 +143,14 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     // localCheckpoint: same CollapseProject barrier as minhash — the 64
     // bit-sum aggregates would otherwise be recomputed per 16-bit chunk
+    // (lazy for the same reason as minhash: barrier without an extra job)
     val withFp = Ops.spreadForCompute(
         docs.select(col(idCol).as("id"), col(textCol).as("text")))
       .withColumn("sh", Text.wordShingles(col("text"), shingleSize))
       .filter(size(col("sh")) > 0)
       .withColumn("fp", Text.simHash(col("sh")))
       .select("id", "fp")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     val chunked = withFp.select(
       col("id"),
@@ -207,11 +211,11 @@ object Dedup {
     // localCheckpoint: same REQUIRED barrier as the minhash path — the
     // signature frame feeds BOTH aliases of the self-join; without the
     // barrier the per-row signature is computed twice (and the plan
-    // re-derives it under each join child)
+    // re-derives it under each join child). Lazy: barrier without a job.
     val v = Ops.spreadForCompute(
         docs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")))
       .withColumn("sig", graft.functions.Vectors.hyperplaneLshSignature(col("v"), numBits, dim))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val l = v.alias("l")
     val r = v.alias("r")
     l.join(r, col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))

@@ -472,10 +472,33 @@ object Ops {
       outCol: String,
       percent: Boolean,
       numPartitions: Int): DataFrame = {
+    import org.apache.spark.sql.types._
     val n =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val cols = df.columns.toSeq
+    // Tie-equality key for the local rank pass below: the orderBy
+    // expressions stripped of their sort direction, packed in a struct so
+    // Spark's Row.equals does the comparison (NaN == NaN, BigDecimal via
+    // compareTo — matching sort-tie semantics). float/double are
+    // normalized (+0.0 turns -0.0 into 0.0 and preserves everything
+    // else), mirroring what NormalizeFloatingNumbers does for window
+    // partition/order keys.
+    val stripped = orderBy.map { c =>
+      org.apache.spark.sql.graft.ColumnBridge.toExpression(c) match {
+        case so: org.apache.spark.sql.catalyst.expressions.SortOrder =>
+          org.apache.spark.sql.graft.ColumnBridge.toColumn(so.child)
+        case _ => c
+      }
+    }
+    val ordTypes = df.select(stripped: _*).schema.fields.map(_.dataType)
+    val ordKey = struct(stripped.zip(ordTypes).zipWithIndex.map { case ((c, dt), i) =>
+      (dt match {
+        case DoubleType => c + lit(0.0d)
+        case FloatType  => c + lit(0.0f)
+        case _          => c
+      }).as(s"_o$i")
+    }: _*)
     // localCheckpoint is REQUIRED for correctness, not an optimization:
     // the rank branch and the counts branch below both consume this frame,
     // and without a materialization barrier each branch re-executes the
@@ -487,13 +510,49 @@ object Ops {
     // partitioning for every consumer; on a cluster this is
     // persist/checkpoint of the projected table — the textbook cost of
     // any distributed global rank (cf. TeraSort's sampled partitioner).
+    //
+    // eager=false: the checkpoint's pinning comes from capturing ONE
+    // physical RDD at build time (both consumers share it, so the range
+    // exchange and its sampled boundaries execute once regardless); an
+    // eager count() here only adds a standalone materialization job per
+    // call (q53 chains three). The first consuming job — the offsets
+    // broadcast build — computes and persists the partitions instead.
+    //
+    // sortWithinPartitions runs BEFORE the checkpoint so the materialized
+    // partitions are already in rank order — the sort the old
+    // Window-based rank branch paid after its own exchange, moved in
+    // front of the barrier and paid once.
     val ranged = df
+      .select((cols.map(col) :+ ordKey.as("__ord")): _*)
       .repartitionByRange(n, orderBy: _*)
+      .sortWithinPartitions(orderBy: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    val ranked = ranged.withColumn(
-      "__lrank",
-      rank().over(Window.partitionBy(col("__pid")).orderBy(orderBy: _*)))
+      .localCheckpoint(eager = false)
+    // Local rank in ONE mapPartitions pass over the already-sorted
+    // checkpointed partitions. This replaces the previous
+    // `rank() OVER (PARTITION BY __pid ORDER BY …)` branch: each physical
+    // partition holds exactly one __pid value, but the checkpoint's
+    // LogicalRDD reports UnknownPartitioning, so EnsureRequirements
+    // planned a FULL-WIDTH hashpartitioning(__pid) exchange + sort under
+    // that window — a second shuffle of the entire payload that moved no
+    // row anywhere it wasn't already (guide §2.4: remove shuffles
+    // outright). The per-row external-row conversion the map pays is CPU
+    // only; the exchange it removes crossed the network with the whole
+    // table.
+    val ordIdx = ranged.schema.fieldIndex("__ord")
+    val rankedSchema = StructType(
+      ranged.schema.fields :+ StructField("__lrank", LongType, nullable = false))
+    val ranked = ranged.mapPartitions { rows =>
+      var rowNum = 0L
+      var rnk = 0L
+      var prev: org.apache.spark.sql.Row = null
+      rows.map { r =>
+        rowNum += 1
+        val o = r.getStruct(ordIdx)
+        if (prev == null || o != prev) { rnk = rowNum; prev = o }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ rnk)
+      }
+    }(org.apache.spark.sql.Encoders.row(rankedSchema))
     // cumulative offsets over the numPartitions-row counts table in ONE
     // window pass. The window partitions on a constant: a single
     // partition of ~numPartitions rows, bounded BY CONSTRUCTION (never

@@ -68,7 +68,7 @@ object Similarity {
         col(idCol).as(id),
         col(vecCol).as(v),
         Vectors.hyperplaneLshSignature(col(vecCol), numBits, dim).as(s"${id}_sig"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     val c = sig(corpus, "corpus_id", "cvec")
     val q = sig(queries, "query_id", "qvec")
     val scored = q
@@ -170,11 +170,28 @@ object Similarity {
           df.select(col(idCol).as(id), col(vecCol).as(v)))
         .crossJoin(broadcast(centroids))
         .withColumn("sim", Vectors.cosineSimilarity(col(v), col("centroid")))
-      val w = Window.partitionBy(col(id)).orderBy(col("sim").desc, col("cell_id"))
-      scored
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= probes)
-        .select(col(id), col(v), col("cell_id").as(s"${id}_cell"))
+      if (probes == 1) {
+        // nearest-cell assignment as a partial-aggregable max_by instead
+        // of a row_number window: the nCells candidate rows per vector
+        // collapse MAP-SIDE, so the payload vector crosses the exchange
+        // once instead of nCells times and the per-vector sort disappears
+        // (guide §2.3 aggregate-before-shuffle / §2.4 fewer bytes).
+        // max over (sim, -cell_id) ≡ ORDER BY sim DESC, cell_id ASC LIMIT 1
+        // (the tiebreak makes the ordering key unique per vector, and a
+        // null sim sorts below any value in both forms).
+        scored
+          .groupBy(col(id))
+          .agg(max_by(
+            struct(col(v).as("v"), col("cell_id").as("cell")),
+            struct(col("sim").as("s"), (-col("cell_id")).as("nc"))).as("best"))
+          .select(col(id), col("best.v").as(v), col("best.cell").as(s"${id}_cell"))
+      } else {
+        val w = Window.partitionBy(col(id)).orderBy(col("sim").desc, col("cell_id"))
+        scored
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= probes)
+          .select(col(id), col(v), col("cell_id").as(s"${id}_cell"))
+      }
     }
 
     val c = assign(corpus, "corpus_id", "cvec", probes = 1)

@@ -55,6 +55,46 @@ object Catalog {
     df.write.mode("overwrite").saveAsTable(s"$db.$table")
   }
 
+  /** Register a READ-ONLY source frame under `db.table` without copying
+    * its data: when `df` is a bare single-root parquet scan (what
+    * [[graft.Tables.read]] returns for micros-flavor fixtures), the
+    * catalog entry is an EXTERNAL parquet table pointing at the source
+    * files — `CREATE TABLE … USING parquet LOCATION`. The old path
+    * (still the fallback for anything that isn't a bare scan, e.g. the
+    * nanos-timestamp adapter projection) was a full CTAS copy: staging a
+    * 100 TB input meant WRITING 100 TB before the script read a row
+    * (guide §6 — don't rewrite the input to rename it).
+    *
+    * READ-ONLY is the caller's contract: a script that DML'd this table
+    * would stage its commit swap at the table's location — the source
+    * files. Use [[replaceTable]] for anything a script mutates.
+    */
+  def stageSourceReadOnly(df: DataFrame, db: String, table: String): Unit = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val bare = df.queryExecution.analyzed match {
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: HadoopFsRelation
+              if fs.fileFormat.isInstanceOf[
+                org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] &&
+                fs.location.rootPaths.length == 1 =>
+            Some(fs.location.rootPaths.head.toString)
+          case _ => None
+        }
+      case _ => None
+    }
+    bare match {
+      case Some(loc) =>
+        val spark = df.sparkSession
+        ensureDatabase(spark, db)
+        try spark.sql(s"DROP VIEW IF EXISTS $db.$table")
+        catch { case _: Exception => () }
+        spark.sql(s"DROP TABLE IF EXISTS $db.$table")
+        spark.sql(s"CREATE TABLE $db.$table USING parquet LOCATION '$loc'")
+      case None => replaceTable(df, db, table)
+    }
+  }
+
   /** CREATE OR REPLACE VIEW — the reference's presentation layer
     * (222 `v_*` view files, `4_dwh_core/v_daily_kpi_report.sql:1-2`):
     * a saved logical plan in the session catalog, recomputed per query.

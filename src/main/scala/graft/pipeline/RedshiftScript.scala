@@ -3869,12 +3869,20 @@ object RedshiftScript {
             report("DROP VIEW", Some(name))
           case CreateRe(temp, name, options, body) =>
             val (_, distkey) = stripTableOptions(options)
-            var df = sqlBody(tr(body))
-            distkey.foreach(k => df = df.repartition(col(k)))
+            val df = sqlBody(tr(body))
             if (temp != null && !norm(name).contains(".")) {
+              // DISTKEY on a TEMP table is a storage-placement hint; the
+              // runner keeps temps as LAZY VIEWS (no storage), so the
+              // repartition it used to become was a pure extra full-width
+              // exchange on every downstream read — any consumer that
+              // actually needs clustering on the key (window/join/agg on
+              // it) gets the exchange from EnsureRequirements regardless
+              // (guide §2.4). Real tables below keep it: there the
+              // repartition sets the written file layout, which IS
+              // Redshift's distkey semantics.
               reclaimViewName(norm(name)) // a temp table wins its name
               df.createOrReplaceTempView(norm(name))
-            } else stage(name, df)
+            } else stage(name, distkey.foldLeft(df)((d, k) => d.repartition(col(k))))
             // a schema-QUALIFIED temp table (`CREATE TEMP TABLE
             // data_engineer.price_drop_r_num`, `91_External/Braze`)
             // materializes like a regular table — Spark temp views are

@@ -84,10 +84,13 @@ class PlanShapeSpec extends SparkSpec {
         val isGlobal = specs.size == 1 && (specs.head.contains(" ASC") || specs.head.contains(" DESC"))
         assert(!isGlobal, s"$q has an unpartitioned (single-partition) window:\n$line")
       }
-      // the checkpointed range-partitioned frame reads back as an RDD scan
-      // (the range exchange ran eagerly at build time); what must remain
-      // visible is the pid-partitioned window over it
-      assert(p.contains("hashpartitioning(__pid"), p)
+      // the local-rank pass runs as a map over the checkpointed
+      // range-partitioned frame — a rank window partitioned by __pid
+      // would mean the full-width second shuffle (the round-14 removal)
+      // crept back in; the only __pid work left is the counts branch's
+      // tiny per-partition-count aggregate
+      assert(!p.contains("windowspecdefinition(__pid"), p)
+      assert(p.contains("MapPartitions"), p)
     }
   }
 
@@ -100,6 +103,11 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q51_json_payload")
     assert(!p.contains("Exchange"), p) // zero shuffles: scan → project
     assert(p.contains("ReadSchema") && !p.contains("o_comment"), p)
+    // the locally-built payload's serialize+parse roundtrip folds away
+    // (ElideJsonRoundtrip — SPARK-32948 ported to the runtime-replaced
+    // to_json form), leaving a plain whole-stage-codegen projection
+    assert(!p.contains("from_json"), p)
+    assert(!p.contains("StructsToJsonEvaluator"), p)
   }
 
   test("q56: corpus-clean chain shuffles only for the dedup key") {
